@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable engine query: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an independent DuckDB oracle the
+  * driver hash-compares against at sf0.01.
+  *
+  * Oracle parity rules (SURVEY.md §7.3):
+  *  - identical output column NAMES on both sides (driver sorts columns
+  *    by name before hashing);
+  *  - deterministic ORDER BY on both sides, with `NULLS FIRST` spelled
+  *    out in DuckDB (Spark ascending = nulls first, DuckDB = nulls last);
+  *  - no raw double SUM/AVG in outputs — shuffle order makes fp addition
+  *    non-associative; cast inputs to DECIMAL(18,4) first (exact,
+  *    associative) and cast the result to an explicit final decimal type
+  *    on both sides so parquet and DuckDB agree on precision/scale.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object QueryDef {
+  /** Oracle-side helper: exact decimal sum of a double column. */
+  def sumDec(col: String, as: String): String =
+    s"CAST(sum(CAST($col AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS $as"
+}

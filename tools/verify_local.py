@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query output
+parquet written by `graft.Verify`, run the paired DuckDB oracle SQL over
+the same source parquet tables, canonicalize (sort columns by name, sort
+rows), and compare cell-by-cell. Exit nonzero on any mismatch.
+
+Usage: verify_local.py [sfDir] [outDir]
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm(r[i]) for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def norm(v):
+    if isinstance(v, float):
+        return ("f", repr(v))
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    with open(f"{out}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    failures = []
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            got_rel = con.execute(
+                f"SELECT * FROM parquet_scan('{out}/{name}/*.parquet')")
+            got_cols = [d[0] for d in got_rel.description]
+            got_rows = got_rel.fetchall()
+            exp_rel = con.execute(sql)
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp_rows = exp_rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: exception {e}")
+            continue
+        gc, gr = canon(got_rows, got_cols)
+        ec, er = canon(exp_rows, exp_cols)
+        if gc != ec:
+            failures.append(name)
+            print(f"FAIL {name}: columns {gc} != {ec}")
+            continue
+        if len(gr) != len(er):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount {len(gr)} != {len(er)}")
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(gr, er)):
+            if a != b:
+                bad = (i, a, b)
+                break
+        if bad:
+            failures.append(name)
+            print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+        else:
+            print(f"OK   {name} ({len(gr)} rows)")
+    if failures:
+        print(f"\n{len(failures)}/{len(oracle)} FAILED: {failures}")
+        sys.exit(1)
+    print(f"\nall {len(oracle)} queries match")
+
+
+if __name__ == "__main__":
+    main()
