@@ -10,7 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allDefs: Seq[QueryDef] =
-    operators.RelationalQueries.defs
+    operators.RelationalQueries.defs ++
+      operators.TextQueries.defs ++
+      operators.DedupQueries.defs ++
+      operators.SimilarityQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` (north-star LLM-pipeline
+  * surface): exact hash-groupBy, MinHash+LSH banding, LSH-candidate
+  * n-gram Jaccard verification, and SimHash fingerprints.
+  *
+  * The synthetic corpus has no natural near-duplicates, so the near-dup
+  * queries operate on a deterministic *variant corpus*: every document
+  * unioned with a copy (doc_id + 1,000,000) whose first token is
+  * dropped. That gives ~0.97-Jaccard pairs the pipeline must find —
+  * derived purely from the driver tables, reproducible in the oracle.
+  *
+  * Scale design: MinHash signatures are per-row maps (no shuffle);
+  * banding explodes to (bands × docs) rows and the candidate join is an
+  * equi self-join on the band key — the classic shuffle-once LSH plan.
+  * At 100 TB, band keys partition evenly (they are md5 outputs) and the
+  * Jaccard verification only touches candidate pairs, never the n²
+  * cross product. Hashes are md5-hex (lexicographic min = minhash), so
+  * Spark and the DuckDB oracle agree bit-for-bit with zero UDFs.
+  */
+object DedupQueries {
+
+  private val NumHashes = 8
+  private val Bands = 4 // 2 rows per band
+
+  /** corpus := documents ∪ first-token-dropped variants. */
+  private def variantCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), trim(col("text")).as("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        trim(expr("substring(text, instr(text, ' ') + 1)")).as("text")))
+  }
+
+  /** Adds ts → shingles → minhash sig → exploded band keys. */
+  private def bandedCorpus(s: SparkSession, d: String): DataFrame =
+    variantCorpus(s, d)
+      .withColumn("ts", split(col("text"), "\\s+"))
+      .filter(size(col("ts")) >= 3)
+      .withColumn("shingles",
+        expr("transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
+      .withColumn("sig",
+        expr(s"transform(sequence(0, ${NumHashes - 1}), j -> array_min(transform(shingles, s -> md5(concat('mh', j, ':', s)))))"))
+      .withColumn("band",
+        explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> concat(b, ':', md5(concat(sig[2*b], sig[2*b+1]))))")))
+
+  /** Shared oracle CTE prefix mirroring [[bandedCorpus]]. */
+  private val oracleBandsCte: String = {
+    val sig = (0 until NumHashes)
+      .map(j => s"list_min(list_transform(shingles, s -> md5('mh' || $j || ':' || s)))")
+      .mkString("[", ", ", "]")
+    s"""WITH corpus AS (
+      SELECT doc_id, trim(text) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents),
+    tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM corpus),
+    sh AS (SELECT doc_id,
+        list_transform(range(len(ts) - 2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS shingles
+      FROM tok WHERE len(ts) >= 3),
+    mh AS (SELECT doc_id, shingles, $sig AS sig FROM sh),
+    bands AS (SELECT doc_id, shingles,
+        unnest(list_transform(range(${Bands}), b -> b || ':' || md5(sig[2*b+1] || sig[2*b+2]))) AS band
+      FROM mh)"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: content-hash groupBy (one shuffle on the hash)
+    QueryDef(
+      "q35_dedup_exact",
+      (s, d) => variantCorpus(s, d)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
+        FROM (SELECT doc_id, trim(text) AS text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents) c
+        GROUP BY md5(text) ORDER BY content_hash""")),
+
+    // ---- MinHash + LSH banding: candidate near-dup pairs
+    QueryDef(
+      "q36_dedup_minhash_lsh",
+      (s, d) => {
+        val b = bandedCorpus(s, d).select("doc_id", "band")
+        val a = b.select(col("doc_id").as("doc_a"), col("band"))
+        val c = b.select(col("doc_id").as("doc_b"), col("band"))
+        a.join(c, Seq("band"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$oracleBandsCte
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- n-gram Jaccard verification of the LSH candidates (LSH → verify)
+    QueryDef(
+      "q37_dedup_jaccard_verify",
+      (s, d) => {
+        val banded = bandedCorpus(s, d)
+        val pairs = {
+          val b = banded.select("doc_id", "band")
+          b.select(col("doc_id").as("doc_a"), col("band"))
+            .join(b.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+            .filter(col("doc_a") < col("doc_b"))
+            .select("doc_a", "doc_b").distinct()
+        }
+        val sets = banded.select(col("doc_id"), array_distinct(col("shingles")).as("sd"))
+          .distinct()
+        pairs
+          .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$oracleBandsCte,
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        sets AS (SELECT DISTINCT doc_id, list_distinct(shingles) AS sd FROM sh)
+        SELECT doc_a, doc_b,
+          CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
+            (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) AS jaccard
+        FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+                  JOIN sets sb ON cand.doc_b = sb.doc_id
+        WHERE CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
+            (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) >= 0.5
+        ORDER BY doc_a, doc_b""")),
+
+    // ---- SimHash: 16-bit signature from per-token md5 nibble high-bits
+    QueryDef(
+      "q38_dedup_simhash",
+      (s, d) => {
+        val bitSums = (1 to 16).map(p =>
+          sum(when(substring(col("h"), p, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+            .otherwise(-1)).as(s"b$p"))
+        val bitChars = (1 to 16).map(p => when(col(s"b$p") > 0, lit("1")).otherwise(lit("0")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .withColumn("h", md5(col("tok")))
+          .groupBy("doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), concat(bitChars: _*).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bitSums = (1 to 16).map(p =>
+          s"sum(CASE WHEN substr(md5(tok), $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$p")
+          .mkString(", ")
+        val bitChars = (1 to 16).map(p => s"CASE WHEN b$p > 0 THEN '1' ELSE '0' END").mkString(" || ")
+        s"""SELECT doc_id, $bitChars AS simhash FROM (
+          SELECT doc_id, $bitSums
+          FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) t
+          GROUP BY doc_id) b ORDER BY doc_id"""
+      })
+  )
+}
