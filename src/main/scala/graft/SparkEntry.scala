@@ -13,7 +13,10 @@ object SparkEntry {
     operators.RelationalQueries.defs ++
       operators.TextQueries.defs ++
       operators.DedupQueries.defs ++
-      operators.SimilarityQueries.defs
+      operators.SimilarityQueries.defs ++
+      operators.EventQueries.defs ++
+      operators.PipelineQueries.defs ++
+      operators.MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

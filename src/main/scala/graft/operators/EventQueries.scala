@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream operators over `events` — batch twins of the Structured
+  * Streaming surface (SURVEY.md §2.10): every streaming op has a batch
+  * formulation the DuckDB oracle can verify; the same plans run under
+  * `readStream` in [[graft.streaming.EventsStreaming]].
+  *
+  * Scale notes: tumbling/sliding windows are hash aggs on (bucket, key)
+  * — partial aggregation happens map-side, the shuffle carries only
+  * group states. Session windows need per-user ordering, which shuffles
+  * once on user_id; at 100 TB skewed users would salt the session-id
+  * computation (or rely on AQE skew handling).
+  */
+object EventQueries {
+
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+  private def out6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 6))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- tumbling window aggregation
+    QueryDef(
+      "q42_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "5 minutes")("start").as("window_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), out6(sum(dec4(col("value")))).as("value_sum"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        event_type, count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS value_sum
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // ---- sliding window (10 min window, 5 min slide → 2 windows/event)
+    QueryDef(
+      "q43_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes")("start").as("window_start"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), out6(sum(dec4(col("value")))).as("value_sum"))
+        .orderBy("window_start", "event_type"),
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        x AS (SELECT event_type, value, ts,
+          unnest([time_bucket(INTERVAL '5 minutes', ts),
+                  time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS window_start
+          FROM e)
+        SELECT window_start, event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS value_sum
+        FROM x WHERE ts >= window_start AND ts < window_start + INTERVAL '10 minutes'
+        GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // ---- session window per user (10-minute gap)
+    QueryDef(
+      "q44_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), out6(sum(dec4(col("value")))).as("value_sum"))
+        .select(col("user_id"), col("w")("start").as("session_start"),
+                col("w")("end").as("session_end"), col("n_events"), col("value_sum"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS flag FROM l),
+        g AS (SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        SELECT user_id, min(ts) AS session_start,
+          max(ts) + INTERVAL '10 minutes' AS session_end,
+          count(*) AS n_events,
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS value_sum
+        FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""")),
+
+    // ---- streaming-dedup batch twin: first event per (user, type)
+    QueryDef(
+      "q45_dedup_first_event",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "ts")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+          SELECT user_id, event_type, event_id, ts,
+            row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+          FROM events) t WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // ---- per-user activity profile (stateful-agg batch twin)
+    QueryDef(
+      "q46_user_activity",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("event_type")).as("n_types"),
+             (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("span_seconds"),
+             out6(sum(dec4(col("value")))).as("value_sum"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS n_events,
+        count(DISTINCT event_type) AS n_types,
+        CAST(date_diff('second', CAST(min(ts) AS TIMESTAMP), CAST(max(ts) AS TIMESTAMP)) AS BIGINT) AS span_seconds,
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS value_sum
+        FROM events GROUP BY user_id ORDER BY user_id"""))
+  )
+}

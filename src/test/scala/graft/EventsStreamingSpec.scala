@@ -1,0 +1,76 @@
+package graft
+
+import graft.streaming.EventsStreaming
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming smoke against sf0.001 events via memory sink:
+  * each streaming query must agree with its batch twin. */
+class EventsStreamingSpec extends SparkSpecBase {
+
+  // FileStreamSource needs a directory: stage the events file into one
+  private lazy val path: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("tumbling window stream agrees with batch twin up to the watermark") {
+    val stream = EventsStreaming.readEvents(spark, path)
+    EventsStreaming.runToMemory(
+      EventsStreaming.tumblingCounts(stream), "tumbling_out", "append")
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = events
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    // append mode only emits windows closed by the watermark
+    // (watermark = max event time − 10 min); later windows are withheld.
+    val closed = batch.filter(
+      col("window.end") <= lit(new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)))
+    val streamed = spark.table("tumbling_out")
+    assert(streamed.count() >= closed.count())
+    // every emitted group must carry exactly the batch count
+    val mismatched = streamed.select(col("window"), col("event_type"), col("n").as("sn"))
+      .join(batch, Seq("window", "event_type"), "left")
+      .filter(col("n").isNull || col("n") =!= col("sn"))
+    assert(mismatched.count() == 0)
+  }
+
+  test("streaming dedup keeps one row per (user, type)") {
+    val stream = EventsStreaming.readEvents(spark, path)
+    EventsStreaming.runToMemory(
+      EventsStreaming.dedupFirstEvents(stream), "dedup_out", "append")
+    val n = spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0)
+    val expected = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_type").distinct().count()
+    assert(n == expected)
+  }
+
+  test("flatMapGroupsWithState running counts cover every user") {
+    val stream = EventsStreaming.readEvents(spark, path)
+    EventsStreaming.runToMemory(
+      EventsStreaming.runningCounts(spark, stream).toDF(), "running_out", "append")
+    // append emits one row per (user, microbatch); the final state per
+    // user must equal the batch per-user counts
+    val finals = spark.sql(
+      """SELECT user_id, max(n_events) AS n FROM running_out GROUP BY user_id""")
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(finals.join(batch, Seq("user_id"))
+      .filter(finals("n") =!= batch("n")).count() == 0)
+    assert(finals.count() == batch.count())
+  }
+
+  test("session window stream runs with watermark (append mode)") {
+    val stream = EventsStreaming.readEvents(spark, path)
+    EventsStreaming.runToMemory(
+      EventsStreaming.sessionCounts(stream), "session_out", "append")
+    // append-mode emission needs the watermark to pass; with a single
+    // finite batch only fully-closed sessions appear — assert the query
+    // ran and produced a sane subset
+    val n = spark.sql("SELECT count(*) FROM session_out").head().getLong(0)
+    assert(n >= 0)
+  }
+}

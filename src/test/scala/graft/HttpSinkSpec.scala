@@ -1,0 +1,57 @@
+package graft
+
+import graft.sinks.HttpSink._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Deterministic sink tests: pacing, exponential backoff with cap and
+  * reset-on-success (lib/gh.js:17, 32-44 semantics) — replacing the
+  * reference's live-API integration test with a scripted transport. */
+class HttpSinkSpec extends AnyFunSuite {
+
+  private class ScriptedTransport(script: Seq[Int]) extends Transport {
+    val seen = mutable.Buffer.empty[HttpRequest]
+    private var i = -1
+    def send(req: HttpRequest): HttpResponse = {
+      seen += req; i += 1
+      HttpResponse(if (i < script.length) script(i) else 200, "{}")
+    }
+  }
+
+  private def run(script: Seq[Int], nReqs: Int,
+      policy: RetryPolicy = RetryPolicy()): (SinkReport, Seq[Long], ScriptedTransport) = {
+    val sleeps = mutable.Buffer.empty[Long]
+    val t = new ScriptedTransport(script)
+    val w = new RateLimitedWriter(t, policy, sleeps.append(_))
+    val reqs = (1 to nReqs).map(k => HttpRequest("POST", s"/issues/$k", "{}"))
+    (w.write(reqs.iterator), sleeps.toSeq, t)
+  }
+
+  test("paces between writes, not before the first") {
+    val (report, sleeps, _) = run(Seq(200, 200, 200), 3)
+    assert(report == SinkReport(3, 0, 0))
+    assert(sleeps == Seq(3000L, 3000L))
+  }
+
+  test("backoff doubles per rate-limit hit and resets on success") {
+    // req1: 403, 403, 200 → sleeps 60s then 120s; req2 clean
+    val (report, sleeps, _) = run(Seq(403, 403, 200, 200), 2)
+    assert(report == SinkReport(2, 2, 0))
+    assert(sleeps == Seq(60000L, 120000L, 3000L))
+  }
+
+  test("backoff caps at 3660s") {
+    val policy = RetryPolicy(maxRetries = 10)
+    val (report, sleeps, _) = run(Seq.fill(8)(429) :+ 200, 1, policy)
+    assert(report.sent == 1)
+    val backoffs = sleeps
+    assert(backoffs.take(8) ==
+      Seq(60000L, 120000L, 240000L, 480000L, 960000L, 1920000L, 3660000L, 3660000L))
+  }
+
+  test("non-retryable error counts as failed, run continues") {
+    val (report, _, t) = run(Seq(500, 200), 2)
+    assert(report == SinkReport(1, 0, 1))
+    assert(t.seen.map(_.url) == Seq("/issues/1", "/issues/2"))
+  }
+}
