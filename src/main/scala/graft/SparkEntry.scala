@@ -16,7 +16,8 @@ object SparkEntry {
       operators.SimilarityQueries.defs ++
       operators.EventQueries.defs ++
       operators.PipelineQueries.defs ++
-      operators.MultimodalQueries.defs
+      operators.MultimodalQueries.defs ++
+      operators.AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

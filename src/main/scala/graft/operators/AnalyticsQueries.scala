@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytic-function battery (SURVEY.md §2.5/2.6 north-star breadth):
+  * ranking family, value windows, range frames, pivot/unpivot,
+  * array/map scalar families, higher-order predicates, deterministic
+  * hash sampling, and moment statistics computed from exact sums.
+  *
+  * Determinism notes: rank/dense_rank/percent_rank depend only on key
+  * values (tie-safe); range frames are value-based (tie-safe); ntile +
+  * row_number get unique tiebreaks. Variance is computed from exact
+  * decimal sums (fp-order-independent) then finished in IEEE doubles —
+  * at 1000 executors the answer cannot drift run to run, unlike stock
+  * var_samp over doubles.
+  */
+object AnalyticsQueries {
+
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- ranking family
+    QueryDef(
+      "q56_rank_family",
+      (s, d) => {
+        val byStatus = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderstatus"))
+        val byKey = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+            rank().over(byStatus).as("rnk"),
+            dense_rank().over(byStatus).as("drnk"),
+            percent_rank().over(byStatus).as("prnk"),
+            ntile(4).over(byKey).as("quartile"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_orderstatus,
+        CAST(rank() OVER w AS INT) AS rnk,
+        CAST(dense_rank() OVER w AS INT) AS drnk,
+        percent_rank() OVER w AS prnk,
+        CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS INT) AS quartile
+        FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus)
+        ORDER BY o_orderkey""")),
+
+    // ---- value-based RANGE frame: orders in the trailing 30 days
+    QueryDef(
+      "q57_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("ord_epoch"))
+          .rangeBetween(-30L * 86400, 0)
+        Tables.orders(s, d)
+          .withColumn("ord_epoch", unix_timestamp(col("o_orderdate")))
+          .select(col("o_custkey"), col("o_orderkey"),
+            count(lit(1)).over(w).as("orders_30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, count(*) OVER (
+          PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS orders_30d
+        FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- value windows: first/last/nth over the full partition
+    QueryDef(
+      "q58_value_windows",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_totalprice")).over(w).as("first_price"),
+            last(col("o_totalprice")).over(w).as("last_price"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        first_value(o_totalprice) OVER w AS first_price,
+        last_value(o_totalprice) OVER w AS last_price,
+        nth_value(o_orderkey, 2) OVER w AS second_key
+        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- pivot (wide aggregation)
+    QueryDef(
+      "q59_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+        count(*) FILTER (WHERE l_returnflag = 'A') AS "A",
+        count(*) FILTER (WHERE l_returnflag = 'N') AS "N",
+        count(*) FILTER (WHERE l_returnflag = 'R') AS "R"
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---- unpivot (long form)
+    QueryDef(
+      "q60_unpivot",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").cast("double").as("c_nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_acctbal"), col("c_nationkey")), "metric", "value")
+        .orderBy("c_custkey", "metric"),
+      Some("""SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+        UNION ALL
+        SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        ORDER BY c_custkey, metric""")),
+
+    // ---- array scalar family over real vectors
+    QueryDef(
+      "q61_array_funcs",
+      (s, d) => Tables.embeddings(s, d)
+        .withColumn("emb", col("embedding").cast("array<double>"))
+        .select(col("vec_id"),
+          size(col("emb")).as("dim"),
+          slice(col("emb"), 1, 4).as("first4"),
+          element_at(col("emb"), 3).as("third"),
+          array_max(col("emb")).as("vmax"),
+          array_min(col("emb")).as("vmin"),
+          reverse(slice(col("emb"), 1, 3)).as("rev3"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+        CAST(len(emb) AS INT) AS dim,
+        emb[1:4] AS first4,
+        emb[3] AS third,
+        list_max(emb) AS vmax,
+        list_min(emb) AS vmin,
+        list_reverse(emb[1:3]) AS rev3
+        FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings) t ORDER BY vec_id""")),
+
+    // ---- map type: parse, project, enumerate keys
+    QueryDef(
+      "q62_map_funcs",
+      (s, d) => Tables.nation(s, d)
+        .withColumn("msg",
+          concat(lit("n:"), col("n_nationkey").cast("string"),
+                 lit(",r:"), col("n_regionkey").cast("string")))
+        .withColumn("m", expr("str_to_map(msg, ',', ':')"))
+        .select(col("n_name"),
+          element_at(col("m"), "n").as("n_val"),
+          element_at(col("m"), "r").as("r_val"),
+          concat_ws(",", sort_array(map_keys(col("m")))).as("keys"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+        CAST(n_nationkey AS VARCHAR) AS n_val,
+        CAST(n_regionkey AS VARCHAR) AS r_val,
+        'n,r' AS keys
+        FROM nation ORDER BY n_name""")),
+
+    // ---- higher-order predicates (P7's exists() at scale)
+    QueryDef(
+      "q63_exists_forall",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("ts", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"),
+          exists(col("ts"), t => t === "the").as("has_the"),
+          forall(col("ts"), t => length(t) > 1).as("all_multichar"),
+          size(filter(col("ts"), t => length(t) > 5)).as("n_long_tokens"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+        len(list_filter(ts, t -> t = 'the')) > 0 AS has_the,
+        len(list_filter(ts, t -> length(t) > 1)) = len(ts) AS all_multichar,
+        CAST(len(list_filter(ts, t -> length(t) > 5)) AS INT) AS n_long_tokens
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents) t
+        ORDER BY doc_id""")),
+
+    // ---- deterministic hash sampling (the 100 TB-safe TABLESAMPLE)
+    QueryDef(
+      "q64_hash_sample",
+      (s, d) => Tables.orders(s, d)
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec4(col("o_totalprice"))).cast(DecimalType(38, 6)).as("sampled_revenue"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sampled_revenue
+        FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- moment statistics from exact sums (shuffle-order-independent
+    //      variance — stock var_samp over doubles is not)
+    QueryDef(
+      "q65_exact_variance",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec4(col("l_quantity"))).as("s1"),
+          sum(dec4(col("l_quantity")) * dec4(col("l_quantity"))).as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+            (col("n") - 1)).as("var_qty"))
+        .withColumn("stddev_qty", sqrt(col("var_qty")))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, n,
+        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS var_qty,
+        sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS stddev_qty
+        FROM (SELECT l_returnflag, count(*) AS n,
+            sum(CAST(l_quantity AS DECIMAL(18,4))) AS s1,
+            sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS s2
+          FROM lineitem GROUP BY l_returnflag) t
+        ORDER BY l_returnflag""")),
+
+    // ---- approximate distinct (HLL) — engine-specific sketch, so the
+    //      driver records the weaker rows-only check; exact twin is q20
+    QueryDef(
+      "q66_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+        .orderBy("l_returnflag"),
+      None,
+      doc = "HLL++ sketches; the at-scale form of the A3 distinct-set report")
+  )
+}
