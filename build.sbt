@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Whole-stage codegen emits one Janino class per plan; across a
+  // 60+-query sweep the default 240m JIT code cache fills and HotSpot
+  // silently disables compilation (measured 5x total slowdown, with
+  // expression-heavy queries degrading 10-20x).
+  "-XX:ReservedCodeCacheSize=1g",
 )

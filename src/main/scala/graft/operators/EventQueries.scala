@@ -91,6 +91,38 @@ object EventQueries {
             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
           FROM events) t WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    // ---- as-of join: each purchase paired with the user's most recent
+    //      prior-or-same-instant click. Composed from built-ins (the (a)
+    //      tier of the custom-operator ladder): union the two event
+    //      roles, then last(ignoreNulls) over an ordered per-user frame.
+    //      One shuffle on user_id; no range cross-product, no custom
+    //      SparkPlan needed — this shape scales to arbitrary history.
+    QueryDef(
+      "q67_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+          .withColumn("click_id", when(col("event_type") === "click", col("event_id")))
+          .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+          .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"), col("last_click_ts"), col("last_click_id"))
+          .orderBy("user_id", "purchase_id")
+      },
+      Some("""SELECT user_id, event_id AS purchase_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+          last_click_ts, last_click_id
+        FROM (SELECT user_id, event_id, ts, event_type,
+            last_value(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS) OVER w AS last_click_ts,
+            last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER w AS last_click_id
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+        WHERE event_type = 'purchase' ORDER BY user_id, purchase_id""")),
+
     // ---- per-user activity profile (stateful-agg batch twin)
     QueryDef(
       "q46_user_activity",

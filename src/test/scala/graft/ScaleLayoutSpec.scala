@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.SkewJoins
+import org.apache.spark.sql.functions._
+
+/** Physical-layout levers for the 100 TB posture: bucketed co-located
+  * joins (no exchange), deterministic salted skew joins, and format
+  * round-trips (csv/json source breadth beyond parquet). */
+class ScaleLayoutSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("bucketed tables join without an exchange (co-located SMJ)") {
+    // warehouse dir is a temp dir set at session creation (static conf)
+    val sf = "/root/testdata/sf0.001"
+    Tables.orders(spark, sf).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(spark, sf).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), $"o_orderkey" === $"l_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan) // co-located: zero shuffle
+      val expected = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey").count()
+      assert(j.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted skew join equals the plain join on a hot-key dataset") {
+    // 10k rows all sharing one hot key + a long tail
+    val skewed = spark.range(10000).select(
+      when($"id" < 9000, lit(7L)).otherwise($"id").as("k"),
+      $"id".as("payload"))
+    val dim = spark.range(100).select($"id".as("dk"), ($"id" * 10).as("dv"))
+    val plain = skewed.join(dim, $"k" === $"dk").agg(
+      count(lit(1)), sum($"payload" + $"dv")).head()
+    val salted = SkewJoins.saltedEquiJoin(skewed, dim, $"k", $"dk", buckets = 8)
+      .agg(count(lit(1)), sum($"payload" + $"dv")).head()
+    assert(plain == salted)
+    // outer variant keeps unmatched left rows exactly once
+    val plainLeft = skewed.join(dim, $"k" === $"dk", "left").count()
+    val saltedLeft = SkewJoins.saltedEquiJoin(skewed, dim, $"k", $"dk", 8, "left").count()
+    assert(plainLeft == saltedLeft)
+  }
+
+  test("csv and json round-trips preserve the orders table") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+
+    orders.write.mode("overwrite").option("header", "true").csv(s"$tmp/orders_csv")
+    val csvBack = spark.read.option("header", "true").schema(orders.schema)
+      .csv(s"$tmp/orders_csv")
+    assert(csvBack.exceptAll(orders).count() == 0)
+    assert(orders.exceptAll(csvBack).count() == 0)
+
+    orders.write.mode("overwrite").json(s"$tmp/orders_json")
+    val jsonBack = spark.read.schema(orders.schema).json(s"$tmp/orders_json")
+    assert(jsonBack.exceptAll(orders).count() == 0)
+    assert(orders.exceptAll(jsonBack).count() == 0)
+  }
+}
