@@ -210,6 +210,26 @@ object AnalyticsQueries {
           FROM lineitem GROUP BY l_returnflag) t
         ORDER BY l_returnflag""")),
 
+    // ---- exact interpolated percentiles (Spark `percentile` and DuckDB
+    //      `quantile_cont` share the linear-interpolation definition —
+    //      verified bit-identical). At 100 TB prefer approx_percentile;
+    //      the exact form is the oracle-checkable twin.
+    QueryDef(
+      "q68_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+             expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
+             expr("percentile(l_extendedprice, 0.9)").as("price_p90"),
+             expr("median(l_discount)").as("disc_median"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS qty_p50,
+        quantile_cont(l_extendedprice, 0.25) AS price_p25,
+        quantile_cont(l_extendedprice, 0.9) AS price_p90,
+        median(l_discount) AS disc_median
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---- approximate distinct (HLL) — engine-specific sketch, so the
     //      driver records the weaker rows-only check; exact twin is q20
     QueryDef(

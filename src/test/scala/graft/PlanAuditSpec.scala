@@ -1,0 +1,58 @@
+package graft
+
+/** Machine-checked plan properties (builder prompt: "explain the plan
+  * and iterate until it's the plan you'd want"). These pin the physical
+  * shape the 100 TB posture depends on — pushdown, pruning, broadcast
+  * selection, partial aggregation, whole-stage codegen — so a
+  * regression in plan quality fails CI, not just the bench. */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filters reach the parquet scan (PushedFilters)") {
+    val plan = executed("q02_filter_project")
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThan(l_quantity,45.0"), plan)
+  }
+
+  test("q02: scan reads only the projected columns (column pruning)") {
+    val plan = executed("q02_filter_project")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_extendedprice"),
+      readSchema)
+  }
+
+  test("q04: dimension join is a broadcast hash join") {
+    val plan = executed("q04_join_part_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q01: aggregation is partial+final with whole-stage codegen") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect() // execute THIS plan so AQE finalizes + codegen shows
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), plan) // map-side combine
+    assert(plan.contains("*("), plan) // whole-stage codegen stage markers
+  }
+
+  test("q07/q08: semi and anti joins plan as joins, not subquery loops") {
+    assert(executed("q07_semi_join_big_lines").contains("LeftSemi"))
+    assert(executed("q08_anti_join_customers").contains("LeftAnti"))
+  }
+
+  test("q03: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = executed("q03_topk_orders")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q36: minhash aggregation is partial before the shuffle") {
+    val plan = executed("q36_dedup_minhash_lsh")
+    // partial min per hash function map-side: shuffle carries 8 strings
+    // per doc, never the exploded shingle rows
+    assert(plan.contains("partial_min") || plan.contains("partial_"), plan)
+  }
+}
