@@ -104,6 +104,65 @@ object TextQueries {
           ORDER BY doc_id"""
       }),
 
+    // ---- BPE-ish regex tokenization (subword-style token counting)
+    QueryDef(
+      "q69_bpe_tokens",
+      (s, d) => {
+        val pat = "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_bpe_tokens"),
+            size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"))
+          .withColumn("tokens_per_word",
+            col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+        CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens AS tokens_per_word
+        FROM (SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS INT) AS n_bpe_tokens,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens
+          FROM documents) t ORDER BY doc_id""")),
+
+    // ---- winnowing fingerprints (k-gram window-min — the standard
+    //      rolling-hash document fingerprint). Shaped as
+    //      posexplode → window-min → distinct agg so each k-gram hashes
+    //      exactly once (the inlined nested-array form is O(len²) md5
+    //      per doc after projection collapse — same trap as q36).
+    QueryDef(
+      "q70_winnowing",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
+        val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(expr(
+              "transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substring(text, i, 8)))")))
+          .withColumnRenamed("col", "h")
+          .withColumn("nk", count(lit(1)).over(wc))
+          .withColumn("fp", min(col("h")).over(w))
+          .filter(col("pos") <= col("nk") - 4) // full 4-hash windows only
+          .groupBy("doc_id")
+          .agg(max(col("nk")).as("n_kgrams"),
+            countDistinct(col("fp")).as("n_fingerprints"),
+            concat_ws(",", slice(sort_array(collect_set(col("fp"))), 1, 3)).as("sample3"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH kg AS (SELECT doc_id, i, md5(substr(text, i, 8)) AS h
+          FROM (SELECT doc_id, text,
+            unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i FROM documents) t),
+        win AS (SELECT doc_id, i,
+            min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+            count(*) OVER (PARTITION BY doc_id) AS nk,
+            row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+          FROM kg)
+        SELECT doc_id, max(nk) AS n_kgrams,
+          count(DISTINCT fp) AS n_fingerprints,
+          array_to_string((list_sort(list(DISTINCT fp)))[1:3], ',') AS sample3
+        FROM win WHERE pos <= nk - 4
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- document fingerprinting (whitespace-normalized content hash)
     QueryDef(
       "q34_fingerprint",

@@ -88,6 +88,38 @@ object EventsStreaming {
         })
   }
 
+  /** Streaming upsert into the MERGE state table via foreachBatch —
+    * the streaming form of the reference's KV writes (S6): each
+    * micro-batch's per-user aggregates become a change set merged into
+    * the persisted state (graft.state.StateStore pattern). The batch
+    * lambda receives a normal DataFrame, so the exact batch-verified
+    * MERGE code runs unchanged inside the stream. */
+  def upsertRunningState(
+      spark: SparkSession,
+      events: DataFrame,
+      stateDir: String): Unit = {
+    import graft.state.StateStore
+    val q = runningCounts(spark, events).toDF()
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = batch
+          .groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
+               org.apache.spark.sql.functions.max("value_sum").as("value_sum"))
+        val current =
+          try spark.read.parquet(stateDir)
+          catch { case _: Throwable => incoming.limit(0) }
+        val merged = StateStore.merge(current, incoming, Seq("user_id"))
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir.tmp")
+        spark.read.parquet(s"$stateDir.tmp").write.mode("overwrite").parquet(stateDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive any of the above synchronously against a memory sink; used
     * by tests and local smoke (format("memory") + processAllAvailable). */
   def runToMemory(df: DataFrame, queryName: String, outputMode: String): Unit = {

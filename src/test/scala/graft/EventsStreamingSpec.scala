@@ -63,6 +63,18 @@ class EventsStreamingSpec extends SparkSpecBase {
     assert(finals.count() == batch.count())
   }
 
+  test("foreachBatch upserts running state into the MERGE table") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/state"
+    val stream = EventsStreaming.readEvents(spark, path)
+    EventsStreaming.upsertRunningState(spark, stream, stateDir)
+    val state = spark.read.parquet(stateDir)
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(state.count() == batch.count())
+    assert(state.join(batch, Seq("user_id"))
+      .filter(col("n_events") =!= col("n")).count() == 0)
+  }
+
   test("session window stream runs with watermark (append mode)") {
     val stream = EventsStreaming.readEvents(spark, path)
     EventsStreaming.runToMemory(
