@@ -230,6 +230,35 @@ object AnalyticsQueries {
         median(l_discount) AS disc_median
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ---- grouped top-k via the typed bounded-heap Aggregator: partial
+    //      state ≤ k rows per group per map task (vs q13's full window
+    //      sort). Same semantics as row_number ≤ k — the oracle proves it.
+    QueryDef(
+      "q71_grouped_topk_agg",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TopKAggregator.{Scored, TopK}
+        val ds = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .as[(Long, Long, Double)]
+        val top3 = ds
+          .groupByKey(_._1)
+          .mapValues(t => Scored(t._2, t._3))
+          .agg(new TopK(3).toColumn.name("top"))
+        top3.flatMap { case (cust, buf) =>
+          buf.items.zipWithIndex.map { case (sc, i) =>
+            (cust, i + 1, sc.id, sc.score)
+          }
+        }.toDF("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
     // ---- approximate distinct (HLL) — engine-specific sketch, so the
     //      driver records the weaker rows-only check; exact twin is q20
     QueryDef(

@@ -133,7 +133,10 @@ object DedupQueries {
       "q37_dedup_jaccard_verify",
       (s, d) => {
         val pairs = candidatePairs(s, d)
-        val sets = shingleSets(s, d)
+        // The shingle-set index is referenced once per pair side; cache
+        // it so the text→shingle computation runs once, not once per
+        // join branch (production would persist the LSH index anyway).
+        val sets = shingleSets(s, d).cache()
         pairs
           .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
           .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))

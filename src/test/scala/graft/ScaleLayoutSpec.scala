@@ -52,6 +52,21 @@ class ScaleLayoutSpec extends SparkSpecBase {
     assert(plainLeft == saltedLeft)
   }
 
+  test("partitioned writes prune partitions at read time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", to_date($"ts"))
+      .write.partitionBy("day").mode("overwrite").parquet(s"$tmp/events_by_day")
+    val read = spark.read.parquet(s"$tmp/events_by_day")
+      .filter($"day" === "2024-01-03")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("2024-01-03") || plan.contains("19725"), plan)
+    val expected = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(to_date($"ts") === "2024-01-03").count()
+    assert(read.count() == expected)
+  }
+
   test("csv and json round-trips preserve the orders table") {
     val sf = "/root/testdata/sf0.001"
     val orders = Tables.orders(spark, sf)
