@@ -259,6 +259,42 @@ object AnalyticsQueries {
           FROM orders) t
         WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
+    // ---- binary encodings (base64/hex round-trips, char codes)
+    QueryDef(
+      "q72_encoding_funcs",
+      (s, d) => Tables.nation(s, d)
+        .select(col("n_nationkey"),
+          base64(encode(col("n_name"), "UTF-8")).as("b64"),
+          hex(encode(col("n_name"), "UTF-8")).as("hexed"),
+          decode(unbase64(base64(encode(col("n_name"), "UTF-8"))), "UTF-8").as("roundtrip"),
+          ascii(col("n_name")).as("first_code"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+        to_base64(encode(n_name)) AS b64,
+        hex(encode(n_name)) AS hexed,
+        decode(from_base64(to_base64(encode(n_name)))) AS roundtrip,
+        CAST(ascii(n_name) AS INT) AS first_code
+        FROM nation ORDER BY n_nationkey""")),
+
+    // ---- null-handling conditional family (P8's machinery)
+    QueryDef(
+      "q73_conditional_funcs",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("!Open")).as("status_filled"),
+          when(nullif(col("o_orderstatus"), lit("O")).isNull, col("o_totalprice"))
+            .otherwise(lit(0.0)).as("open_price"),
+          nvl2(nullif(col("o_orderpriority"), lit("1-URGENT")),
+            lit("normal"), lit("urgent")).as("urgency"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        nullif(o_orderstatus, 'O') AS status_or_null,
+        coalesce(nullif(o_orderstatus, 'O'), '!Open') AS status_filled,
+        CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN o_totalprice ELSE 0.0 END AS open_price,
+        CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL THEN 'normal' ELSE 'urgent' END AS urgency
+        FROM orders ORDER BY o_orderkey""")),
+
     // ---- approximate distinct (HLL) — engine-specific sketch, so the
     //      driver records the weaker rows-only check; exact twin is q20
     QueryDef(

@@ -62,10 +62,13 @@ object RelationalQueries {
       (s, d) => Tables.lineitem(s, d)
         .filter(col("l_quantity") > 45 && col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is NOT unique in this data — order
+        // by every output column so tied rows are identical rows and
+        // row order cannot differ between engines.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
         WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1997-01-01'
-        ORDER BY l_orderkey, l_linenumber""")),
+        ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""")),
 
     // ---- global top-k (ref O1-O4): TakeOrderedAndProject, no full sort at scale
     QueryDef(
@@ -341,13 +344,13 @@ object RelationalQueries {
             .when(col("l_returnflag") === "A", "accepted")
             .otherwise("none").as("flag_desc"),
           when(col("l_linestatus") === "F", lit("x")).otherwise(lit(" ")).as("checkbox"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "flag_desc", "checkbox"),
       Some("""SELECT l_orderkey, l_linenumber,
         CASE WHEN l_returnflag = 'R' THEN 'returned'
              WHEN l_returnflag = 'A' THEN 'accepted'
              ELSE 'none' END AS flag_desc,
         CASE WHEN l_linestatus = 'F' THEN 'x' ELSE ' ' END AS checkbox
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, flag_desc, checkbox""")),
 
     // ---- string scalar family (ref §2.8: case, substr, len, replace, split, pad)
     QueryDef(
@@ -426,7 +429,8 @@ object RelationalQueries {
           ceil(col("l_extendedprice")).as("price_ceil"),
           (col("l_linenumber") % 3).as("ln_mod"),
           sqrt(col("l_quantity")).as("q_sqrt"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "price_floor", "q_least", "t_max",
+          "disc_dev", "price_ceil", "ln_mod", "q_sqrt"),
       Some("""SELECT l_orderkey, l_linenumber,
         abs(l_discount - 0.05) AS disc_dev,
         least(l_quantity, 25.0) AS q_least,
@@ -435,7 +439,8 @@ object RelationalQueries {
         CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         l_linenumber % 3 AS ln_mod,
         sqrt(l_quantity) AS q_sqrt
-        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+        FROM lineitem ORDER BY l_orderkey, l_linenumber, price_floor, q_least, t_max,
+          disc_dev, price_ceil, ln_mod, q_sqrt""")),
 
     // ---- JSON-in-string extraction (ref §2.8: field.settings from_json)
     QueryDef(
