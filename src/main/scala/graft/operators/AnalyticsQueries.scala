@@ -295,6 +295,62 @@ object AnalyticsQueries {
         CASE WHEN nullif(o_orderpriority, '1-URGENT') IS NOT NULL THEN 'normal' ELSE 'urgent' END AS urgency
         FROM orders ORDER BY o_orderkey""")),
 
+    // ---- string distance + shaping (the J6 fuzzy-match toolkit)
+    QueryDef(
+      "q74_string_distance",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), lit("Brand#13")).as("brand_dist"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("type_translated"),
+          expr("repeat('-', p_size % 5)").as("dashes"),
+          reverse(col("p_brand")).as("brand_rev"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+        CAST(levenshtein(p_brand, 'Brand#13') AS INT) AS brand_dist,
+        translate(p_type, 'AEIOU', 'aeiou') AS type_translated,
+        repeat('-', p_size % 5) AS dashes,
+        reverse(p_brand) AS brand_rev
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- bitwise family
+    QueryDef(
+      "q75_bitwise",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+          col("o_orderkey").bitwiseOR(lit(1L)).as("or1"),
+          col("o_orderkey").bitwiseXOR(lit(0x5aL)).as("xored"),
+          shiftleft(col("o_orderkey"), 2).as("shl2"),
+          shiftright(col("o_orderkey"), 3).as("shr3"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        o_orderkey & 255 AS low_byte,
+        o_orderkey | 1 AS or1,
+        xor(o_orderkey, 90) AS xored,
+        o_orderkey << 2 AS shl2,
+        o_orderkey >> 3 AS shr3
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ---- grouping_id labels over rollup (subtotal-row provenance)
+    QueryDef(
+      "q76_grouping_id",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .withColumn("level",
+          when(col("gid") === 0, "detail")
+            .when(col("gid") === 1, "flag_subtotal")
+            .otherwise("grand_total"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        CASE WHEN grouping(l_returnflag) * 2 + grouping(l_linestatus) = 0 THEN 'detail'
+             WHEN grouping(l_returnflag) * 2 + grouping(l_linestatus) = 1 THEN 'flag_subtotal'
+             ELSE 'grand_total' END AS level
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
+
     // ---- approximate distinct (HLL) — engine-specific sketch, so the
     //      driver records the weaker rows-only check; exact twin is q20
     QueryDef(
