@@ -160,6 +160,34 @@ object DedupQueries {
             (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) >= 0.5
         ORDER BY doc_a, doc_b""")),
 
+    // ---- duplicate-cluster formation: connected components over the
+    //      LSH candidate graph (pairs → clusters → keep min-id rep)
+    QueryDef(
+      "q77_dedup_clusters",
+      (s, d) => {
+        val edges = candidatePairs(s, d)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val cc = ConnectedComponents.run(edges)
+        val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, Seq("cluster"))
+          .select(col("node").as("doc_id"), col("cluster"), col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${oracleBandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                  UNION ALL SELECT doc_b, doc_a FROM cand),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach AS (SELECT node, node AS lbl FROM nodes
+                  UNION
+                  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+        cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+        sizes AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
+        SELECT cc.node AS doc_id, cc.cluster, sizes.cluster_size
+        FROM cc JOIN sizes ON cc.cluster = sizes.cluster
+        ORDER BY doc_id""")),
+
     // ---- SimHash: 16-bit signature from per-token md5 nibble high-bits
     QueryDef(
       "q38_dedup_simhash",
