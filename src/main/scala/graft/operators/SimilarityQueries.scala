@@ -135,5 +135,50 @@ object SimilarityQueries {
       None,
       doc = "Multi-table hyperplane-LSH ANN: candidates = union of 4 " +
         "4-bit bucket collisions, then exact cosine re-rank (top 5).")
+    ,
+
+    // ---- IVF ANN: coarse-quantizer buckets (the k-means-style scale
+    //      path; centroids here are a deterministic sample — production
+    //      would train them). Search probes the query's nearest-centroid
+    //      cell only: the classic inverted-file trade of recall for a
+    //      1/cells candidate fraction. Rows-only check (q39 is the
+    //      exact-oracle baseline).
+    QueryDef(
+      "q78_ann_ivf",
+      (s, d) => {
+        import graft.functions.VectorFunctions._
+        val e = normed(s, d)
+        val centroids = e.filter(col("vec_id") % 200 === 0)
+          .select(col("vec_id").as("centroid_id"), col("emb").as("ce"),
+                  col("norm").as("cnorm"))
+        // assign every vector to its nearest centroid (argmin by cosine)
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("centroid_id").asc)
+        val assigned = e.crossJoin(broadcast(centroids))
+          .withColumn("c_cos",
+            vector_dot(col("emb"), col("ce")) / (col("norm") * col("cnorm")))
+          .withColumn("crn", row_number().over(wAssign))
+          .filter(col("crn") === 1)
+          .select(col("vec_id"), col("label"), col("emb"), col("norm"),
+                  col("centroid_id"))
+        val queries = assigned.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+                  col("norm").as("qnorm"), col("centroid_id"))
+        // probe only the query's own cell
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        broadcast(queries).join(assigned, Seq("centroid_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            vector_dot(col("qe"), col("emb")) / (col("qnorm") * col("norm")))
+          .select(col("query_id"), col("centroid_id"),
+                  col("vec_id").as("neighbor_id"), col("cosine"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .orderBy("query_id", "rn")
+      },
+      None,
+      doc = "IVF ANN: deterministic coarse centroids, nearest-cell " +
+        "assignment, single-cell probe, exact re-rank (top 5).")
   )
 }
