@@ -13,8 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    out in DuckDB (Spark ascending = nulls first, DuckDB = nulls last);
   *  - no raw double SUM/AVG in outputs — shuffle order makes fp addition
   *    non-associative; cast inputs to DECIMAL(18,4) first (exact,
-  *    associative) and cast the result to an explicit final decimal type
-  *    on both sides so parquet and DuckDB agree on precision/scale.
+  *    associative), then final-cast the aggregated decimal to DOUBLE on
+  *    BOTH sides. The exact-decimal → nearest-double conversion is
+  *    deterministic and engine-identical, while a DECIMAL output column
+  *    reaches the driver's pandas canonicalization as object-dtype
+  *    `Decimal(...)` vs DuckDB's float64 and hash-mismatches despite
+  *    equal values (round-1 verdict);
+  *  - no ARRAY-typed output columns — they become numpy arrays in the
+  *    driver's canonicalization and are unhashable. Emit scalar
+  *    element_at projections or concat_ws strings instead.
   */
 final case class QueryDef(
     name: String,
@@ -23,7 +30,9 @@ final case class QueryDef(
     doc: String = "")
 
 object QueryDef {
-  /** Oracle-side helper: exact decimal sum of a double column. */
+  /** Oracle-side helper: exact decimal sum of a double column,
+    * final-cast to DOUBLE (order-independent internally, hash-comparable
+    * externally). */
   def sumDec(col: String, as: String): String =
-    s"CAST(sum(CAST($col AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS $as"
+    s"CAST(sum(CAST($col AS DECIMAL(18,4))) AS DOUBLE) AS $as"
 }

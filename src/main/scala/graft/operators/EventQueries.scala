@@ -19,7 +19,7 @@ import org.apache.spark.sql.expressions.Window
 object EventQueries {
 
   private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
-  private def out6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 6))
+  private def outD(c: org.apache.spark.sql.Column) = c.cast("double")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -29,11 +29,11 @@ object EventQueries {
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "5 minutes")("start").as("window_start"),
                  col("event_type"))
-        .agg(count(lit(1)).as("n"), out6(sum(dec4(col("value")))).as("value_sum"))
+        .agg(count(lit(1)).as("n"), outD(sum(dec4(col("value")))).as("value_sum"))
         .orderBy("window_start", "event_type"),
       Some("""SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         event_type, count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS value_sum
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
     // ---- sliding window (10 min window, 5 min slide → 2 windows/event)
@@ -42,7 +42,7 @@ object EventQueries {
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes")("start").as("window_start"),
                  col("event_type"))
-        .agg(count(lit(1)).as("n"), out6(sum(dec4(col("value")))).as("value_sum"))
+        .agg(count(lit(1)).as("n"), outD(sum(dec4(col("value")))).as("value_sum"))
         .orderBy("window_start", "event_type"),
       Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         x AS (SELECT event_type, value, ts,
@@ -50,7 +50,7 @@ object EventQueries {
                   time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS window_start
           FROM e)
         SELECT window_start, event_type, count(*) AS n,
-          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS value_sum
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
         FROM x WHERE ts >= window_start AND ts < window_start + INTERVAL '10 minutes'
         GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
@@ -59,7 +59,7 @@ object EventQueries {
       "q44_session_window",
       (s, d) => Tables.events(s, d)
         .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), out6(sum(dec4(col("value")))).as("value_sum"))
+        .agg(count(lit(1)).as("n_events"), outD(sum(dec4(col("value")))).as("value_sum"))
         .select(col("user_id"), col("w")("start").as("session_start"),
                 col("w")("end").as("session_end"), col("n_events"), col("value_sum"))
         .orderBy("user_id", "session_start"),
@@ -71,7 +71,7 @@ object EventQueries {
         SELECT user_id, min(ts) AS session_start,
           max(ts) + INTERVAL '10 minutes' AS session_end,
           count(*) AS n_events,
-          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS value_sum
+          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
     // ---- streaming-dedup batch twin: first event per (user, type)
@@ -131,12 +131,12 @@ object EventQueries {
         .agg(count(lit(1)).as("n_events"),
              countDistinct(col("event_type")).as("n_types"),
              (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("span_seconds"),
-             out6(sum(dec4(col("value")))).as("value_sum"))
+             outD(sum(dec4(col("value")))).as("value_sum"))
         .orderBy("user_id"),
       Some("""SELECT user_id, count(*) AS n_events,
         count(DISTINCT event_type) AS n_types,
         CAST(date_diff('second', CAST(min(ts) AS TIMESTAMP), CAST(max(ts) AS TIMESTAMP)) AS BIGINT) AS span_seconds,
-        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS value_sum
+        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
         FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -28,9 +28,13 @@ object RelationalQueries {
 
   /** Exact, shuffle-order-independent aggregation input for doubles. */
   private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
-  /** Canonical output type so parquet and DuckDB agree on precision. */
-  private def out6(c: Column): Column = c.cast(DecimalType(38, 6))
-  private val SumDec = "CAST(sum(CAST(%s AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS %s"
+  /** Final output cast: the exact decimal aggregate → DOUBLE. The
+    * conversion is deterministic and engine-identical, and a double
+    * output column hash-compares cleanly in the driver gate (a DECIMAL
+    * column arrives in pandas as object-dtype and never matches DuckDB's
+    * float64 — round-1 verdict). */
+  private def outD(c: Column): Column = c.cast(DoubleType)
+  private val SumDec = "CAST(sum(CAST(%s AS DECIMAL(18,4))) AS DOUBLE) AS %s"
   private def sumDec(col: String, as: String): String = SumDec.format(col, as)
 
   val defs: Seq[QueryDef] = Seq(
@@ -42,16 +46,16 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          out6(sum(dec4(col("l_quantity")))).as("sum_qty"),
-          out6(sum(dec4(col("l_extendedprice")))).as("sum_base_price"),
-          out6(sum(dec4(col("l_extendedprice")) *
+          outD(sum(dec4(col("l_quantity")))).as("sum_qty"),
+          outD(sum(dec4(col("l_extendedprice")))).as("sum_base_price"),
+          outD(sum(dec4(col("l_extendedprice")) *
             (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
         count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
@@ -86,7 +90,7 @@ object RelationalQueries {
       (s, d) => Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
-        .agg(out6(sum(dec4(col("l_extendedprice")))).as("revenue"),
+        .agg(outD(sum(dec4(col("l_extendedprice")))).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy("p_brand"),
       Some(s"""SELECT p_brand, ${sumDec("l_extendedprice", "revenue")}, count(*) AS n_items
@@ -100,11 +104,11 @@ object RelationalQueries {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-             out6(sum(dec4(col("l_extendedprice")) *
+             outD(sum(dec4(col("l_extendedprice")) *
                (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))).as("revenue"))
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, count(*) AS n_lines,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,6)) AS revenue
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
@@ -116,7 +120,7 @@ object RelationalQueries {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
-        .agg(out6(sum(dec4(col("o_totalprice")))).as("revenue"),
+        .agg(outD(sum(dec4(col("o_totalprice")))).as("revenue"),
              count(lit(1)).as("n_orders"))
         .orderBy("r_name", "o_year"),
       Some(s"""SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
@@ -159,7 +163,7 @@ object RelationalQueries {
         Tables.lineitem(s, d)
           .join(broadcast(bands), col("l_quantity") > col("lo") && col("l_quantity") <= col("hi"))
           .groupBy("bucket")
-          .agg(count(lit(1)).as("n"), out6(sum(dec4(col("l_quantity")))).as("qty"))
+          .agg(count(lit(1)).as("n"), outD(sum(dec4(col("l_quantity")))).as("qty"))
           .orderBy("bucket")
       },
       Some(s"""SELECT bucket, count(*) AS n, ${sumDec("l_quantity", "qty")}
@@ -172,7 +176,7 @@ object RelationalQueries {
       "q10_rollup_flags",
       (s, d) => Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), out6(sum(dec4(col("l_quantity")))).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), outD(sum(dec4(col("l_quantity")))).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
       Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n, ${sumDec("l_quantity", "sum_qty")}
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -229,12 +233,12 @@ object RelationalQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.orders(s, d)
           .select(col("o_custkey"), col("o_orderkey"),
-            out6(sum(dec4(col("o_totalprice"))).over(w)).as("running_spend"))
+            outD(sum(dec4(col("o_totalprice"))).over(w)).as("running_spend"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS running_spend
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         FROM orders ORDER BY o_custkey, o_orderkey""")),
 
     // ---- window: lag/lead
@@ -383,12 +387,13 @@ object RelationalQueries {
             concat(col("p_name"), lit(" ("), (col("p_partkey") % 9 + 1).cast("string"),
                    lit(".5 Dash)")))
           .select(col("p_partkey"), col("raw_name"),
-            regexp_extract(col("raw_name"), re, 1).cast(DecimalType(12, 4)).as("amount"),
+            regexp_extract(col("raw_name"), re, 1).cast(DecimalType(12, 4))
+              .cast(DoubleType).as("amount"),
             trim(regexp_replace(col("raw_name"), re, " ")).as("cleaned"))
           .orderBy("p_partkey")
       },
       Some(s"""SELECT p_partkey, raw_name,
-        CAST(regexp_extract(raw_name, '${graft.transforms.TrelloTransforms.DashAmountRe}', 1) AS DECIMAL(12,4)) AS amount,
+        CAST(CAST(regexp_extract(raw_name, '${graft.transforms.TrelloTransforms.DashAmountRe}', 1) AS DECIMAL(12,4)) AS DOUBLE) AS amount,
         trim(regexp_replace(raw_name, '${graft.transforms.TrelloTransforms.DashAmountRe}', ' ', 'g')) AS cleaned
         FROM (SELECT p_partkey,
           concat(p_name, ' (', CAST(p_partkey % 9 + 1 AS VARCHAR), '.5 Dash)') AS raw_name
