@@ -15,11 +15,40 @@ import org.apache.spark.sql.functions._
   * Scale path: the brute-force form is the correctness baseline
   * (cross-join is fine for a small query set against a big corpus —
   * broadcast the queries, stream the corpus). The hyperplane-LSH
-  * variant buckets vectors by a 16-bit signature first, so at 100 TB
-  * the candidate join is equi on the bucket key (shuffle once,
-  * ~1/65536 of the n² pairs); brute force only runs inside buckets.
+  * variant buckets vectors by a 12-bit signature per hash table
+  * (4096 buckets, 4 OR-ed tables), so at 100 TB the candidate join is
+  * equi on the bucket key (shuffle once, ~1/4096 of the n² pairs per
+  * table) and a per-query candidate cap bounds the re-rank regardless
+  * of bucket skew; exact cosine only runs over capped candidates.
   */
 object SimilarityQueries {
+
+  /** Hyperplane-LSH geometry: T OR-ed hash tables × P planes over
+    * DIM-dim embeddings. Component signs are md5-derived (deterministic,
+    * no RNG — rerunning on another cluster gives identical signatures)
+    * and materialized driver-side into literal ±1 arrays, so the per-row
+    * signature work is P·T codegen'd [[graft.functions.VectorDot]] loops
+    * — not interpreted higher-order lambdas with a per-element md5,
+    * which is what made the 4-bit round-1 version CPU-bound on top of
+    * its near-quadratic candidate join. */
+  private[operators] val LshTables = 4
+  private[operators] val LshPlanes = 12
+  private[operators] val LshDim = 64
+  private[operators] val LshCandidateCap = 1000
+
+  /** signs(t)(p): the ±1 hyperplane for (table t, plane p). */
+  private[operators] lazy val lshSigns: IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(t: Int, p: Int, i: Int): Double = {
+      val h = md.digest(s"pl${t}_$p:$i".getBytes("UTF-8"))
+      // top nibble of the first byte < 8 → +1 (same rule as a hex
+      // md5 string's first char being in '0'..'7')
+      if (((h(0) & 0xff) >> 4) < 8) 1.0 else -1.0
+    }
+    IndexedSeq.tabulate(LshTables)(t =>
+      IndexedSeq.tabulate(LshPlanes)(p =>
+        Array.tabulate(LshDim)(i => sign(t, p, i))))
+  }
 
   /** embeddings with exact double cast + precomputed L2 norm. */
   private def normed(s: SparkSession, d: String): DataFrame =
@@ -94,55 +123,97 @@ object SimilarityQueries {
           FROM p) t
         WHERE rn = 1 ORDER BY vec_id""")),
 
-    // ---- hyperplane-LSH bucketed ANN (scale path; no SQL oracle —
-    //      driver records the weaker rows-only check).
-    //      4 OR-ed hash tables × 4-bit signatures: a pair is a candidate
-    //      if it collides in ANY table (union-of-bands recall boost, same
-    //      structure as MinHash banding). Hyperplane component signs are
-    //      derived from md5(table, plane, dim) — deterministic, no RNG.
+    // ---- hyperplane-LSH bucketed ANN (scale path). A pair is a
+    //      candidate if it collides in ANY of the 4 tables
+    //      (union-of-bands recall boost, same structure as MinHash
+    //      banding); 12 planes/table = 4096 buckets keep the candidate
+    //      fraction ~1/4096 per table, and a deterministic per-query cap
+    //      bounds the re-rank even under bucket skew. The DuckDB oracle
+    //      is generated from the SAME driver-side sign matrix, so the
+    //      whole pipeline — signatures, banding, cap, re-rank — is
+    //      hash-verified, not rows-only.
     QueryDef(
       "q41_ann_lsh_bucketed",
       (s, d) => {
-        val sigExpr =
-          """transform(sequence(0, 3), t -> concat(t, ':',
-               concat_ws('', transform(sequence(0, 3), p ->
-                 CASE WHEN aggregate(
-                   zip_with(emb, sequence(0, size(emb) - 1),
-                     (x, i) -> CASE WHEN substring(md5(concat('pl', t, '_', p, ':', i)), 1, 1) < '8'
-                               THEN x ELSE -x END),
-                   0D, (a, v) -> a + v) > 0 THEN '1' ELSE '0' END))))"""
-        val e = normed(s, d).withColumn("bucket", explode(expr(sigExpr)))
+        import graft.functions.VectorFunctions.vector_dot
+        // signature columns: per table t, 't:' + P sign bits, each bit a
+        // codegen'd dot against a literal ±1 hyperplane
+        val buckets = (0 until LshTables).map { t =>
+          concat(lit(s"$t:"), concat_ws("", (0 until LshPlanes).map { p =>
+            when(vector_dot(col("emb"), typedLit(lshSigns(t)(p).toSeq)) > 0d,
+              "1").otherwise("0")
+          }: _*))
+        }
+        val e = normed(s, d).withColumn("bucket", explode(array(buckets: _*)))
+          .select("vec_id", "bucket")
         val q = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("bucket"))
-        val cands = broadcast(q).join(e.select(col("vec_id"), col("bucket")), Seq("bucket"))
+        val wCap = Window.partitionBy(col("query_id")).orderBy(col("neighbor_id").asc)
+        val cands = broadcast(q).join(e, Seq("bucket"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"))
           .distinct()
+          .withColumn("crn", row_number().over(wCap))
+          .filter(col("crn") <= LshCandidateCap)
+          .drop("crn")
         val byId = normed(s, d)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)
         cands
-          .join(byId.select(col("vec_id").as("query_id"), col("emb").as("qe"),
-                            col("norm").as("qnorm")), Seq("query_id"))
+          .join(broadcast(byId.filter(col("vec_id") % 100 === 0)
+                  .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+                          col("norm").as("qnorm"))), Seq("query_id"))
           .join(byId.select(col("vec_id").as("neighbor_id"), col("emb"), col("norm")),
                 Seq("neighbor_id"))
-          .withColumn("cosine", expr(dot) / (col("qnorm") * col("norm")))
+          .withColumn("cosine", vector_dot(col("qe"), col("emb")) / (col("qnorm") * col("norm")))
           .select(col("query_id"), col("neighbor_id"), col("cosine"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .orderBy("query_id", "rn")
       },
-      None,
+      Some {
+        // one bucket SELECT per hash table, bits from the same literal
+        // ±1 hyperplanes (emb[i] * ±1.0 is an exact negation/identity,
+        // and list_sum is the same in-order fold as VectorDot)
+        val tableSelects = (0 until LshTables).map { t =>
+          val bits = (0 until LshPlanes).map { p =>
+            val arr = lshSigns(t)(p).map(v => if (v > 0) "1.0" else "-1.0")
+              .mkString("[", ",", "]::DOUBLE[]")
+            s"""(CASE WHEN list_sum(list_transform(range($LshDim),
+               i -> emb[i+1] * ($arr)[i+1])) > 0 THEN '1' ELSE '0' END)"""
+          }.mkString(" || ")
+          s"SELECT vec_id, '$t:' || $bits AS bucket FROM n"
+        }.mkString("\n UNION ALL\n ")
+        s"""$oracleNormed,
+          b AS ($tableSelects),
+          q AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id % 100 = 0),
+          cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+            FROM q JOIN b c USING (bucket) WHERE c.vec_id != q.query_id),
+          capped AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY neighbor_id) AS crn
+            FROM cand) t WHERE crn <= $LshCandidateCap),
+          r AS (SELECT cp.query_id, cp.neighbor_id,
+              list_sum(list_transform(range(len(q.emb)), i -> q.emb[i+1] * c.emb[i+1]))
+                / (q.norm * c.norm) AS cosine
+            FROM capped cp JOIN n q ON q.vec_id = cp.query_id
+            JOIN n c ON c.vec_id = cp.neighbor_id)
+          SELECT query_id, neighbor_id, cosine, rn FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS INT) AS rn FROM r) t
+          WHERE rn <= 5 ORDER BY query_id, rn"""
+      },
       doc = "Multi-table hyperplane-LSH ANN: candidates = union of 4 " +
-        "4-bit bucket collisions, then exact cosine re-rank (top 5).")
+        "12-bit bucket collisions (4096 buckets/table), deterministic " +
+        "per-query candidate cap, exact cosine re-rank (top 5).")
     ,
 
     // ---- IVF ANN: coarse-quantizer buckets (the k-means-style scale
     //      path; centroids here are a deterministic sample — production
     //      would train them). Search probes the query's nearest-centroid
     //      cell only: the classic inverted-file trade of recall for a
-    //      1/cells candidate fraction. Rows-only check (q39 is the
-    //      exact-oracle baseline).
+    //      1/cells candidate fraction. Fully oracled: assignment,
+    //      single-cell probe and re-rank are reproduced in DuckDB with
+    //      the same in-order dot fold.
     QueryDef(
       "q78_ann_ivf",
       (s, d) => {
@@ -177,7 +248,25 @@ object SimilarityQueries {
           .filter(col("rn") <= 5)
           .orderBy("query_id", "rn")
       },
-      None,
+      Some(s"""$oracleNormed,
+        c AS (SELECT vec_id AS centroid_id, emb AS ce, norm AS cnorm
+          FROM n WHERE vec_id % 200 = 0),
+        a AS (SELECT vec_id, label, emb, norm, centroid_id FROM (
+          SELECT n.vec_id, n.label, n.emb, n.norm, c.centroid_id,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              list_sum(list_transform(range(len(n.emb)), i -> n.emb[i+1] * c.ce[i+1]))
+                / (n.norm * c.cnorm) DESC, c.centroid_id) AS crn
+          FROM n CROSS JOIN c) t WHERE crn = 1),
+        q AS (SELECT vec_id AS query_id, emb AS qe, norm AS qnorm, centroid_id
+          FROM a WHERE vec_id % 100 = 0),
+        p AS (SELECT q.query_id, q.centroid_id, a.vec_id AS neighbor_id,
+            list_sum(list_transform(range(len(q.qe)), i -> q.qe[i+1] * a.emb[i+1]))
+              / (q.qnorm * a.norm) AS cosine
+          FROM q JOIN a USING (centroid_id) WHERE a.vec_id != q.query_id)
+        SELECT query_id, centroid_id, neighbor_id, cosine, rn FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rn FROM p) t
+        WHERE rn <= 5 ORDER BY query_id, rn"""),
       doc = "IVF ANN: deterministic coarse centroids, nearest-cell " +
         "assignment, single-cell probe, exact re-rank (top 5).")
   )
