@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   * intermediate product array per row and walks three lambda closures;
   * [[VectorDot]] fuses the whole thing into one codegen'd loop over the
   * two `ArrayData` buffers — no allocation, stays inside whole-stage
-  * codegen. Accumulation order is ascending-index, IEEE-identical to
-  * the left fold it replaces, so swapping implementations cannot change
-  * results (and the DuckDB oracle keeps matching bit-for-bit).
+  * codegen. Semantics match the fold EXACTLY, including its null
+  * behavior: mismatched lengths (zip_with pads with null → fold yields
+  * NULL) and null elements both produce NULL, and accumulation order is
+  * ascending-index, IEEE-identical to the left fold. Swapping
+  * implementations therefore cannot change results on ANY input (and
+  * the DuckDB oracle keeps matching bit-for-bit).
   *
   * This is the (b) tier of the custom-operator ladder (SURVEY.md §7.2):
   * compose built-ins first, promote to an `Expression` when the bench
@@ -28,6 +31,7 @@ case class VectorDot(left: Expression, right: Expression)
 
   override def prettyName: String = "vector_dot"
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -41,13 +45,23 @@ case class VectorDot(left: Expression, right: Expression)
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -56,13 +70,24 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      // the per-element null check is only emitted when the schema says
+      // elements can be null — the clean-schema loop stays branch-free
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $nullCheck
+            $s += $a.getDouble($i) * $b.getDouble($i);
+          }
+          if (!${ev.isNull}) ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
 
@@ -72,11 +97,13 @@ case class VectorDot(left: Expression, right: Expression)
 }
 
 /** L2 norm as a fused loop: sqrt(dot(v, v)) without duplicating the
-  * array traversal through two expression trees. */
+  * array traversal through two expression trees. Null elements produce
+  * NULL (matching sqrt over the null-propagating fold). */
 case class VectorNorm(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "vector_norm"
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -85,12 +112,22 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
       s"$prettyName requires array<double>, got ${t.sql}")
   }
 
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var s = 0.0
     var i = 0
     val n = x.numElements()
-    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getDouble(i)
+      s += v * v
+      i += 1
+    }
     math.sqrt(s)
   }
 
@@ -100,14 +137,19 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val v = ctx.freshName("v")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
         int $n = $a.numElements();
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          $nullCheck
           double $v = $a.getDouble($i);
           $s += $v * $v;
         }
-        ${ev.value} = java.lang.Math.sqrt($s);
+        if (!${ev.isNull}) ${ev.value} = java.lang.Math.sqrt($s);
       """
     })
 

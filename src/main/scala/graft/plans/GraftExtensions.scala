@@ -15,8 +15,19 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * matching self-dot-under-sqrt to [[VectorNorm]]). Queries stay
   * written against stock `functions._` — the engine upgrades the plan,
   * the classic Catalyst division of labor (declare intent, let the
-  * optimizer pick the machine shape). Accumulation order is identical,
-  * so the rewrite is result-preserving bit-for-bit.
+  * optimizer pick the machine shape).
+  *
+  * The match binds every lambda's own argument list and requires the
+  * bound variables to be exactly the ones combined: `Multiply`'s
+  * operands must be the zip_with lambda's two variables (as a set, so
+  * `x*y` and `y*x` both fuse), `Add`'s operands the merge lambda's
+  * `(acc, v)` pair, and the finish lambda must return its own bound
+  * accumulator. Shapes like `(x, y) -> x * x` (sum of squares of one
+  * side) or `(acc, v) -> acc + acc` therefore do NOT fuse — a
+  * globally-registered rule must never rewrite a query it only
+  * approximately recognizes. [[VectorDot]] reproduces the fold's null
+  * semantics (length mismatch / null element → NULL), so the matched
+  * rewrite is result-preserving on all inputs, not just clean ones.
   *
   * Registered via `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
@@ -25,12 +36,18 @@ object FuseVectorOps extends Rule[LogicalPlan] {
   private object DotFold {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
-            ZipWith(a, b, LambdaFunction(Multiply(_: NamedLambdaVariable,
-              _: NamedLambdaVariable, _), _, _)),
+            ZipWith(a, b, LambdaFunction(
+              Multiply(mx: NamedLambdaVariable, my: NamedLambdaVariable, _),
+              Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
             Literal(zero, DoubleType),
-            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
-            LambdaFunction(fin: NamedLambdaVariable, _, _))
-          if zero == 0.0 && isDoubleArray(a) && isDoubleArray(b) && fin != null =>
+            LambdaFunction(
+              Add(ax: NamedLambdaVariable, ay: NamedLambdaVariable, _),
+              Seq(macc: NamedLambdaVariable, mv: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(facc: NamedLambdaVariable), _))
+          if zero == 0.0 && isDoubleArray(a) && isDoubleArray(b) &&
+             Set(mx.exprId, my.exprId) == Set(zx.exprId, zy.exprId) &&
+             Set(ax.exprId, ay.exprId) == Set(macc.exprId, mv.exprId) &&
+             fin.exprId == facc.exprId =>
         Some((a, b))
       case _ => None
     }

@@ -43,13 +43,27 @@ object HttpSink {
       policy: RetryPolicy,
       sleeper: Long => Unit = Thread.sleep) extends Serializable {
 
+    /** 429 always backs off; 403 only when the body says it is a
+      * secondary rate limit — the reference's check (gh.js:33 matches
+      * 'secondary rate limit' in the message). A plain 403 (bad token,
+      * forbidden resource) is a hard failure there and must fail fast
+      * here too, not stall a Spark task for hours of doubling backoff. */
     private def isRateLimited(r: HttpResponse): Boolean =
-      r.status == 403 || r.status == 429
+      r.status == 429 ||
+        (r.status == 403 && r.body != null &&
+          r.body.toLowerCase.contains("secondary rate limit"))
 
-    def write(reqs: Iterator[HttpRequest]): SinkReport = {
+    def write(reqs: Iterator[HttpRequest]): SinkReport = sendAll(reqs)._2
+
+    /** Like [[write]] but also returns each request's final response —
+      * the connector tier (EtlMain) needs the created issue's number and
+      * node id from the response body, exactly as the reference stores
+      * the full create/update responses (etl.js:44-45,195-199). */
+    def sendAll(reqs: Iterator[HttpRequest]): (Seq[(HttpRequest, HttpResponse)], SinkReport) = {
       var sent = 0; var retried = 0; var failed = 0
       var backoff = policy.backoffInitialMs
       var first = true
+      val out = Seq.newBuilder[(HttpRequest, HttpResponse)]
       reqs.foreach { req =>
         if (!first) sleeper(policy.paceMs)
         first = false
@@ -66,12 +80,13 @@ object HttpSink {
               sent += 1
               backoff = policy.backoffInitialMs // reset on success (gh.js:41)
             } else failed += 1
+            out += ((req, resp))
             done = true
           }
         }
         if (!done) failed += 1
       }
-      SinkReport(sent, retried, failed)
+      (out.result(), SinkReport(sent, retried, failed))
     }
   }
 

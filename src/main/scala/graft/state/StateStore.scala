@@ -27,7 +27,14 @@ object StateStore {
 
   /** Rows of `desired` that are new or differ from `written` on any of
     * `valueCols` — the minimal sink write set (J9). Output columns:
-    * key cols, valueCols (desired values), `change_type`. */
+    * key cols, valueCols (desired values), `change_type`.
+    *
+    * Comparison is null-safe (`NOT (a <=> b)`): a value transitioning
+    * to or from NULL is a real update, where plain `=!=` would evaluate
+    * to NULL and silently drop the row. Row existence in `written` is
+    * detected with an explicit marker column, not null-ness of a value
+    * column — a stored row whose first value is legitimately NULL must
+    * classify as `update`, never `insert`. */
   def changeSet(
       desired: DataFrame,
       written: DataFrame,
@@ -35,10 +42,11 @@ object StateStore {
       valueCols: Seq[String]): DataFrame = {
     val w = valueCols.foldLeft(written)((df, c) => df.withColumnRenamed(c, s"__w_$c"))
       .select((keyCols ++ valueCols.map(c => s"__w_$c")).map(col): _*)
+      .withColumn("__w_exists", lit(true))
     val joined = desired.join(w, keyCols, "left")
-    val anyMissing = col(s"__w_${valueCols.head}").isNull
+    val anyMissing = col("__w_exists").isNull
     val anyDiff = valueCols
-      .map(c => col(c) =!= col(s"__w_$c"))
+      .map(c => !(col(c) <=> col(s"__w_$c")))
       .reduce(_ || _)
     joined
       .filter(anyMissing || anyDiff)

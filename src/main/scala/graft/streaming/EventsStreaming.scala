@@ -59,17 +59,23 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n_events"))
 
   /** Streaming dedup: first event per (user, type) within the
-    * watermark horizon — batch twin is q45_dedup_first_event. */
+    * watermark horizon — batch twin is q45_dedup_first_event.
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) ties
+    * the dedup state to the watermark so it is actually evicted as event
+    * time advances; `dropDuplicates` without the event-time column in
+    * the key never evicts and grows state unboundedly. */
   def dedupFirstEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates(Seq("user_id", "event_type"))
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
 
   /** Keyed running aggregates via flatMapGroupsWithState — the
     * reference's incremental-ledger pattern (etl.js meta:card keys):
     * per-key mutable state, updated per batch, emitting current
-    * totals. ProcessingTimeTimeout keeps state from growing unbounded
-    * for idle keys. */
+    * totals. State is one small record per active user; a production
+    * deployment with unbounded key churn would add a state timeout
+    * (ProcessingTimeTimeout + state.setTimeoutDuration) to evict idle
+    * keys. */
   def runningCounts(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
     import spark.implicits._
     events
@@ -93,26 +99,41 @@ object EventsStreaming {
     * micro-batch's per-user aggregates become a change set merged into
     * the persisted state (graft.state.StateStore pattern). The batch
     * lambda receives a normal DataFrame, so the exact batch-verified
-    * MERGE code runs unchanged inside the stream. */
+    * MERGE code runs unchanged inside the stream.
+    *
+    * 100 TB shape (SURVEY §4): the state table is hash-partitioned on
+    * the key into `numBuckets` directories, and each micro-batch
+    * rewrites ONLY the partitions containing changed keys (dynamic
+    * partition overwrite) — never the whole table, never through one
+    * task. Work per batch is O(touched partitions), independent of
+    * total state size; `numBuckets` scales with key cardinality. */
   def upsertRunningState(
       spark: SparkSession,
       events: DataFrame,
-      stateDir: String): Unit = {
+      stateDir: String,
+      numBuckets: Int = 16): Unit = {
     import graft.state.StateStore
+    import org.apache.spark.sql.functions.{broadcast, col, hash, lit, max, pmod}
     val q = runningCounts(spark, events).toDF()
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val incoming = batch
           .groupBy("user_id")
-          .agg(org.apache.spark.sql.functions.max("n_events").as("n_events"),
-               org.apache.spark.sql.functions.max("value_sum").as("value_sum"))
+          .agg(max("n_events").as("n_events"), max("value_sum").as("value_sum"))
+          .withColumn("bucket", pmod(hash(col("user_id")), lit(numBuckets)))
         val current =
           try spark.read.parquet(stateDir)
           catch { case _: Throwable => incoming.limit(0) }
-        val merged = StateStore.merge(current, incoming, Seq("user_id"))
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir.tmp")
-        spark.read.parquet(s"$stateDir.tmp").write.mode("overwrite").parquet(stateDir)
+        // merge only the touched buckets; localCheckpoint materializes
+        // them so the dynamic overwrite below never reads its own output
+        val touched = incoming.select("bucket").distinct()
+        val currentTouched = current
+          .join(broadcast(touched), Seq("bucket"), "left_semi")
+          .localCheckpoint(true)
+        val merged = StateStore.merge(currentTouched, incoming, Seq("bucket", "user_id"))
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(stateDir)
         ()
       }
       .start()

@@ -14,7 +14,14 @@ class HttpSinkSpec extends AnyFunSuite {
     private var i = -1
     def send(req: HttpRequest): HttpResponse = {
       seen += req; i += 1
-      HttpResponse(if (i < script.length) script(i) else 200, "{}")
+      val status = if (i < script.length) script(i) else 200
+      // 403s in these scripts model GitHub's secondary rate limit — the
+      // body is what makes them retryable (gh.js:33); see the plain-403
+      // fail-fast test for the other kind
+      val body =
+        if (status == 403) """{"message":"You have exceeded a secondary rate limit"}"""
+        else "{}"
+      HttpResponse(status, body)
     }
   }
 
@@ -53,5 +60,21 @@ class HttpSinkSpec extends AnyFunSuite {
     val (report, _, t) = run(Seq(500, 200), 2)
     assert(report == SinkReport(1, 0, 1))
     assert(t.seen.map(_.url) == Seq("/issues/1", "/issues/2"))
+  }
+
+  test("plain 403 (no secondary-rate-limit body) fails fast, no backoff") {
+    // a bad token would otherwise stall a task for hours of doubling
+    // backoff; the reference only backs off when the body says so
+    val sleeps = mutable.Buffer.empty[Long]
+    val t = new Transport {
+      var n = 0
+      def send(req: HttpRequest): HttpResponse = {
+        n += 1; HttpResponse(403, """{"message":"Bad credentials"}""")
+      }
+    }
+    val w = new RateLimitedWriter(t, RetryPolicy(), sleeps.append(_))
+    val report = w.write(Iterator(HttpRequest("POST", "/issues/1", "{}")))
+    assert(report == SinkReport(0, 0, 1))
+    assert(sleeps.isEmpty)
   }
 }

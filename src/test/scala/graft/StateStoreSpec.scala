@@ -24,6 +24,24 @@ class StateStoreSpec extends SparkSpecBase {
       == Seq(("c2", "update"), ("c3", "insert")))
   }
 
+  test("changeSet is null-safe: to-NULL and from-NULL transitions are updates, " +
+      "a stored NULL first value is not an insert") {
+    val d = Seq(
+      ("card", "c1", Option.empty[String], Option(10.0)), // title -> NULL : update
+      ("card", "c2", Option("t2"), Option(20.0)),         // title from NULL : update
+      ("card", "c3", Option.empty[String], Option(30.0))) // stored title NULL, equal: no-op
+      .toDF("kind", "id", "title", "price")
+    val w = Seq(
+      ("card", "c1", Option("t1"), Option(10.0)),
+      ("card", "c2", Option.empty[String], Option(20.0)),
+      ("card", "c3", Option.empty[String], Option(30.0)))
+      .toDF("kind", "id", "title", "price")
+    val cs = StateStore.changeSet(d, w, Seq("kind", "id"), Seq("title", "price"))
+      .orderBy("id").collect()
+    assert(cs.map(r => (r.getAs[String]("id"), r.getAs[String]("change_type"))).toSeq
+      == Seq(("c1", "update"), ("c2", "update")))
+  }
+
   test("merge applies the change set; second apply is a no-op (idempotent)") {
     val cs = StateStore.changeSet(desired, written, Seq("kind", "id"), Seq("title", "price"))
       .drop("change_type")

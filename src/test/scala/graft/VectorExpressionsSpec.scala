@@ -67,6 +67,41 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(!rewritten.contains("aggregate(zip_with"), rewritten)
   }
 
+  test("FuseVectorOps does NOT rewrite near-miss folds") {
+    // sum-of-squares of ONE side and acc+acc: same syntactic skeleton,
+    // different semantics — the rule must leave them alone
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
+      .withColumn("b", col("a"))
+    val sumSquares = "aggregate(zip_with(a, b, (x, y) -> x * x), 0D, (acc, v) -> acc + v)"
+    val accAcc = "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + acc)"
+    for (q <- Seq(sumSquares, accAcc)) {
+      val before = e.select(expr(q).as("r")).queryExecution.optimizedPlan
+      val rewritten = graft.plans.FuseVectorOps(before).toString
+      assert(!rewritten.contains("vector_dot"), s"must not fuse: $q\n$rewritten")
+    }
+  }
+
+  test("vector_dot matches fold null semantics: length mismatch and null element") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)),            // length mismatch
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)))       // clean
+      .toDF("a", "b")
+    val r = df.select(
+      vector_dot(col("a"), col("b")).as("fused"),
+      expr(fold).as("folded")).collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1))      // both NULL on mismatch
+    assert(r(1).getDouble(0) == r(1).getDouble(1))
+    // null element → NULL from both implementations
+    val withNullElem = spark.sql(
+      "SELECT array(1.0D, CAST(NULL AS DOUBLE)) AS a, array(1.0D, 2.0D) AS b")
+    val r2 = withNullElem.select(
+      vector_dot(col("a"), col("b")).as("fused"), expr(fold).as("folded")).head()
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+    assert(withNullElem.select(vector_norm(col("a"))).head().isNullAt(0))
+  }
+
   test("GraftExtensions injects FuseVectorOps into a session's optimizer") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext)
