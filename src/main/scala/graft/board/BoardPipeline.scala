@@ -177,6 +177,41 @@ object BoardPipeline {
       .orderBy("category")
   }
 
+  /** The quickview table header (utils/board-quickview.js:57-59). */
+  val QuickviewHeader: String =
+    "| Trello ID | Issue Type | Card Type | Task Type | Owner | Owner 2 | Assignee | Labels |"
+
+  /** The quickview per-row markdown table (utils/board-quickview.js:
+    * 137-188): one `| a|b|...|h |` line per active card and per active
+    * checklist item, cards leading their items, items in checklist/item
+    * `pos` order. Cards carry type/owner/fallback/labels with `-`
+    * placeholders in the task columns; items the mirror image — the
+    * reference's exact column arrangement. (The reference's
+    * completed-item skip tests `"completed"` against state values that
+    * are spelled `"complete"` — a quirk; the engine filters the real
+    * value, documented deviation.) */
+  def quickviewRows(cards: DataFrame, items: DataFrame): DataFrame = {
+    val cardRows = cards.select(
+      col("card_id"), col("card_id").as("trello_id"), lit("Card").as("issue_type"),
+      col("card_type"), lit("-").as("task_type"), col("owner"),
+      col("fallback_owner").as("owner2"), lit("-").as("assignee"),
+      concat_ws(", ", col("label_names")).as("labels"),
+      lit(0.0).as("__cpos"), lit(0.0).as("__ipos"), lit(0).as("__is_item"))
+    val itemRows = items.select(
+      col("card_id"), col("item_id").as("trello_id"), lit("Task").as("issue_type"),
+      lit("-").as("card_type"), col("task_type"), lit("-").as("owner"),
+      lit("-").as("owner2"), col("assignee"), lit("-").as("labels"),
+      col("checklist_pos").as("__cpos"), col("pos").as("__ipos"), lit(1).as("__is_item"))
+    cardRows.unionByName(itemRows)
+      .withColumn("line", concat(lit("| "),
+        concat_ws("|", col("trello_id"), col("issue_type"), col("card_type"),
+          col("task_type"), col("owner"), col("owner2"), col("assignee"),
+          col("labels")),
+        lit(" |")))
+      .orderBy(col("card_id"), col("__is_item"), col("__cpos"), col("__ipos"))
+      .drop("__cpos", "__ipos", "__is_item")
+  }
+
   /** Issue markdown (A1/A2/A4 + J8): per card the full issue body —
     * intro, quoted desc, then `## <checklist>` sections whose task
     * lines are checkbox-rendered in Trello `pos` order.

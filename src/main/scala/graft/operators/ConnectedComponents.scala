@@ -35,16 +35,19 @@ object ConnectedComponents {
         .join(labels, sym("dst") === labels("node"))
         .groupBy(sym("src").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      val updated = labels.alias("l")
-        .join(nbrMin.alias("n"), Seq("node"), "left")
+      // carry the previous label through the update so convergence is a
+      // filter over THIS round's (lazily checkpointed) output — the
+      // count below is the round's single action: it materializes the
+      // checkpoint and detects convergence in the same job, instead of
+      // a second job joining old vs new labels.
+      val updated = labels.withColumnRenamed("label", "prev")
+        .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("l.label"), coalesce(col("n.nbr_label"), col("l.label"))).as("label"))
-        .localCheckpoint()
-      converged = updated.alias("u")
-        .join(labels.alias("o"), Seq("node"))
-        .filter(col("u.label") =!= col("o.label"))
-        .isEmpty
-      labels = updated
+          least(col("prev"), coalesce(col("nbr_label"), col("prev"))).as("label"),
+          col("prev"))
+        .localCheckpoint(false)
+      converged = updated.filter(col("label") =!= col("prev")).count() == 0
+      labels = updated.select("node", "label")
       i += 1
     }
     labels.select(col("node"), col("label").as("cluster"))

@@ -110,13 +110,24 @@ object MultimodalQueries {
       None,
       doc = "binary payload → per-partition stub decode → typed features"),
 
-    // ---- frame sampling (rows-only check)
+    // ---- frame sampling. The frame *positions and sizes* are pure
+    //      integer arithmetic over octet_length, so DuckDB reproduces
+    //      them exactly (the binary frame content itself stays
+    //      Spark-side; its length is what the oracle pins).
     QueryDef(
       "q55_multimodal_frames",
       (s, d) => frameSample(withBinaryPayload(Tables.documents(s, d)), 64, 2)
-        .select(col("doc_id"), col("frame_idx"), octet_length(col("frame")).as("frame_bytes"))
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          octet_length(col("frame")).as("frame_bytes"))
         .orderBy("doc_id", "frame_idx"),
-      None,
+      Some("""WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        f AS (SELECT doc_id, n,
+            CAST(unnest(range(greatest((n - 1) // 64, 0) + 1)) AS INT) AS frame_idx
+          FROM p)
+        SELECT doc_id, frame_idx,
+          CAST(least(64, n - frame_idx * 64) AS INT) AS frame_bytes
+        FROM f WHERE frame_idx % 2 = 0
+        ORDER BY doc_id, frame_idx"""),
       doc = "payload → fixed-size frames → every-2nd sample")
   )
 }

@@ -83,6 +83,21 @@ class BoardPipelineSpec extends SparkSpecBase {
     assert(qv("Assignees") == Seq("!Assigned", "riongull"))
   }
 
+  test("quickview per-row table reproduces the reference's layout " +
+      "(board-quickview.js:137-188)") {
+    val lines = BoardPipeline.quickviewRows(cards, items)
+      .select("line").collect().map(_.getString(0)).toSeq
+    // card row first, then its items in (checklist pos, item pos) order:
+    // QA Tasks (pos 1.0) i4, then Specification (pos 2.0) i2 (pos 1.0),
+    // i1 (pos 2.0)
+    assert(lines == Seq(
+      "| c1|Card|Concepts|-|riongull|samkirby22|-|Core, Feature |",
+      "| i4|Task|-|QA Task|-|-|!Assigned|- |",
+      "| i2|Task|-|Specification Task|-|-|!Assigned|- |",
+      "| i1|Task|-|Specification Task|-|-|riongull|- |"))
+    assert(BoardPipeline.QuickviewHeader.startsWith("| Trello ID |"))
+  }
+
   test("markdown render: sections in pos order, checkbox states, J8 join") {
     import spark.implicits._
     val issueState = Seq(
