@@ -55,4 +55,25 @@ class PlanAuditSpec extends SparkSpecBase {
     // per doc, never the exploded shingle rows
     assert(plan.contains("partial_min") || plan.contains("partial_"), plan)
   }
+
+  test("q41: LSH candidates come from an equi join on the bucket key, " +
+      "never a nested-loop pair scan") {
+    val plan = executed("q41_ann_lsh_bucketed")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // signatures are fused vector_dot loops against literal planes —
+    // no per-element md5 inside higher-order lambdas in the hot path
+    assert(plan.contains("vector_dot"), plan)
+    assert(!plan.contains("md5"), plan)
+    // (the norm column's declarative fold is rewritten to vector_norm by
+    // GraftExtensions in Bench/Verify sessions; this stock test session
+    // shows the fold — VectorExpressionsSpec covers the rewrite)
+  }
+
+  test("q39: brute-force ANN streams the corpus past broadcast queries") {
+    val plan = executed("q39_ann_bruteforce_topk")
+    // the query side is the broadcast side; the corpus is never built
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
 }
