@@ -17,7 +17,8 @@ object SparkEntry {
       operators.EventQueries.defs ++
       operators.PipelineQueries.defs ++
       operators.MultimodalQueries.defs ++
-      operators.AnalyticsQueries.defs
+      operators.AnalyticsQueries.defs ++
+      operators.ConnectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

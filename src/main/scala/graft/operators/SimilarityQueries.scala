@@ -50,6 +50,34 @@ object SimilarityQueries {
         Array.tabulate(LshDim)(i => sign(t, p, i))))
   }
 
+  /** Spark side of the signature: per table t an element `'t:' + P sign
+    * bits`, each bit one codegen'd dot against a literal ±1 hyperplane.
+    * Explode to get one (vec, bucket) row per table. */
+  private def lshBucketsCol: org.apache.spark.sql.Column = {
+    import graft.functions.VectorFunctions.vector_dot
+    array((0 until LshTables).map { t =>
+      concat(lit(s"$t:"), concat_ws("", (0 until LshPlanes).map { p =>
+        when(vector_dot(col("emb"), typedLit(lshSigns(t)(p).toSeq)) > 0d,
+          "1").otherwise("0")
+      }: _*))
+    }: _*)
+  }
+
+  /** DuckDB side of the signature, generated from the SAME sign matrix:
+    * one bucket SELECT per hash table over the `n` CTE. `emb[i] * ±1.0`
+    * is an exact negation/identity and list_sum is the same in-order
+    * fold as VectorDot, so both engines compute identical bits. */
+  private lazy val lshBucketsSql: String =
+    (0 until LshTables).map { t =>
+      val bits = (0 until LshPlanes).map { p =>
+        val arr = lshSigns(t)(p).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]::DOUBLE[]")
+        s"""(CASE WHEN list_sum(list_transform(range($LshDim),
+           i -> emb[i+1] * ($arr)[i+1])) > 0 THEN '1' ELSE '0' END)"""
+      }.mkString(" || ")
+      s"SELECT vec_id, '$t:' || $bits AS bucket FROM n"
+    }.mkString("\n UNION ALL\n ")
+
   /** embeddings with exact double cast + precomputed L2 norm. */
   private def normed(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -136,15 +164,7 @@ object SimilarityQueries {
       "q41_ann_lsh_bucketed",
       (s, d) => {
         import graft.functions.VectorFunctions.vector_dot
-        // signature columns: per table t, 't:' + P sign bits, each bit a
-        // codegen'd dot against a literal ±1 hyperplane
-        val buckets = (0 until LshTables).map { t =>
-          concat(lit(s"$t:"), concat_ws("", (0 until LshPlanes).map { p =>
-            when(vector_dot(col("emb"), typedLit(lshSigns(t)(p).toSeq)) > 0d,
-              "1").otherwise("0")
-          }: _*))
-        }
-        val e = normed(s, d).withColumn("bucket", explode(array(buckets: _*)))
+        val e = normed(s, d).withColumn("bucket", explode(lshBucketsCol))
           .select("vec_id", "bucket")
         val q = e.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("bucket"))
@@ -172,20 +192,8 @@ object SimilarityQueries {
           .orderBy("query_id", "rn")
       },
       Some {
-        // one bucket SELECT per hash table, bits from the same literal
-        // ±1 hyperplanes (emb[i] * ±1.0 is an exact negation/identity,
-        // and list_sum is the same in-order fold as VectorDot)
-        val tableSelects = (0 until LshTables).map { t =>
-          val bits = (0 until LshPlanes).map { p =>
-            val arr = lshSigns(t)(p).map(v => if (v > 0) "1.0" else "-1.0")
-              .mkString("[", ",", "]::DOUBLE[]")
-            s"""(CASE WHEN list_sum(list_transform(range($LshDim),
-               i -> emb[i+1] * ($arr)[i+1])) > 0 THEN '1' ELSE '0' END)"""
-          }.mkString(" || ")
-          s"SELECT vec_id, '$t:' || $bits AS bucket FROM n"
-        }.mkString("\n UNION ALL\n ")
         s"""$oracleNormed,
-          b AS ($tableSelects),
+          b AS ($lshBucketsSql),
           q AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id % 100 = 0),
           cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
             FROM q JOIN b c USING (bucket) WHERE c.vec_id != q.query_id),
@@ -269,5 +277,50 @@ object SimilarityQueries {
         WHERE rn <= 5 ORDER BY query_id, rn"""),
       doc = "IVF ANN: deterministic coarse centroids, nearest-cell " +
         "assignment, single-cell probe, exact re-rank (top 5).")
+    ,
+
+    // ---- embedding-cosine near-duplicate detection at scale: the
+    //      LSH-bucketed analogue of the MinHash dedup family (q36/q37),
+    //      over vectors instead of shingles. Candidates = bucket
+    //      collisions in any hash table (equi self-join, never n²);
+    //      verification = exact cosine over candidates only, keeping
+    //      pairs above the near-dup threshold. Fully oracled from the
+    //      same sign matrix.
+    QueryDef(
+      "q81_embedding_neardup_pairs",
+      (s, d) => {
+        import graft.functions.VectorFunctions.vector_dot
+        val e = normed(s, d).withColumn("bucket", explode(lshBucketsCol))
+          .select("vec_id", "bucket")
+        val pairs = e.select(col("vec_id").as("vec_a"), col("bucket"))
+          .join(e.select(col("vec_id").as("vec_b"), col("bucket")), Seq("bucket"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b").distinct()
+        val byId = normed(s, d)
+        pairs
+          .join(byId.select(col("vec_id").as("vec_a"), col("emb").as("ea"),
+            col("norm").as("na")), Seq("vec_a"))
+          .join(byId.select(col("vec_id").as("vec_b"), col("emb").as("eb"),
+            col("norm").as("nb")), Seq("vec_b"))
+          .withColumn("cosine", vector_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .filter(col("cosine") >= 0.8)
+          .select("vec_a", "vec_b", "cosine")
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""$oracleNormed,
+        b AS ($lshBucketsSql),
+        cand AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+        SELECT vec_a, vec_b,
+          list_sum(list_transform(range(len(x.emb)), i -> x.emb[i+1] * y.emb[i+1]))
+            / (x.norm * y.norm) AS cosine
+        FROM cand JOIN n x ON cand.vec_a = x.vec_id
+                  JOIN n y ON cand.vec_b = y.vec_id
+        WHERE list_sum(list_transform(range(len(x.emb)), i -> x.emb[i+1] * y.emb[i+1]))
+            / (x.norm * y.norm) >= 0.8
+        ORDER BY vec_a, vec_b"""),
+      doc = "Embedding near-dup pairs: LSH bucket candidates (equi " +
+        "self-join per table, never all-pairs) + exact cosine verify " +
+        "at the 0.8 threshold.")
   )
 }
