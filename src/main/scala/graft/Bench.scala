@@ -31,14 +31,38 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis: Long = {
+      var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // a query may cache an index for its own reuse (e.g. the LSH
       // shingle sets); drop it so storage memory never starves the
-      // execution memory of later queries
+      // execution memory of later queries. clearCache only drops
+      // catalog-cached plans — localCheckpoint blocks (q77's CC rounds,
+      // ledger checkpoints) live in getPersistentRDDs and must be
+      // dropped explicitly or they pin executor memory for the rest of
+      // the sweep, poisoning every later measurement.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      // broadcast-variable blocks are reaped by the ContextCleaner only
+      // after their weak refs are GC'd — with a 100+ GiB heap that can
+      // take the whole sweep, so force the collection that lets the
+      // cleaner run now (measured: without this a query following a
+      // 20-broadcast CC run degrades 4×)
+      System.gc()
+      // per-query JVM hygiene log (stderr — stdout stays one JSON line):
+      // GC time attributable to the query + post-cleanup heap floor, so
+      // a real regression is distinguishable from shared-JVM residue
+      val rt = Runtime.getRuntime
+      val usedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+      System.err.println(
+        f"[bench] $name%-28s ${dt}%9.3f s  gc=${gcMillis - gc0}%5d ms  heap=${usedMb}%6d MB")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

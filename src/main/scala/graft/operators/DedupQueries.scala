@@ -76,9 +76,17 @@ object DedupQueries {
       explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> concat(b, ':', md5(concat(sig[2*b], sig[2*b+1]))))"))
         .as("band"))
 
-  /** Candidate near-dup pairs from band collisions. */
+  /** Candidate near-dup pairs from band collisions.
+    *
+    * The signature table is referenced by BOTH sides of the band
+    * self-join; without persistence the whole text→shingle→md5 pipeline
+    * executes once per branch (and once more per downstream reference in
+    * q37/q77). Caching the signatures — the narrow (doc_id, sig) table,
+    * far smaller than the exploded band keys — is the "persist the LSH
+    * index" step a production dedup would do anyway. The bench/driver
+    * drops it between queries via clearCache. */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val b = bandKeys(minhashSigs(s, d))
+    val b = bandKeys(minhashSigs(s, d).cache())
     b.select(col("doc_id").as("doc_a"), col("band"))
       .join(b.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))

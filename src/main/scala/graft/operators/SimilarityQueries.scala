@@ -36,6 +36,20 @@ object SimilarityQueries {
   private[operators] val LshDim = 64
   private[operators] val LshCandidateCap = 1000
 
+  /** Fixed IVF coarse-centroid budget (k). Constant by design: the
+    * assignment cross-product is n·k, so k must NOT scale with the
+    * corpus (production trains k ≈ √n once and freezes it; the bench
+    * uses the first k ids as the deterministic stand-in for trained
+    * centroids). */
+  private[operators] val IvfCentroids = 64
+
+  /** Per-bucket row cap for the near-dup pair join (q81): a skewed LSH
+    * bucket (anisotropic embeddings pile into few buckets) is quadratic
+    * *within* the bucket, so buckets are deterministically truncated to
+    * the first cap ids before the self-join — the pair-join analogue of
+    * [[LshCandidateCap]]. */
+  private[operators] val NearDupBucketCap = 1024
+
   /** signs(t)(p): the ±1 hyperplane for (table t, plane p). */
   private[operators] lazy val lshSigns: IndexedSeq[IndexedSeq[Array[Double]]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -217,17 +231,21 @@ object SimilarityQueries {
 
     // ---- IVF ANN: coarse-quantizer buckets (the k-means-style scale
     //      path; centroids here are a deterministic sample — production
-    //      would train them). Search probes the query's nearest-centroid
-    //      cell only: the classic inverted-file trade of recall for a
-    //      1/cells candidate fraction. Fully oracled: assignment,
-    //      single-cell probe and re-rank are reproduced in DuckDB with
-    //      the same in-order dot fold.
+    //      would train them with k-means). The centroid budget is FIXED
+    //      (k = IvfCentroids, independent of corpus size), so nearest-
+    //      cell assignment is O(n·k) work via one broadcast — a modulo
+    //      sample would grow the centroid set with n and quietly turn
+    //      assignment into O(n²/c). Search probes the query's
+    //      nearest-centroid cell only: the classic inverted-file trade
+    //      of recall for a 1/cells candidate fraction. Fully oracled:
+    //      assignment, single-cell probe and re-rank are reproduced in
+    //      DuckDB with the same in-order dot fold.
     QueryDef(
       "q78_ann_ivf",
       (s, d) => {
         import graft.functions.VectorFunctions._
         val e = normed(s, d)
-        val centroids = e.filter(col("vec_id") % 200 === 0)
+        val centroids = e.filter(col("vec_id") < IvfCentroids)
           .select(col("vec_id").as("centroid_id"), col("emb").as("ce"),
                   col("norm").as("cnorm"))
         // assign every vector to its nearest centroid (argmin by cosine)
@@ -258,7 +276,7 @@ object SimilarityQueries {
       },
       Some(s"""$oracleNormed,
         c AS (SELECT vec_id AS centroid_id, emb AS ce, norm AS cnorm
-          FROM n WHERE vec_id % 200 = 0),
+          FROM n WHERE vec_id < $IvfCentroids),
         a AS (SELECT vec_id, label, emb, norm, centroid_id FROM (
           SELECT n.vec_id, n.label, n.emb, n.norm, c.centroid_id,
             row_number() OVER (PARTITION BY n.vec_id ORDER BY
@@ -290,8 +308,17 @@ object SimilarityQueries {
       "q81_embedding_neardup_pairs",
       (s, d) => {
         import graft.functions.VectorFunctions.vector_dot
+        // bucket-size guard: rank rows within each bucket and keep only
+        // the first NearDupBucketCap ids, so one hot bucket can never
+        // re-create the quadratic blowup the LSH bucketing exists to
+        // avoid (deterministic order → oracle reproduces the same
+        // truncation bit-for-bit)
+        val wBucket = Window.partitionBy(col("bucket")).orderBy(col("vec_id").asc)
         val e = normed(s, d).withColumn("bucket", explode(lshBucketsCol))
           .select("vec_id", "bucket")
+          .withColumn("brn", row_number().over(wBucket))
+          .filter(col("brn") <= NearDupBucketCap)
+          .drop("brn")
         val pairs = e.select(col("vec_id").as("vec_a"), col("bucket"))
           .join(e.select(col("vec_id").as("vec_b"), col("bucket")), Seq("bucket"))
           .filter(col("vec_a") < col("vec_b"))
@@ -308,7 +335,11 @@ object SimilarityQueries {
           .orderBy("vec_a", "vec_b")
       },
       Some(s"""$oracleNormed,
-        b AS ($lshBucketsSql),
+        b0 AS ($lshBucketsSql),
+        b AS (SELECT vec_id, bucket FROM (
+          SELECT vec_id, bucket,
+            row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS brn
+          FROM b0) t WHERE brn <= $NearDupBucketCap),
         cand AS (SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
         SELECT vec_a, vec_b,
@@ -320,7 +351,8 @@ object SimilarityQueries {
             / (x.norm * y.norm) >= 0.8
         ORDER BY vec_a, vec_b"""),
       doc = "Embedding near-dup pairs: LSH bucket candidates (equi " +
-        "self-join per table, never all-pairs) + exact cosine verify " +
-        "at the 0.8 threshold.")
+        "self-join per table, never all-pairs, deterministic per-bucket " +
+        "size cap against skew) + exact cosine verify at the 0.8 " +
+        "threshold.")
   )
 }

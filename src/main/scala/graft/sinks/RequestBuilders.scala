@@ -45,6 +45,10 @@ object RequestBuilders {
   val OrgIdQuery: String =
     "query($login: String!) { organization(login: $login) { id } }"
 
+  val ProjectsByNameQuery: String =
+    "query($login: String!, $name: String) { organization(login: $login) { " +
+      "projectsNext(last: 100, query: $name) { nodes { id number title } } } }"
+
   val CreateProjectMutation: String =
     "mutation($ownerId: ID! $name: String! $repositoryIds: [ID!]) { " +
       "createProject(input: { ownerId: $ownerId name: $name " +
@@ -151,6 +155,31 @@ object RequestBuilders {
     repositoryIds.foreach(ids.add)
     val projResp = graphql(transport, CreateProjectMutation, vars)
     projResp.at("/data/project/id").asText()
+  }
+
+  final case class ProjectInfo(id: String, number: Long, title: String)
+
+  /** Project lookup by title (gh.js:266-297): list the org's beta
+    * projects filtered by name, then match on EXACT title equality —
+    * the query filter is a search, so a prefix collision ("test" vs
+    * "test-2") must not count. None when absent (the caller decides
+    * whether that's the init remediation or an error). */
+  def getProjectByName(
+      transport: Transport,
+      login: String,
+      name: String): Option[ProjectInfo] = {
+    val vars = mapper.createObjectNode().put("login", login).put("name", name)
+    val resp = graphql(transport, ProjectsByNameQuery, vars)
+    val nodes = resp.at("/data/organization/projectsNext/nodes")
+    val it = nodes.elements()
+    var found: Option[ProjectInfo] = None
+    while (found.isEmpty && it.hasNext) {
+      val n = it.next()
+      if (n.at("/title").asText() == name)
+        found = Some(ProjectInfo(n.at("/id").asText(), n.at("/number").asLong(),
+          n.at("/title").asText()))
+    }
+    found
   }
 
   /** One GraphQL call; reference error contract (gh.js:204-219): any

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** ANN QUALITY pins (not just determinism-vs-oracle): the approximate
+  * indexes must actually FIND close neighbors. The synthetic embeddings
+  * are i.i.d. noise with no close pairs (LSH/IVF legitimately return
+  * little for them — an ANN index finds near neighbors, not arbitrary
+  * top-k of a sparse random corpus), so quality is measured on a
+  * PLANTED corpus: sf0.01 embeddings ∪ a perturbation twin (one
+  * coordinate nudged 1e-3, cosine ≈ 1 − ε) for every 10th vector, twin
+  * id = id + 100000. Every query (vec_id % 100 == 0) therefore has a
+  * planted twin the index must recover:
+  *
+  *  - q41 (hyperplane LSH): twin recovered for ≥ 90% of queries — a
+  *    1e-3 nudge flips a sign bit only when the plane dot is within ε
+  *    of 0, so with 4 OR-ed tables a same-bucket collision is near
+  *    certain;
+  *  - q78 (IVF, single probe): twin recovered for ≥ 80% — twins share
+  *    the nearest centroid unless the vector sits on a cell boundary,
+  *    the classic single-probe loss;
+  *  - q81 (near-dup pairs): planted (id, twin) pair set recovered with
+  *    recall ≥ 0.9 AND perfect precision (verification is exact cosine,
+  *    and no unplanted pair reaches 0.8 in a random corpus).
+  */
+class AnnRecallSpec extends SparkSpecBase {
+
+  private lazy val plantedDir: String = {
+    val src = Tables.embeddings(spark, "/root/testdata/sf0.01").collect()
+    val planted = src.flatMap { r =>
+      val id = r.getLong(0)
+      val emb = r.getSeq[Float](1)
+      val base = Row(id, emb, r.getInt(2))
+      if (id % 10 == 0) {
+        val twin = emb.toArray.clone()
+        twin(0) = twin(0) + 1e-3f
+        Seq(base, Row(id + 100000L, twin.toSeq, r.getInt(2)))
+      } else Seq(base)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_planted").toString
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(planted.toSeq, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** query ids on the planted corpus (originals only; twin queries are
+    * checked symmetrically through them). */
+  private lazy val plantedQueries: Seq[Long] =
+    Tables.embeddings(spark, "/root/testdata/sf0.01").collect()
+      .map(_.getLong(0)).filter(_ % 100 == 0).toSeq
+
+  private def neighborSets(queryName: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(queryName)(spark, plantedDir)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  private def twinRecall(queryName: String): Double = {
+    val found = neighborSets(queryName)
+    val hits = plantedQueries.count(q =>
+      found.getOrElse(q, Set.empty).contains(q + 100000L))
+    hits.toDouble / plantedQueries.size
+  }
+
+  test("q41 LSH recovers planted twins (recall >= 0.9)") {
+    val r = twinRecall("q41_ann_lsh_bucketed")
+    assert(r >= 0.9, s"q41 twin recall $r < 0.9")
+  }
+
+  test("q78 IVF single-probe recovers planted twins (recall >= 0.8)") {
+    val r = twinRecall("q78_ann_ivf")
+    assert(r >= 0.8, s"q78 twin recall $r < 0.8")
+  }
+
+  test("q81 recovers the planted near-dup pair set (recall >= 0.9, exact precision)") {
+    val expected = plantedQueries // every %100 id is also %10
+    val allPlantedPairs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getLong(0)).filter(_ % 10 == 0)
+      .map(id => (id, id + 100000L)).toSet
+    val found = SparkEntry.queries("q81_embedding_neardup_pairs")(spark, plantedDir)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = found.intersect(allPlantedPairs).size.toDouble / allPlantedPairs.size
+    assert(recall >= 0.9, s"q81 planted-pair recall $recall < 0.9")
+    // precision: the exact-cosine verify admits only true >= 0.8 pairs,
+    // and in this corpus those are exactly the planted ones
+    assert(found.subsetOf(allPlantedPairs), s"unexpected pairs: ${found -- allPlantedPairs}")
+  }
+}
