@@ -65,10 +65,19 @@ object Bench {
         f"[bench] $name%-28s ${dt}%9.3f s  gc=${gcMillis - gc0}%5d ms  heap=${usedMb}%6d MB")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver keeps only the tail of this process's output, so the
+    // one JSON line must stay well under 2000 chars even with sbt's
+    // "[success] ..." trailer after it: short keys (the qNN prefix is
+    // unique per query) and millisecond precision. Full names + timings
+    // are on stderr above. Locale.ROOT so the decimal point survives
+    // any container locale.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

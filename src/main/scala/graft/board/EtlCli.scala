@@ -44,12 +44,22 @@ object EtlCli {
 
   /** "Concepts:Pending, None:Considering, ..." → trello list →
     * github status (gh.js:76-90 split on `[,\s]+` then `:`; the q51
-    * operator is the same parse as a Spark plan). */
+    * operator is the same parse as a Spark plan). Pairs without both
+    * sides of the ':' are reported via [[malformedBoardLists]] and
+    * skipped here, so a config typo surfaces as a MustInitError
+    * remediation line instead of an index-out-of-bounds. */
   def parseBoardLists(cfg: String): Map[String, String] =
-    cfg.trim.split("[,\\s]+").filter(_.nonEmpty).map { pair =>
-      val parts = pair.split(":")
-      parts(0) -> parts(1)
+    cfg.trim.split("[,\\s]+").filter(_.nonEmpty).flatMap { pair =>
+      pair.split(":") match {
+        case Array(list, status, _*) => Some(list -> status)
+        case _ => None
+      }
     }.toMap
+
+  /** Board-list pairs that do not parse as `TrelloList:Status`. */
+  def malformedBoardLists(cfg: String): Seq[String] =
+    cfg.trim.split("[,\\s]+").filter(_.nonEmpty).toSeq
+      .filter(_.split(":").length < 2)
 
   /** Configuration/validation failure carrying the reference's
     * remediation text (mustInit dies with it, gh.js:144-176). */
@@ -66,6 +76,14 @@ object EtlCli {
       env: Map[String, String],
       transport: Transport,
       secondaryAdminFieldId: String): EtlConfig = {
+    // required-env lookups go through the same remediation report as the
+    // field-name checks — a missing var must not surface as a bare
+    // NoSuchElementException (gh.js:92-115 reports every missing env)
+    val requiredEnvs = Seq("GITHUB_ORG", "GITHUB_REPO",
+      "GITHUB_PROJECT_NAME", "GITHUB_PROJECT_BOARD_LISTS")
+    val missingRequired = requiredEnvs.filter(k => env.get(k).forall(_.isEmpty))
+    if (missingRequired.nonEmpty) throw new MustInitError(
+      missingRequired.map(k => s"process.env['$k'] is not defined (but should be)"))
     val org = env("GITHUB_ORG")
     val projectName = env("GITHUB_PROJECT_NAME")
     val project = RequestBuilders.getProjectByName(transport, org, projectName)
@@ -86,6 +104,7 @@ object EtlCli {
     // "Status" for this check, independent of the configured
     // CARD_STATUS field)
     val listStatusMap = parseBoardLists(env("GITHUB_PROJECT_BOARD_LISTS"))
+    val malformedPairs = malformedBoardLists(env("GITHUB_PROJECT_BOARD_LISTS"))
     val statusOptions = ApiSource.fieldOptions(fields)
       .filter(col("field_name") === "Status")
       .select("option_name").collect().map(_.getString(0)).toSet
@@ -106,6 +125,10 @@ object EtlCli {
     val errors = Seq.newBuilder[String]
     missingEnvs.foreach { envName =>
       errors += s"process.env['$envName'] is not defined (but should be)"
+    }
+    malformedPairs.foreach { pair =>
+      errors += s"GITHUB_PROJECT_BOARD_LISTS entry '$pair' is not a " +
+        s"'TrelloList:Status' pair"
     }
     if (unlisted.nonEmpty) {
       errors += s"The following are not board list columns of '${project.title}':"

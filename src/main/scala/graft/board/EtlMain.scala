@@ -95,22 +95,27 @@ object EtlMain {
 
   private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** Ship request rows (entity_id, method, url, body) ordered by
-    * entity id; returns (entity_id, parsed 2xx response) pairs and the
-    * sink report. The collect is bounded by the change set — the same
-    * rows the reference serializes one-by-one through its rate limit. */
+  /** Ship request rows (keys…, method, url, body) ordered by the key
+    * columns; returns (key values, parsed response) pairs for the 2xx
+    * requests ONLY and the sink report — so callers can mark exactly
+    * the acknowledged writes as applied and leave failed ones eligible
+    * for retry on resume. The collect is bounded by the change set —
+    * the same rows the reference serializes one-by-one through its
+    * rate limit. */
   private def sendPhase(
       writer: RateLimitedWriter,
       reqs: DataFrame,
-      orderCols: Seq[String] = Seq("entity_id")): (Seq[(String, JsonNode)], SinkReport) = {
-    val rows = reqs.select(col("entity_id") +: Seq("method", "url", "body").map(col): _*)
-      .orderBy(orderCols.map(col): _*)
+      keyCols: Seq[String] = Seq("entity_id")): (Seq[(Seq[String], JsonNode)], SinkReport) = {
+    val rows = reqs.select((keyCols ++ Seq("method", "url", "body")).map(col): _*)
+      .orderBy(keyCols.map(col): _*)
       .collect()
+    val k = keyCols.length
     val (pairs, report) = writer.sendAll(
-      rows.iterator.map(r => HttpRequest(r.getString(1), r.getString(2), r.getString(3))))
+      rows.iterator.map(r =>
+        HttpRequest(r.getString(k), r.getString(k + 1), r.getString(k + 2))))
     val parsed = rows.zip(pairs).collect {
       case (row, (_, resp)) if resp.status >= 200 && resp.status < 300 =>
-        (row.getString(0), mapper.readTree(resp.body))
+        ((0 until k).map(row.getString), mapper.readTree(resp.body))
     }
     (parsed.toSeq, report)
   }
@@ -159,7 +164,8 @@ object EtlMain {
         RequestBuilders.createIssue(missing, config.owner, config.repo))
       track(report)
       if (resps.nonEmpty) {
-        val created = resps.map { case (id, j) =>
+        val created = resps.map { case (keys, j) =>
+          val id = keys.head
           (kind, id, j.at("/number").asLong(), j.at("/node_id").asText(),
             j.at("/state").asText("open"), j.at("/title").asText(),
             j.at("/html_url").asText(), null: String, StateStore.MCreated)
@@ -176,8 +182,8 @@ object EtlMain {
         RequestBuilders.addProjectItem(missing, config.projectNodeId))
       track(report)
       if (resps.nonEmpty) {
-        val itemIds = resps.map { case (id, j) =>
-          (id, j.at("/data/addProjectNextItem/projectNextItem/id").asText())
+        val itemIds = resps.map { case (keys, j) =>
+          (keys.head, j.at("/data/addProjectNextItem/projectNextItem/id").asText())
         }.toDF("entity_id", "new_item_id")
         ledger = ledger.join(broadcast(itemIds), Seq("entity_id"), "left")
           .withColumn("project_item_id",
@@ -198,13 +204,19 @@ object EtlMain {
         .join(ledgerFor(kind).select(col("entity_id"),
           col("project_item_id").as("item_node_id")), Seq("entity_id"))
       val reqs = RequestBuilders.setFieldValue(withNode, options, config.projectNodeId)
-      val (_, report) = sendPhase(writer, reqs, Seq("entity_id", "field_id"))
+      val (resps, report) = sendPhase(writer, reqs, Seq("entity_id", "field_id"))
       track(report)
-      // a phase that sent nothing wrote nothing — keep the existing
-      // ledger untouched instead of paying a merge + checkpoint job
-      if (report.sent > 0) {
+      // record ONLY the writes the API acknowledged (2xx): a failed or
+      // join-dropped row must stay out of the ledger so a resume
+      // retries it instead of treating it as applied. A phase that
+      // acknowledged nothing keeps the ledger untouched (no merge +
+      // checkpoint job).
+      if (resps.nonEmpty) {
+        val acked = resps.map { case (keys, _) => (keys.head, keys(1)) }
+          .toDF("entity_id", "field_id")
         fieldLedger = StateStore.merge(fieldLedger,
-          changes.select("entity_id", "field_id", "value"),
+          changes.join(broadcast(acked), Seq("entity_id", "field_id"))
+            .select("entity_id", "field_id", "value"),
           Seq("entity_id", "field_id")).coalesce(1).localCheckpoint(true)
       }
     }
@@ -256,14 +268,16 @@ object EtlMain {
       .join(ledgerFor("item").select(col("entity_id"), col("issue_number"),
         col("issue_title")), Seq("entity_id"))
       .filter(col("title") =!= col("issue_title"))
-    val (_, driftReport) = sendPhase(writer,
+    val (driftResps, driftReport) = sendPhase(writer,
       RequestBuilders.updateIssue(
         titleDrift.select("entity_id", "issue_number", "title", "issue_body"),
         config.owner, config.repo))
     track(driftReport)
-    if (!titleDrift.isEmpty) {
+    if (driftResps.nonEmpty) {
+      val acked = driftResps.map(_._1.head).toDF("entity_id")
       ledger = ledger
-        .join(broadcast(titleDrift.select(col("entity_id"), col("title").as("__new_title"))),
+        .join(broadcast(titleDrift.join(acked, Seq("entity_id"))
+          .select(col("entity_id"), col("title").as("__new_title"))),
           Seq("entity_id"), "left")
         .withColumn("issue_title", coalesce(col("__new_title"), col("issue_title")))
         .drop("__new_title").coalesce(1).localCheckpoint(true)
@@ -274,12 +288,13 @@ object EtlMain {
       .join(ledgerFor("item").filter(col("issue_state") === "open")
         .select(col("entity_id"), col("issue_number")), Seq("entity_id"))
       .withColumn("state", lit("closed"))
-    val (_, closeReport) = sendPhase(writer,
+    val (closeResps, closeReport) = sendPhase(writer,
       RequestBuilders.updateIssue(toClose, config.owner, config.repo))
     track(closeReport)
-    if (!toClose.isEmpty) {
+    if (closeResps.nonEmpty) {
+      val acked = closeResps.map(_._1.head).toDF("entity_id")
       ledger = ledger
-        .join(broadcast(toClose.select(col("entity_id"), lit(true).as("__closed"))),
+        .join(broadcast(acked.withColumn("__closed", lit(true))),
           Seq("entity_id"), "left")
         .withColumn("issue_state",
           when(col("__closed"), lit("closed")).otherwise(col("issue_state")))
@@ -326,12 +341,13 @@ object EtlMain {
     val rendered = BoardPipeline.renderIssueMarkdown(cards, items, issueState)
       .select(col("card_id").as("entity_id"), col("body").as("issue_body"))
     val finalize = pending.join(rendered, Seq("entity_id"))
-    val (_, mdReport) = sendPhase(writer,
+    val (mdResps, mdReport) = sendPhase(writer,
       RequestBuilders.updateIssue(finalize, config.owner, config.repo))
     track(mdReport)
-    if (!finalize.isEmpty) {
+    if (mdResps.nonEmpty) {
+      val acked = mdResps.map(_._1.head).toDF("entity_id")
       ledger = ledger
-        .join(broadcast(finalize.select(col("entity_id"), lit(true).as("__bump"))),
+        .join(broadcast(acked.withColumn("__bump", lit(true))),
           Seq("entity_id"), "left")
         .withColumn("migration",
           when(col("__bump"), greatest(col("migration"), lit(StateStore.MLists)))

@@ -3,9 +3,16 @@ package graft.board
 import graft.sinks.HttpSink.Transport
 import graft.sinks.{JdkTransport, RequestBuilders}
 import graft.sinks.RequestBuilders.ProjectInfo
+import org.apache.spark.sql.SparkSession
 
 /** The one-time bootstrap flow — the reference's `utils/init.js:8-31`:
   *
+  *   0. `await GH.mustInit()` (init.js:9): full env/field/board-list
+  *      validation BEFORE any bootstrap — a config error aborts the
+  *      flow without touching the repo. The spark-full [[run]] overload
+  *      reproduces this via [[EtlCli.resolveConfig]]; the
+  *      transport-only overload is the repo+project core for callers
+  *      that have already validated.
   *   1. ensure the repo exists (`GH.repos.getOrCreate`, 404 → create);
   *   2. look the project up by name — beta Projects CANNOT be created
   *      through this API path, so a missing project produces the
@@ -28,6 +35,25 @@ object InitMain {
   /** Project missing: carry the reference's remediation text
     * (init.js:18-21). */
   final case class MissingProject(message: String) extends InitResult
+  /** mustInit validation failed (missing env, malformed board lists,
+    * unknown field names): init.js dies inside GH.mustInit before the
+    * repo bootstrap runs, so no repo is created on an invalid config. */
+  final case class Invalid(messages: Seq[String]) extends InitResult
+
+  /** Full init.js sequence: mustInit validation first, then repo +
+    * project ensure. The validation itself already looks the project up
+    * and resolves every configured field name against it. */
+  def run(
+      spark: SparkSession,
+      env: Map[String, String],
+      transport: Transport): InitResult =
+    try {
+      EtlCli.resolveConfig(spark, env, transport, secondaryAdminFieldId = "")
+      run(transport, env("GITHUB_ORG"), env("GITHUB_REPO"),
+        env("GITHUB_PROJECT_NAME"))
+    } catch {
+      case e: EtlCli.MustInitError => Invalid(e.messages)
+    }
 
   def run(
       transport: Transport,
@@ -50,14 +76,19 @@ object InitMain {
       Map(
         "accept" -> "application/vnd.github.v3+json",
         "Authorization" -> s"token ${sys.env.getOrElse("GITHUB_TOKEN", "")}"))
-    run(transport,
-      sys.env("GITHUB_ORG"), sys.env("GITHUB_REPO"),
-      sys.env("GITHUB_PROJECT_NAME")) match {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, sys.env.toMap, transport) match {
       case Ready(_, project) =>
         println(s"Project Node ID: ${project.id}")
       case MissingProject(message) =>
         System.err.println(message)
         sys.exit(1)
-    }
+      case Invalid(messages) =>
+        messages.foreach(System.err.println)
+        sys.exit(1)
+    } finally spark.stop()
   }
 }

@@ -44,21 +44,19 @@ object DedupQueries {
         expr("transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
       .select(col("doc_id"), array_distinct(col("shingles")).as("sd"))
 
-  /** MinHash signatures, computed in the 100 TB-safe shape: explode to
-    * (doc, shingle) rows, hash each shingle ONCE per hash function,
-    * shuffle-aggregate the mins. (The per-row nested-array formulation
-    * `array_min(transform(shingles, md5))` is O(rows × hashes ×
-    * shingles) md5 calls *per downstream reference* once projection
-    * collapse inlines it — measured 95 s at sf0.1 vs ~3 s for this
-    * shape. Aggregation is also spill-safe for giant documents.) */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val hashed = variantCorpus(s, d)
-      .withColumn("ts", split(col("text"), "\\s+"))
-      .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
-          .as("sh"))
+  /** MinHash signatures derived from a shingle-set frame, computed in
+    * the 100 TB-safe shape: explode to (doc, shingle) rows, hash each
+    * shingle ONCE per hash function, shuffle-aggregate the mins. (The
+    * per-row nested-array formulation `array_min(transform(shingles,
+    * md5))` is O(rows × hashes × shingles) md5 calls *per downstream
+    * reference* once projection collapse inlines it — measured 95 s at
+    * sf0.1 vs ~3 s for this shape. Aggregation is also spill-safe for
+    * giant documents.) Deriving from the deduplicated `sd` arrays is
+    * exact: min over the distinct shingle set equals min over the raw
+    * shingle sequence, so this matches the oracle's non-distinct
+    * formulation bit-for-bit. */
+  private def minhashFrom(sets: DataFrame): DataFrame = {
+    val hashed = sets.select(col("doc_id"), explode(col("sd")).as("sh"))
     val hashCols = (0 until NumHashes)
       .map(j => md5(concat(lit(s"mh$j:"), col("sh"))).as(s"h$j"))
     val minCols = (0 until NumHashes).map(j => min(col(s"h$j")).as(s"m$j"))
@@ -70,23 +68,37 @@ object DedupQueries {
         array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
+  /** Eagerly-materialized LSH signature index: ONE job runs the
+    * text→shingle→md5→min pipeline and stores the narrow (doc_id, sig)
+    * blocks; every downstream reference — both sides of the band
+    * self-join, q37's verify joins, q77's CC edge list — reads the
+    * stored blocks. A *lazy* `.cache()` here is wrong: the self-join's
+    * two branches race to populate it concurrently, duplicating the
+    * whole pipeline and serializing on block locks (measured 4 s →
+    * 92 s at sf0.1 in the round-3 sweep, "Block already exists"
+    * warnings). In production the index would be persisted to parquet
+    * once ("persist the LSH index"); localCheckpoint is the in-process
+    * equivalent. Bench/QBench/Verify unpersist all persistent RDDs
+    * between queries, so nothing leaks into later measurements. */
+  private def sigIndex(s: SparkSession, d: String): DataFrame =
+    minhashFrom(shingleSets(s, d).localCheckpoint()).localCheckpoint()
+  // (two-step: materializing the shingle sets BEFORE hashing keeps the
+  // regex tokenizer out of the fused hash job — fusing them into one
+  // checkpoint job measured 7.8 s vs 3 s at sf0.1, because projection
+  // collapse re-evaluates the tokenize/shingle expressions per
+  // downstream shingle reference inside the single fused stage)
+
   /** Exploded LSH band keys over the materialized signatures. */
   private def bandKeys(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> concat(b, ':', md5(concat(sig[2*b], sig[2*b+1]))))"))
         .as("band"))
 
-  /** Candidate near-dup pairs from band collisions.
-    *
-    * The signature table is referenced by BOTH sides of the band
-    * self-join; without persistence the whole text→shingle→md5 pipeline
-    * executes once per branch (and once more per downstream reference in
-    * q37/q77). Caching the signatures — the narrow (doc_id, sig) table,
-    * far smaller than the exploded band keys — is the "persist the LSH
-    * index" step a production dedup would do anyway. The bench/driver
-    * drops it between queries via clearCache. */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val b = bandKeys(minhashSigs(s, d).cache())
+  /** Candidate near-dup pairs from band collisions over a
+    * (materialized) signature frame: equi self-join on the band key —
+    * the classic shuffle-once LSH plan. */
+  private def candidatePairsFrom(sigs: DataFrame): DataFrame = {
+    val b = bandKeys(sigs)
     b.select(col("doc_id").as("doc_a"), col("band"))
       .join(b.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
@@ -130,7 +142,7 @@ object DedupQueries {
     // ---- MinHash + LSH banding: candidate near-dup pairs
     QueryDef(
       "q36_dedup_minhash_lsh",
-      (s, d) => candidatePairs(s, d).orderBy("doc_a", "doc_b"),
+      (s, d) => candidatePairsFrom(sigIndex(s, d)).orderBy("doc_a", "doc_b"),
       Some(s"""$oracleBandsCte
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
@@ -140,11 +152,12 @@ object DedupQueries {
     QueryDef(
       "q37_dedup_jaccard_verify",
       (s, d) => {
-        val pairs = candidatePairs(s, d)
-        // The shingle-set index is referenced once per pair side; cache
-        // it so the text→shingle computation runs once, not once per
-        // join branch (production would persist the LSH index anyway).
-        val sets = shingleSets(s, d).cache()
+        // One tokenize job (sets), one hashing job (sigs from the stored
+        // sets) — then banding, the candidate join, and both verify join
+        // sides all read stored blocks instead of re-running the text
+        // pipeline per reference.
+        val sets = shingleSets(s, d).localCheckpoint()
+        val pairs = candidatePairsFrom(minhashFrom(sets).localCheckpoint())
         pairs
           .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
           .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
@@ -173,7 +186,7 @@ object DedupQueries {
     QueryDef(
       "q77_dedup_clusters",
       (s, d) => {
-        val edges = candidatePairs(s, d)
+        val edges = candidatePairsFrom(sigIndex(s, d))
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         val cc = ConnectedComponents.run(edges)
         val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))

@@ -245,7 +245,11 @@ object SimilarityQueries {
       (s, d) => {
         import graft.functions.VectorFunctions._
         val e = normed(s, d)
-        val centroids = e.filter(col("vec_id") < IvfCentroids)
+        // rank-based budget (k smallest vec_ids via TakeOrderedAndProject
+        // — scale-safe, no global window), NOT `vec_id < k`: an id
+        // predicate assumes ids are dense from 0 and silently yields an
+        // empty centroid set on an offset corpus
+        val centroids = e.orderBy(col("vec_id").asc).limit(IvfCentroids)
           .select(col("vec_id").as("centroid_id"), col("emb").as("ce"),
                   col("norm").as("cnorm"))
         // assign every vector to its nearest centroid (argmin by cosine)
@@ -276,7 +280,7 @@ object SimilarityQueries {
       },
       Some(s"""$oracleNormed,
         c AS (SELECT vec_id AS centroid_id, emb AS ce, norm AS cnorm
-          FROM n WHERE vec_id < $IvfCentroids),
+          FROM n ORDER BY vec_id LIMIT $IvfCentroids),
         a AS (SELECT vec_id, label, emb, norm, centroid_id FROM (
           SELECT n.vec_id, n.label, n.emb, n.norm, c.centroid_id,
             row_number() OVER (PARTITION BY n.vec_id ORDER BY

@@ -154,6 +154,11 @@ object RequestBuilders {
     val ids = vars.putArray("repositoryIds")
     repositoryIds.foreach(ids.add)
     val projResp = graphql(transport, CreateProjectMutation, vars)
+    // INHERITED QUIRK (SURVEY §7.3): the reference reads the id from
+    // `/data/project/id` (gh.js:264) even though a real ProjectsNext
+    // GraphQL response nests it under `/data/createProject/...` — the
+    // path is reproduced verbatim so byte-level fixtures and behavior
+    // match the reference; a real-API adapter would remap it.
     projResp.at("/data/project/id").asText()
   }
 
