@@ -47,9 +47,7 @@ object Bench {
       // ledger checkpoints) live in getPersistentRDDs and must be
       // dropped explicitly or they pin executor memory for the rest of
       // the sweep, poisoning every later measurement.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      SparkEntry.releaseCaches(spark)
       // broadcast-variable blocks are reaped by the ContextCleaner only
       // after their weak refs are GC'd — with a 100+ GiB heap that can
       // take the whole sweep, so force the collection that lets the
@@ -73,6 +71,10 @@ object Bench {
     // any container locale.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // the qNN prefixes must stay unique or two measurements silently
+    // collapse into one JSON key (last wins) — fail loudly instead
+    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
+      "duplicate qNN bench key prefix")
     val qs = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -17,8 +17,7 @@ object QBench {
       val t0 = System.nanoTime()
       val n = fn(spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")).count()
       println(f"QBENCH $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      SparkEntry.releaseCaches(spark)
       // broadcasts (one per broadcast join, ~20/run in CC) are reaped by
       // the ContextCleaner only after their weak refs are GC'd — with a
       // huge heap that never happens on its own

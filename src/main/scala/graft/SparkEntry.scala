@@ -6,8 +6,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `queries` aggregates every operator family's [[QueryDef]] battery;
   * `oracleSql` carries the DuckDB twin for each SQL-expressible one.
+  *
+  * CONTRACT NOTE for external drivers sweeping many queries in one
+  * SparkSession: some queries materialize an internal index via
+  * `localCheckpoint` (the LSH signature index in q36/q37/q77, the CC
+  * label rounds). Those blocks are NOT dropped by
+  * `spark.catalog.clearCache()` — they live in the block manager as
+  * persistent RDDs and pin executor memory until explicitly released.
+  * Call [[releaseCaches]] between queries (Bench/QBench/Verify all do)
+  * or storage memory starves execution memory over a long sweep.
   */
 object SparkEntry {
+
+  /** Per-query cleanup hook: drops catalog-cached plans AND persistent
+    * RDD blocks (incl. localCheckpoint blocks, which clearCache cannot
+    * reach). Safe to call after any `queries(name)` result is fully
+    * consumed; the result's lineage may be truncated, so do not call
+    * while a returned DataFrame is still to be re-computed. */
+  def releaseCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
 
   def allDefs: Seq[QueryDef] =
     operators.RelationalQueries.defs ++

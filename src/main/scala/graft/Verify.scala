@@ -27,9 +27,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // per-query cache hygiene (see Bench)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true)) // incl. checkpoint blocks
+      SparkEntry.releaseCaches(spark) // catalog cache + checkpoint blocks
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -58,7 +58,14 @@ object HttpSink {
     /** Like [[write]] but also returns each request's final response —
       * the connector tier (EtlMain) needs the created issue's number and
       * node id from the response body, exactly as the reference stores
-      * the full create/update responses (etl.js:44-45,195-199). */
+      * the full create/update responses (etl.js:44-45,195-199).
+      *
+      * The output is strictly 1:1 with the input, in order: a request
+      * that exhausts its rate-limit retries yields a synthetic terminal
+      * `HttpResponse(429, "retries exhausted")` rather than being
+      * dropped — callers (EtlMain.sendPhase) align responses to request
+      * rows positionally, and a dropped entry would shift the zip and
+      * attribute later 2xx responses to the wrong rows. */
     def sendAll(reqs: Iterator[HttpRequest]): (Seq[(HttpRequest, HttpResponse)], SinkReport) = {
       var sent = 0; var retried = 0; var failed = 0
       var backoff = policy.backoffInitialMs
@@ -84,7 +91,10 @@ object HttpSink {
             done = true
           }
         }
-        if (!done) failed += 1
+        if (!done) { // retries exhausted: emit a terminal row, keep 1:1
+          failed += 1
+          out += ((req, HttpResponse(429, "retries exhausted")))
+        }
       }
       (out.result(), SinkReport(sent, retried, failed))
     }

@@ -62,6 +62,26 @@ class HttpSinkSpec extends AnyFunSuite {
     assert(t.seen.map(_.url) == Seq("/issues/1", "/issues/2"))
   }
 
+  test("sendAll stays 1:1 with input when a request exhausts retries") {
+    // req1 burns every retry on 429s; req2 succeeds. The exhausted
+    // request must still emit a terminal row — EtlMain.sendPhase aligns
+    // responses to request rows positionally, and a dropped entry would
+    // attribute req2's 2xx to req1's row (wrong issue number in the
+    // ledger, phantom "applied" mark for a write that never landed).
+    val policy = RetryPolicy(maxRetries = 2)
+    val sleeps = mutable.Buffer.empty[Long]
+    val t = new ScriptedTransport(Seq(429, 429, 429, 200))
+    val w = new RateLimitedWriter(t, policy, sleeps.append(_))
+    val reqs = Seq(
+      HttpRequest("POST", "/issues/1", "{}"),
+      HttpRequest("POST", "/issues/2", "{}"))
+    val (pairs, report) = w.sendAll(reqs.iterator)
+    assert(pairs.map(_._1.url) == Seq("/issues/1", "/issues/2"))
+    assert(pairs.head._2 == HttpResponse(429, "retries exhausted"))
+    assert(pairs(1)._2.status == 200)
+    assert(report == SinkReport(1, 3, 1))
+  }
+
   test("plain 403 (no secondary-rate-limit body) fails fast, no backoff") {
     // a bad token would otherwise stall a task for hours of doubling
     // backoff; the reference only backs off when the body says so
