@@ -120,9 +120,13 @@ object BoardPipeline {
         when(size(col("label_names_raw")) === 0, array(lit("!Label"))) // P8
           .otherwise(col("label_names_raw")))
       .withColumn("raw_fallback", // P7: secondaryAdmin custom field text
-        element_at(
+        // try_element_at: a card without the field yields an empty
+        // filtered array → NULL, matching the reference's
+        // `find(...)?.value?.text` (transform.js optional chain); plain
+        // element_at throws under ANSI mode on the empty array
+        try_element_at(
           filter(col("customFieldItems"),
-            f => f.getField("idCustomField") === lit(secondaryAdminFieldId)), 1)
+            f => f.getField("idCustomField") === lit(secondaryAdminFieldId)), lit(1))
           .getField("value").getField("text"))
       .withColumn("owners",
         resolveOwnersUdf(col("member_usernames"), col("raw_fallback"), boardUsernamesCol))

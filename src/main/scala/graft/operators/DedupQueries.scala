@@ -82,6 +82,13 @@ object DedupQueries {
     * between queries, so nothing leaks into later measurements. */
   private def sigIndex(s: SparkSession, d: String): DataFrame =
     minhashFrom(shingleSets(s, d).localCheckpoint()).localCheckpoint()
+
+  /** Audit hook: the minhash pipeline WITHOUT the materializing
+    * checkpoints, so PlanAuditSpec can pin the partial-aggregation
+    * shape of the job sigIndex actually runs (the checkpointed query's
+    * own executed plan only shows the post-materialization scan). */
+  private[graft] def minhashPipelineForAudit(s: SparkSession, d: String): DataFrame =
+    minhashFrom(shingleSets(s, d))
   // (two-step: materializing the shingle sets BEFORE hashing keeps the
   // regex tokenizer out of the fused hash job — fusing them into one
   // checkpoint job measured 7.8 s vs 3 s at sf0.1, because projection

@@ -50,7 +50,11 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("q36: minhash aggregation is partial before the shuffle") {
-    val plan = executed("q36_dedup_minhash_lsh")
+    // q36's own executed plan only scans the localCheckpoint blocks, so
+    // audit the un-checkpointed pipeline — the exact job sigIndex runs
+    // to populate them
+    val plan = operators.DedupQueries.minhashPipelineForAudit(spark, sf)
+      .queryExecution.executedPlan.toString
     // partial min per hash function map-side: shuffle carries 8 strings
     // per doc, never the exploded shingle rows
     assert(plan.contains("partial_min") || plan.contains("partial_"), plan)
