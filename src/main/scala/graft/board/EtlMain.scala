@@ -146,9 +146,17 @@ object EtlMain {
     // ---- normalize + derive
     val board = BoardPipeline.readBoard(spark, boardPath)
     val n = BoardPipeline.normalized(board)
+    // localCheckpoint (not cache): cache keeps the whole nested-board
+    // derivation inside every downstream phase's logical plan, and the
+    // 8 phases × (change-set + ledger) queries each re-analyze that
+    // tree — measured ~90 s of pure driver-side Catalyst/codegen per
+    // run on the fixture board. The checkpoint truncates the plan to a
+    // scan over the derived rows; phases analyze small trees.
     val cards = BoardPipeline.customizeCards(
-      n, config.listStatusMap, config.secondaryAdminFieldId).cache()
-    val items = BoardPipeline.customizeItems(n).cache()
+      n, config.listStatusMap, config.secondaryAdminFieldId)
+      .coalesce(1).localCheckpoint(true)
+    val items = BoardPipeline.customizeItems(n)
+      .coalesce(1).localCheckpoint(true)
 
     var ledger = issueLedger0.getOrElse(emptyLedger(spark))
     var fieldLedger = fieldLedger0.getOrElse(emptyFieldLedger(spark))
