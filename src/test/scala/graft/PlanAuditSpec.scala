@@ -74,6 +74,31 @@ class PlanAuditSpec extends SparkSpecBase {
     // shows the fold — VectorExpressionsSpec covers the rewrite)
   }
 
+  test("q81: near-dup pair candidates stay an equi bucket join") {
+    // the whole point of the LSH bucketing: candidates come from an
+    // equi self-join on the bucket key (plus equi verify joins) —
+    // never an all-pairs scan
+    val plan = executed("q81_embedding_neardup_pairs")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q78: IVF probes via equi cell join; only the fixed-k centroid " +
+      "assignment is a broadcast loop") {
+    val plan = executed("q78_ann_ivf")
+    // assignment: corpus × broadcast(k centroids), k constant — O(n·k)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // probe: equi on centroid_id; and never a non-broadcast pair scan
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q82: salted skew join remains an equi shuffle join") {
+    val plan = executed("q82_salted_join")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q39: brute-force ANN streams the corpus past broadcast queries") {
     val plan = executed("q39_ann_bruteforce_topk")
     // the query side is the broadcast side; the corpus is never built
