@@ -51,8 +51,16 @@ object ConnectedComponents {
     val (sym, symRdd) = materialize(
       edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val spark = edges.sparkSession
     val nodes = sym.select(col("src").as("node")).distinct()
     var (labels, labelsRdd) = materialize(nodes.withColumn("label", col("node")))
+    val labelSchema = labels.schema
+    // changed-row count rides the materialization job as an accumulator,
+    // so each round is ONE action (a separate convergence count would
+    // re-read the stored blocks as a second job per round). A task retry
+    // can only over-count, which can only delay convergence by a round —
+    // never report a false fixpoint.
+    val changed = spark.sparkContext.longAccumulator("cc_changed")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -77,15 +85,21 @@ object ConnectedComponents {
         .select(col("node"),
           least(col("mid"), coalesce(col("jump"), col("mid"))).as("label"),
           col("prev"))
-      val (mat, matRdd) = materialize(updated)
-      // the convergence filter reads this round's stored blocks — a
-      // second tiny job, not a recompute of the round
-      converged = mat.filter(col("label") =!= col("prev")).count() == 0
+      changed.reset()
+      // count changed rows while storing; drop `prev` so the blocks
+      // carry only (node, label)
+      val matRdd = updated.rdd.map { r =>
+        if (r.get(1) != r.get(2)) changed.add(1L)
+        Row(r.get(0), r.get(1))
+      }
+      matRdd.localCheckpoint()
+      matRdd.count()
+      converged = changed.value == 0L
       // this round's blocks are stored, so the previous generation can
       // never be re-read — free it immediately
       labelsRdd.unpersist(blocking = false)
       labelsRdd = matRdd
-      labels = mat.select("node", "label")
+      labels = spark.createDataFrame(matRdd, labelSchema)
       i += 1
     }
     // the result's lineage stops at the final checkpoint; the edge list

@@ -163,7 +163,13 @@ object SimilarityQueries {
         SELECT vec_id, label, nn_id, cosine FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
           FROM p) t
-        WHERE rn = 1 ORDER BY vec_id""")),
+        WHERE rn = 1 ORDER BY vec_id"""),
+      doc = "Blocked EXACT nearest neighbor: quadratic *within* each " +
+        "label block by construction — the standard blocking strategy, " +
+        "valid while blocks stay bounded (cost = sum of block sizes " +
+        "squared, one shuffle on label). For unbounded/skewed blocks " +
+        "the scale path is the LSH family (q41/q81), which bounds " +
+        "per-bucket work with deterministic caps."),
 
     // ---- hyperplane-LSH bucketed ANN (scale path). A pair is a
     //      candidate if it collides in ANY of the 4 tables
