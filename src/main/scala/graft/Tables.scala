@@ -39,4 +39,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Decouple compute parallelism from input splits before CPU-heavy
+    * per-row work (crypto hashing, shingle explosion, k-gram rolling
+    * hashes). Parquet is splittable only at row-group boundaries, so a
+    * compact file (one row group) feeds at most ONE task no matter how
+    * many cores the cluster has — the test corpus's single-row-group
+    * `documents.parquet` serialized the whole MinHash pipeline onto 1–2
+    * of 32 cores. At 100 TB the same hazard appears as a few giant
+    * row groups or heavily-compacted inputs: hash cost is O(bytes ×
+    * hashes), orders of magnitude above the one narrow exchange of raw
+    * text this adds, so the round-robin fan-out is the right trade at
+    * every scale. Not applied to scan→filter→agg queries, where the
+    * shuffle would cost more than it buys. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 }

@@ -24,8 +24,14 @@ object TopKAggregator {
 
   final class TopK(k: Int) extends Aggregator[Scored, TopBuf, TopBuf] {
     override def zero: TopBuf = TopBuf(Seq.empty)
-    override def reduce(b: TopBuf, a: Scored): TopBuf =
-      TopBuf((a +: b.items).sorted(ordering).take(k))
+    override def reduce(b: TopBuf, a: Scored): TopBuf = {
+      // fast path for the dominant case: buffer is full and the new row
+      // ranks at-or-below the current worst — no allocation, no sort.
+      // (`items` is kept sorted best-first by construction, so `last`
+      // IS the worst kept row.)
+      if (b.items.size >= k && ordering.lteq(b.items.last, a)) b
+      else TopBuf((a +: b.items).sorted(ordering).take(k))
+    }
     override def merge(x: TopBuf, y: TopBuf): TopBuf =
       TopBuf((x.items ++ y.items).sorted(ordering).take(k))
     override def finish(r: TopBuf): TopBuf = r

@@ -52,8 +52,16 @@ object ConnectedComponents {
       edges.select(col("src"), col("dst"))
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val spark = edges.sparkSession
-    val nodes = sym.select(col("src").as("node")).distinct()
-    var (labels, labelsRdd) = materialize(nodes.withColumn("label", col("node")))
+    // fuse propagation round 1 into initialization: label₀ = min(node,
+    // direct neighbors) is one groupBy over the symmetric edge list —
+    // the same result the first loop iteration would produce with two
+    // shuffle-joins and a broadcast, at a third of the jobs. The loop
+    // then starts one round ahead (pairs — the common dedup cluster
+    // shape — are already at their fixpoint here).
+    var (labels, labelsRdd) = materialize(
+      sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("node"), least(col("src"), col("mn")).as("label")))
     val labelSchema = labels.schema
     // changed-row count rides the materialization job as an accumulator,
     // so each round is ONE action (a separate convergence count would

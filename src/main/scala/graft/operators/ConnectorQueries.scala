@@ -94,6 +94,7 @@ object ConnectorQueries {
         val li = Tables.lineitem(s, d)
         val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
         SkewJoins.saltedEquiJoin(li, o, col("l_orderkey"), col("o_orderkey"),
+            saltCols = Seq(col("l_orderkey"), col("l_linenumber")),
             buckets = 4)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),

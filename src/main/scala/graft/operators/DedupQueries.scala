@@ -35,9 +35,12 @@ object DedupQueries {
         trim(expr("substring(text, instr(text, ' ') + 1)")).as("text")))
   }
 
-  /** Per-doc 3-gram shingle arrays (deduplicated). */
+  /** Per-doc 3-gram shingle arrays (deduplicated). Fanned out first:
+    * the tokenize→shingle→(downstream md5×8) chain is the CPU-dominant
+    * stage of the whole dedup family, and input splits alone cap it at
+    * the row-group count (1 for the test corpus). */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    variantCorpus(s, d)
+    Tables.fanOut(variantCorpus(s, d))
       .withColumn("ts", split(col("text"), "\\s+"))
       .filter(size(col("ts")) >= 3)
       .withColumn("shingles",

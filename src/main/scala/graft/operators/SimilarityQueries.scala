@@ -92,9 +92,13 @@ object SimilarityQueries {
       s"SELECT vec_id, '$t:' || $bits AS bucket FROM n"
     }.mkString("\n UNION ALL\n ")
 
-  /** embeddings with exact double cast + precomputed L2 norm. */
+  /** embeddings with exact double cast + precomputed L2 norm. Fanned
+    * out first: everything downstream of this frame is per-row vector
+    * arithmetic (64-dim folds, 48 hyperplane dots in the LSH family),
+    * and the compact single-row-group parquet otherwise feeds it all
+    * to one task (see [[Tables.fanOut]]). */
   private def normed(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.fanOut(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("norm",
         expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v))"))

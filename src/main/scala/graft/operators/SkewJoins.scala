@@ -21,16 +21,25 @@ object SkewJoins {
     * salt value. The join key becomes (key, salt), spreading a hot key
     * over `buckets` tasks at the cost of a `buckets`× blow-up of the
     * (smaller) right side — choose `buckets` ≈ hot-key rows / target
-    * task size. */
+    * task size.
+    *
+    * `saltCols` drives the salt hash and must vary WITHIN a hot key
+    * (a line number, timestamp, secondary id — never the key alone, or
+    * the hot key lands in one bucket again). Callers pick the narrowest
+    * such set: hashing every column would salt correctly too, but it
+    * blocks column pruning — the scan then reads the full row width
+    * just to compute a 2-bit salt, which at 100 TB is the difference
+    * between shuffling 3 columns and shuffling 30. */
   def saltedEquiJoin(
       left: DataFrame,
       right: DataFrame,
       leftKey: Column,
       rightKey: Column,
+      saltCols: Seq[Column],
       buckets: Int,
       joinType: String = "inner"): DataFrame = {
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(buckets)))
+      pmod(hash(saltCols: _*), lit(buckets)))
     val saltedRight = right.withColumn("__salt",
       explode(expr(s"sequence(0, ${buckets - 1})")))
     saltedLeft

@@ -135,7 +135,7 @@ object TextQueries {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, 3)
         val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-        Tables.documents(s, d)
+        Tables.fanOut(Tables.documents(s, d))
           .select(col("doc_id"),
             posexplode(expr(
               "transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substring(text, i, 8)))")))

@@ -43,12 +43,12 @@ class ScaleLayoutSpec extends SparkSpecBase {
     val dim = spark.range(100).select($"id".as("dk"), ($"id" * 10).as("dv"))
     val plain = skewed.join(dim, $"k" === $"dk").agg(
       count(lit(1)), sum($"payload" + $"dv")).head()
-    val salted = SkewJoins.saltedEquiJoin(skewed, dim, $"k", $"dk", buckets = 8)
+    val salted = SkewJoins.saltedEquiJoin(skewed, dim, $"k", $"dk", Seq($"payload"), buckets = 8)
       .agg(count(lit(1)), sum($"payload" + $"dv")).head()
     assert(plain == salted)
     // outer variant keeps unmatched left rows exactly once
     val plainLeft = skewed.join(dim, $"k" === $"dk", "left").count()
-    val saltedLeft = SkewJoins.saltedEquiJoin(skewed, dim, $"k", $"dk", 8, "left").count()
+    val saltedLeft = SkewJoins.saltedEquiJoin(skewed, dim, $"k", $"dk", Seq($"payload"), 8, "left").count()
     assert(plainLeft == saltedLeft)
   }
 
