@@ -92,13 +92,15 @@ object SimilarityQueries {
       s"SELECT vec_id, '$t:' || $bits AS bucket FROM n"
     }.mkString("\n UNION ALL\n ")
 
-  /** embeddings with exact double cast + precomputed L2 norm. Fanned
-    * out first: everything downstream of this frame is per-row vector
-    * arithmetic (64-dim folds, 48 hyperplane dots in the LSH family),
-    * and the compact single-row-group parquet otherwise feeds it all
-    * to one task (see [[Tables.fanOut]]). */
+  /** embeddings with exact double cast + precomputed L2 norm.
+    * Deliberately NOT [[Tables.fanOut]]-ed: the corpus's per-row vector
+    * work (a 64-dim fold + 48 hyperplane dots) is small relative to the
+    * stage/exchange overhead the repartition adds to every query in the
+    * family — measured as a net in-sweep regression on q39/q40. At a
+    * 1B-vector scale the input arrives in thousands of splits and the
+    * question disappears. */
   private def normed(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(Tables.embeddings(s, d))
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("norm",
         expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v))"))

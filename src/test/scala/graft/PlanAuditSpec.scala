@@ -60,6 +60,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("partial_min") || plan.contains("partial_"), plan)
   }
 
+  test("q36/q70: hash-heavy document pipelines fan out past the " +
+    "single-row-group input (compute parallelism ≠ input splits)") {
+    // a compacted parquet file is one split no matter the core count;
+    // Tables.fanOut must keep the md5-dominant stages at the session's
+    // shuffle parallelism (removing it re-serializes the whole MinHash
+    // family onto one task — a measured 8-10× stage slowdown)
+    // the groupBy exchange fixes the REDUCE-side width either way; the
+    // fan-out shows as a round-robin exchange BELOW the hash stage
+    val mhPlan = operators.DedupQueries.minhashPipelineForAudit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(mhPlan.contains("RoundRobinPartitioning"), mhPlan)
+    val wPlan = SparkEntry.queries("q70_winnowing")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(wPlan.contains("RoundRobinPartitioning"), wPlan)
+  }
+
   test("q41: LSH candidates come from an equi join on the bucket key, " +
       "never a nested-loop pair scan") {
     val plan = executed("q41_ann_lsh_bucketed")
