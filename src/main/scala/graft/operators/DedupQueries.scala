@@ -219,6 +219,30 @@ object DedupQueries {
         FROM cc JOIN sizes ON cc.cluster = sizes.cluster
         ORDER BY doc_id""")),
 
+    // ---- near-dup pruning, the production keep-policy: drop every doc
+    //      that has ANY smaller-id near-dup candidate; keep the rest.
+    //      This is the transitive-closure-free policy real dedup
+    //      pipelines run at scale (one anti join over the candidate
+    //      pairs — no iterative CC): for a pair cluster it keeps
+    //      exactly the min id; for a chain it may drop slightly more
+    //      than one-per-cluster (each non-minimal link), the standard
+    //      documented trade. q77 is the exhaustive cluster variant.
+    QueryDef(
+      "q85_dedup_prune",
+      (s, d) => {
+        val drops = candidatePairsFrom(sigIndex(s, d))
+          .select(col("doc_b").as("doc_id")).distinct()
+        variantCorpus(s, d).select("doc_id")
+          .join(drops, Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+      },
+      Some(s"""$oracleBandsCte,
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+        SELECT doc_id FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_b FROM cand)
+        ORDER BY doc_id""")),
+
     // ---- SimHash: 16-bit signature from per-token md5 nibble high-bits
     QueryDef(
       "q38_dedup_simhash",

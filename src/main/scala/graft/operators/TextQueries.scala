@@ -163,6 +163,103 @@ object TextQueries {
         FROM win WHERE pos <= nk - 4
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- TF-IDF top terms per document (the classic relevance/quality
+    //      feature). Shape at scale: one explode → two hash aggs (tf by
+    //      (doc,term), df by term) → equi join on term → broadcast of
+    //      the 1-row corpus count → per-doc top-3 window. The join is
+    //      term-partitioned (shuffle once); nothing is ever quadratic.
+    //      Ordering ties are broken by term so the float score never
+    //      decides between equal (tf, df) pairs; the score itself is
+    //      emitted rounded to 4 decimals (ln differs in the last ulp
+    //      across engines; the rounding grid is 1e9× coarser).
+    QueryDef(
+      "q83_tfidf_topterms",
+      (s, d) => {
+        val toks = Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+        tf.join(dfreq, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+            round(col("tfidf"), 4).as("tfidf_r"))
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, rn, term, tf, df, round(tfidf, 4) AS tfidf_r FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term) AS INT) AS rn FROM scored) t
+        WHERE rn <= 3 ORDER BY doc_id, rn""")),
+
+    // ---- PII injection + redaction: deterministic synthetic PII is
+    //      appended (the corpus has none), then masked and counted —
+    //      proving the full redact path with nonzero counts. Patterns
+    //      stay in the Java-regex ∩ RE2 common subset (no backrefs /
+    //      lookaround) so both engines match identically; DuckDB needs
+    //      the explicit 'g' flag to match Spark's replace-all default.
+    //      At 100 TB this is a pure per-row map — no shuffle at all.
+    QueryDef(
+      "q84_pii_redaction",
+      (s, d) => {
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val phone = "\\+1-555-[0-9]+"
+        Tables.documents(s, d)
+          .withColumn("aug", concat(trim(col("text")),
+            lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com or +1-555-0"), col("doc_id")))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(email), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("aug"), lit(phone), lit(0))).as("n_phones"),
+            regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
+              phone, "<PHONE>").as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]+')) AS INT) AS n_phones,
+        regexp_replace(regexp_replace(aug,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+          '\+1-555-[0-9]+', '<PHONE>', 'g') AS redacted
+        FROM (SELECT doc_id, trim(text) || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@mail.example.com or +1-555-0' || CAST(doc_id AS VARCHAR) AS aug
+          FROM documents) t
+        ORDER BY doc_id""")),
+
+    // ---- deterministic stratified sampling: hash-bucket selection
+    //      (md5 of the id — engine-portable, seedless, reproducible on
+    //      any cluster; `rand()` would differ per run AND per task
+    //      retry) keeping ~25%, then per-stratum counts. At 100 TB the
+    //      filter pushes into the scan stage and the agg is the only
+    //      shuffle.
+    QueryDef(
+      "q86_stratified_sample",
+      (s, d) => Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("source", "lang"),
+      Some("""SELECT source, lang, count(*) AS n_sampled,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        GROUP BY source, lang ORDER BY source, lang""")),
+
     // ---- document fingerprinting (whitespace-normalized content hash)
     QueryDef(
       "q34_fingerprint",
