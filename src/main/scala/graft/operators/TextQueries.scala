@@ -179,7 +179,11 @@ object TextQueries {
           .select(col("doc_id"),
             explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = toks.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        // df derived from tf, not from the raw tokens: tf rows are
+        // already distinct (doc, term) pairs, so count(*) per term IS
+        // count(DISTINCT doc_id) — and the corpus is scanned/exploded
+        // ONCE instead of twice (at 100 TB, one pass vs two).
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
