@@ -19,13 +19,22 @@ import org.apache.spark.sql.functions._
   * equi self-join on the band key — the classic shuffle-once LSH plan.
   * At 100 TB, band keys partition evenly (they are md5 outputs) and the
   * Jaccard verification only touches candidate pairs, never the n²
-  * cross product. Hashes are md5-hex (lexicographic min = minhash), so
-  * Spark and the DuckDB oracle agree bit-for-bit with zero UDFs.
+  * cross product. Hash functions are 8-hex-char (32-bit) lanes carved
+  * out of md5 digests (lexicographic min = minhash; disjoint substrings
+  * of a crypto hash are independent), so Spark and the DuckDB oracle
+  * agree bit-for-bit with zero UDFs at a quarter of the crypto calls.
   */
 object DedupQueries {
 
   private val NumHashes = 8
   private val Bands = 4 // 2 rows per band
+  // 4 lanes of 8 hex chars (32 bits) per md5 call: 2 crypto hashes per
+  // shingle instead of 8, and the shuffle carries 8-char lane minima
+  // instead of 32-char digests. md5 bits are uniform, so disjoint
+  // substrings are independent hash functions — the standard way to
+  // buy a k-lane MinHash family with k/4 strong hashes at scale.
+  private val LanesPerMd5 = 4
+  private val NumMd5 = NumHashes / LanesPerMd5
 
   /** corpus := documents ∪ first-token-dropped variants. */
   private def variantCorpus(s: SparkSession, d: String): DataFrame = {
@@ -60,11 +69,18 @@ object DedupQueries {
     * formulation bit-for-bit. */
   private def minhashFrom(sets: DataFrame): DataFrame = {
     val hashed = sets.select(col("doc_id"), explode(col("sd")).as("sh"))
-    val hashCols = (0 until NumHashes)
-      .map(j => md5(concat(lit(s"mh$j:"), col("sh"))).as(s"h$j"))
+    // two-step projection: digests once, then lane substrings. The
+    // physical projection collapses both steps and whole-stage codegen's
+    // common-subexpression elimination keeps each md5 evaluated once
+    // even though 4 lanes reference it.
+    val md5Cols = (0 until NumMd5)
+      .map(j => md5(concat(lit(s"mh$j:"), col("sh"))).as(s"H$j"))
+    val laneCols = for { j <- 0 until NumMd5; k <- 0 until LanesPerMd5 }
+      yield substring(col(s"H$j"), 1 + 8 * k, 8).as(s"h${j * LanesPerMd5 + k}")
     val minCols = (0 until NumHashes).map(j => min(col(s"h$j")).as(s"m$j"))
     hashed
-      .select(col("doc_id") +: hashCols: _*)
+      .select(col("doc_id") +: md5Cols: _*)
+      .select(col("doc_id") +: laneCols: _*)
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
@@ -117,8 +133,8 @@ object DedupQueries {
 
   /** Shared oracle CTE prefix mirroring [[bandedCorpus]]. */
   private val oracleBandsCte: String = {
-    val sig = (0 until NumHashes)
-      .map(j => s"list_min(list_transform(shingles, s -> md5('mh' || $j || ':' || s)))")
+    val sig = (for { j <- 0 until NumMd5; k <- 0 until LanesPerMd5 }
+      yield s"list_min(list_transform(shingles, s -> substr(md5('mh' || $j || ':' || s), ${1 + 8 * k}, 8)))")
       .mkString("[", ", ", "]")
     s"""WITH corpus AS (
       SELECT doc_id, trim(text) AS text FROM documents
