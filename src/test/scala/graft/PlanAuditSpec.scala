@@ -121,4 +121,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("no query in the battery plans a non-broadcast cartesian product") {
+    // the blanket 100 TB invariant: a CartesianProduct materializes
+    // |L|×|R| with NO bounded build side — at scale that's a dead job
+    // regardless of which query it hides in. (Broadcast nested-loop
+    // joins are allowed: their build side is bounded by the broadcast
+    // threshold or an explicit fixed-k hint, e.g. q78's centroid
+    // assignment and q39's broadcast query set.)
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = executed(name)
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
 }
