@@ -38,7 +38,8 @@ object SparkEntry {
       operators.PipelineQueries.defs ++
       operators.MultimodalQueries.defs ++
       operators.AnalyticsQueries.defs ++
-      operators.ConnectorQueries.defs
+      operators.ConnectorQueries.defs ++
+      operators.CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,320 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators over `documents` / `embeddings`
+  * (north-star LLM-pipeline surface): benchmark decontamination,
+  * repetition-based quality scoring, per-source canonical selection,
+  * k-means clustering (assignment + one Lloyd update), the end-to-end
+  * curation funnel, token-budget sequence packing, and vocabulary
+  * coverage.
+  *
+  * Scale shapes, per query:
+  *  - q87: the benchmark shingle set is tiny by definition (eval sets
+  *    are KBs against a 100 TB corpus) → broadcast semi-side; the
+  *    corpus side is one explode + one hash agg. Never quadratic.
+  *  - q88: pure per-row map over codegen'd array exprs — zero shuffle.
+  *  - q89: one shuffle on (source, lang), top-1 via window (partial
+  *    top-k would use q71's bounded-heap Aggregator at extreme skew).
+  *  - q90: assignment is O(n·k) with k CONSTANT (a trained codebook —
+  *    the q78 round-2 lesson: never let k grow with n); centroids are
+  *    broadcast, the Lloyd update is one posexplode + hash agg keyed
+  *    (cluster, dim) — k×dim cells regardless of corpus size.
+  *  - q91: the whole funnel is ONE scan: per-row stage flags, a single
+  *    window for the dedup keeper, one final agg → 5 rows. (Running
+  *    each stage as its own count would re-scan the corpus per stage.)
+  *  - q92: packing runs per-lang (window partitioned), so parallelism
+  *    = #strata; a single global greedy pack is inherently sequential
+  *    and is exactly what NOT to ship at 100 TB.
+  *  - q93: cumulative coverage ranks the post-agg vocabulary (small by
+  *    Heaps' law) — the single-partition window sees vocab rows, never
+  *    corpus rows.
+  */
+object CurationQueries {
+
+  /** Tokenized documents: lowercase, whitespace split. */
+  private def tokenized(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ts", split(lower(trim(col("text"))), "\\s+"))
+
+  private val shingle3 =
+    "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+
+  /** (doc_id, sh) distinct 3-gram shingles, exploded. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    tokenized(s, d)
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(shingle3))).as("sh"))
+
+  private val oracleShinglesCte =
+    """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+        FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(ts) - 2),
+          i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))) AS sh
+        FROM toks WHERE len(ts) >= 3)"""
+
+  /** Fixed k-means codebook: literal ids (k constant, never a function
+    * of corpus size — stands in for a trained coreset/codebook). All
+    * ids < 500 so they exist at every test scale factor. */
+  private val CentroidIds = Seq(3L, 47L, 111L, 205L, 289L, 333L, 404L, 450L)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- benchmark decontamination: flag training docs sharing any
+    //      3-gram shingle with the (deterministic) benchmark subset.
+    //      The real-world shape: eval-set n-grams are broadcast against
+    //      the corpus shingle stream; overlap counts drive drop/keep.
+    QueryDef(
+      "q87_decontamination",
+      (s, d) => {
+        val sh = shingles(s, d)
+        val bench = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
+        val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+        val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        val overlaps = corpus.join(broadcast(bench), Seq("sh"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        totals.join(overlaps, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_overlap"))
+          .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+            (col("n_overlap") > 0).cast("int").as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$oracleShinglesCte,
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        tot AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        ov AS (SELECT doc_id, count(*) AS n_overlap FROM corpus JOIN bench USING (sh)
+               GROUP BY doc_id)
+        SELECT tot.doc_id, tot.n_shingles, coalesce(ov.n_overlap, 0) AS n_overlap,
+          CAST(coalesce(ov.n_overlap, 0) > 0 AS INT) AS contaminated
+        FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
+        ORDER BY tot.doc_id""")),
+
+    // ---- repetition quality (Gopher-style): duplicate-n-gram
+    //      fractions per document, computed entirely per-row (array
+    //      exprs inside whole-stage codegen — no shuffle, no UDF).
+    QueryDef(
+      "q88_repetition_quality",
+      (s, d) => tokenized(s, d)
+        .filter(size(col("ts")) >= 3)
+        .withColumn("bg",
+          expr("transform(sequence(0, size(ts) - 2), i -> concat_ws(' ', ts[i], ts[i+1]))"))
+        .withColumn("tg", expr(shingle3))
+        .select(col("doc_id"),
+          size(col("bg")).as("n_bigrams"),
+          (lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg")))
+            .as("dup_bigram_frac"),
+          (lit(1.0) - size(array_distinct(col("tg"))).cast("double") / size(col("tg")))
+            .as("dup_trigram_frac"))
+        .withColumn("repetitive",
+          (col("dup_bigram_frac") >= 0.05).cast("int"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(len(bg) AS INT) AS n_bigrams,
+          1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac,
+          1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg) AS dup_trigram_frac,
+          CAST((1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)) >= 0.05 AS INT)
+            AS repetitive
+        FROM (SELECT doc_id,
+            list_transform(range(len(ts) - 1), i -> ts[i+1] || ' ' || ts[i+2]) AS bg,
+            list_transform(range(len(ts) - 2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS tg
+          FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+                FROM documents) t
+          WHERE len(ts) >= 3) g
+        ORDER BY doc_id""")),
+
+    // ---- per-source canonical selection (URL/domain-level dedup
+    //      policy): within each (source, lang) stratum keep the longest
+    //      document, ties to the smallest id.
+    QueryDef(
+      "q89_source_canonical",
+      (s, d) => {
+        val w = Window.partitionBy(col("source"), col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("source"), col("lang"), col("doc_id").as("keeper"),
+            col("n_chars"))
+          .orderBy("source", "lang")
+      },
+      Some("""SELECT source, lang, doc_id AS keeper, n_chars FROM (
+          SELECT *, row_number() OVER (PARTITION BY source, lang
+            ORDER BY n_chars DESC, doc_id) AS rn FROM documents) t
+        WHERE rn = 1 ORDER BY source, lang""")),
+
+    // ---- k-means over embeddings: assignment to a fixed literal
+    //      codebook (broadcast, O(n·k)) + one Lloyd centroid update
+    //      (posexplode → (cluster, dim)-keyed agg; k×dim output cells
+    //      regardless of corpus size). Component means go through
+    //      exact decimal sums (shuffle-order-independent), then one
+    //      deterministic decimal→double division.
+    QueryDef(
+      "q90_kmeans_lloyd",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val cents = e.filter(col("vec_id").isin(CentroidIds: _*))
+          .select(col("vec_id").as("cid"), col("emb").as("ce"))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sqdist").asc, col("cid").asc)
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("sqdist",
+            expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+        assigned
+          .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
+          .groupBy("cid", "dim")
+          .agg(count(lit(1)).as("n_members"),
+            (sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+              .as("c_new"))
+          .orderBy("cid", "dim")
+      },
+      Some(s"""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        c AS (SELECT vec_id AS cid, emb AS ce FROM e
+              WHERE vec_id IN (${CentroidIds.mkString(", ")})),
+        dist AS (SELECT e.vec_id, c.cid, e.emb,
+            list_sum(list_transform(range(len(e.emb)),
+              i -> (e.emb[i+1] - c.ce[i+1]) * (e.emb[i+1] - c.ce[i+1]))) AS sqdist
+          FROM e CROSS JOIN c),
+        a AS (SELECT vec_id, cid, emb FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY sqdist, cid) AS rn FROM dist) t
+          WHERE rn = 1),
+        x AS (SELECT cid, unnest(list_transform(range(len(emb)),
+            i -> {'dim': i, 'v': emb[i+1]})) AS u FROM a)
+        SELECT cid, CAST(u.dim AS INT) AS dim, count(*) AS n_members,
+          CAST(sum(CAST(u.v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c_new
+        FROM x GROUP BY cid, u.dim
+        ORDER BY cid, dim""")),
+
+    // ---- the curation funnel, single-pass: per-row stage flags
+    //      (language → quality), one window for the exact-dedup keeper,
+    //      a hash-bucket sample — then ONE aggregation emits the whole
+    //      per-stage retention ladder. Monotone by construction (each
+    //      flag conjoins the previous).
+    QueryDef(
+      "q91_curation_funnel",
+      (s, d) => {
+        val flagged = tokenized(s, d)
+          .withColumn("fp",
+            md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+          .withColumn("lang_ok", col("lang").isin("en", "es", "fr", "de"))
+          .withColumn("qual_ok", col("lang_ok") && size(col("ts")) >= 20 &&
+            size(array_distinct(col("ts"))).cast("double") / size(col("ts")) >= 0.3)
+          .withColumn("keep_ok", col("qual_ok") &&
+            col("doc_id") === min(when(col("qual_ok"), col("doc_id")))
+              .over(Window.partitionBy(col("fp"))))
+          .withColumn("samp_ok", col("keep_ok") &&
+            substring(md5(col("doc_id").cast("string")), 1, 1)
+              .isin("0", "1", "2", "3"))
+        def cnt(c: Column): Column = sum(c.cast("long"))
+        flagged
+          .agg(count(lit(1)).as("s0"), cnt(col("lang_ok")).as("s1"),
+            cnt(col("qual_ok")).as("s2"), cnt(col("keep_ok")).as("s3"),
+            cnt(col("samp_ok")).as("s4"))
+          .select(expr("""stack(5,
+              0, 'total',       s0,
+              1, 'lang_filter', s1,
+              2, 'quality',     s2,
+              3, 'exact_dedup', s3,
+              4, 'sampled',     s4) AS (stage, stage_name, n_docs)"""))
+          .orderBy("stage")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang,
+            string_split_regex(lower(trim(text)), '\s+') AS ts,
+            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        f AS (SELECT doc_id, fp,
+            (lang IN ('en','es','fr','de')) AS lang_ok,
+            (lang IN ('en','es','fr','de') AND len(ts) >= 20
+              AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) >= 0.3) AS qual_ok
+          FROM base),
+        k AS (SELECT *, (qual_ok AND doc_id = min(CASE WHEN qual_ok THEN doc_id END)
+            OVER (PARTITION BY fp)) AS keep_ok FROM f),
+        sfl AS (SELECT *, (keep_ok AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+            IN ('0','1','2','3')) AS samp_ok FROM k),
+        agg AS (SELECT count(*) AS s0,
+            CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+            CAST(sum(CASE WHEN qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+            CAST(sum(CASE WHEN keep_ok THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+            CAST(sum(CASE WHEN samp_ok THEN 1 ELSE 0 END) AS BIGINT) AS s4
+          FROM sfl)
+        SELECT 0 AS stage, 'total' AS stage_name, s0 AS n_docs FROM agg
+        UNION ALL SELECT 1, 'lang_filter', s1 FROM agg
+        UNION ALL SELECT 2, 'quality', s2 FROM agg
+        UNION ALL SELECT 3, 'exact_dedup', s3 FROM agg
+        UNION ALL SELECT 4, 'sampled', s4 FROM agg
+        ORDER BY stage""")),
+
+    // ---- token-budget sequence packing: greedy 512-token chunking
+    //      per language stratum (chunk = exclusive-prefix-sum div
+    //      budget). Partitioned by lang so strata pack in parallel —
+    //      a single global pack is inherently sequential at scale.
+    QueryDef(
+      "q92_token_packing",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        tokenized(s, d)
+          .select(col("doc_id"), col("lang"), size(col("ts")).cast("long").as("n_tokens"))
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("chunk_id", (col("cum_before") / 512).cast("long"))
+          .groupBy("lang", "chunk_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("chunk_tokens"))
+          .orderBy("lang", "chunk_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+            CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (SELECT doc_id, lang, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          FROM t)
+        SELECT lang, cum_before // 512 AS chunk_id, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+        FROM c GROUP BY lang, cum_before // 512
+        ORDER BY lang, chunk_id""")),
+
+    // ---- vocabulary coverage: global term frequencies, cumulative
+    //      corpus share of the top-20 terms. The rank window runs over
+    //      the POST-aggregation vocabulary (Heaps-law small), never the
+    //      token stream.
+    QueryDef(
+      "q93_vocab_coverage",
+      (s, d) => {
+        val counts = tokenized(s, d)
+          .select(explode(col("ts")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("total"))
+        val ord = Window.orderBy(col("n").desc, col("term").asc)
+        counts
+          .withColumn("rank", row_number().over(ord))
+          .withColumn("cum",
+            sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("rank") <= 20)
+          .crossJoin(broadcast(total))
+          .select(col("rank"), col("term"), col("n"), col("cum"),
+            (col("cum").cast("double") / col("total").cast("double")).as("cum_share"))
+          .orderBy("rank")
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        counts AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+        ranked AS (SELECT term, n,
+            CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rank,
+            CAST(sum(n) OVER (ORDER BY n DESC, term
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM counts)
+        SELECT rank, term, n, cum,
+          CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        FROM ranked CROSS JOIN tot
+        WHERE rank <= 20 ORDER BY rank"""))
+  )
+}

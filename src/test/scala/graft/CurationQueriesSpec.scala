@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the curation battery (q87-q93) beyond the
+  * driver's DuckDB hash gate: structural properties that must hold at
+  * ANY corpus size, checked at sf0.001. */
+class CurationQueriesSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q87: benchmark docs are excluded; overlap bounded by shingle count") {
+    val rows = run("q87_decontamination").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) % 50 != 0), "benchmark doc leaked into corpus")
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)), "overlap > shingles")
+    assert(rows.forall(r => (r.getLong(2) > 0) == (r.getInt(3) == 1)))
+    // the synthetic corpus's shared vocabulary must produce SOME overlap,
+    // or the query proves nothing
+    assert(rows.exists(_.getInt(3) == 1), "no contaminated docs found")
+    assert(rows.exists(_.getInt(3) == 0), "every doc contaminated")
+  }
+
+  test("q88: duplicate-n-gram fractions are proper fractions") {
+    val rows = run("q88_repetition_quality").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, t) = (r.getDouble(2), r.getDouble(3))
+      assert(b >= 0.0 && b < 1.0, s"dup_bigram_frac $b")
+      assert(t >= 0.0 && t < 1.0, s"dup_trigram_frac $t")
+      assert((b >= 0.05) == (r.getInt(4) == 1))
+    }
+  }
+
+  test("q89: the keeper really is the stratum maximum") {
+    val out = run("q89_source_canonical")
+    val truth = Tables.documents(spark, sf)
+      .groupBy("source", "lang").agg(max("n_chars").as("mx"))
+    val bad = out.join(truth, Seq("source", "lang"))
+      .filter(col("n_chars") =!= col("mx")).count()
+    assert(bad == 0)
+    // exactly one keeper per stratum present in the data
+    assert(out.count() ==
+      Tables.documents(spark, sf).select("source", "lang").distinct().count())
+  }
+
+  test("q90: membership partitions the corpus; every centroid owns itself") {
+    val rows = run("q90_kmeans_lloyd").collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val dims = rows.map(_.getInt(1)).distinct
+    assert(rows.length == 8 * dims.length, s"${rows.length} cells")
+    // per-dim membership sums to the corpus size (assignment is a partition)
+    dims.foreach { dim =>
+      val tot = rows.filter(_.getInt(1) == dim).map(_.getLong(2)).sum
+      assert(tot == nVecs, s"dim $dim membership $tot != $nVecs")
+    }
+    // a centroid's own vector is at distance 0 of itself → every cluster
+    // is non-empty
+    assert(rows.forall(_.getLong(2) >= 1))
+  }
+
+  test("q91: the funnel is monotone and starts at the corpus size") {
+    val rows = run("q91_curation_funnel").orderBy("stage").collect()
+    assert(rows.length == 5)
+    assert(rows.head.getLong(2) == Tables.documents(spark, sf).count())
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      counts.mkString(","))
+    assert(counts.last > 0, "funnel filtered everything out")
+  }
+
+  test("q92: chunks conserve tokens and documents per stratum") {
+    val out = run("q92_token_packing")
+    val truth = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("tok"), count(lit(1)).as("docs"))
+    val packed = out.groupBy("lang")
+      .agg(sum("chunk_tokens").as("tok2"), sum("n_docs").as("docs2"))
+    val bad = truth.join(packed, Seq("lang"))
+      .filter(col("tok") =!= col("tok2") || col("docs") =!= col("docs2")).count()
+    assert(bad == 0)
+    // chunk ids are dense from 0 within each lang
+    val langs = out.select("lang").distinct().collect().map(_.getString(0))
+    langs.foreach { l =>
+      val ids = out.filter(col("lang") === l).select("chunk_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1, s"$l: ${ids.mkString(",")}")
+    }
+  }
+
+  test("q93: cumulative coverage is monotone and consistent") {
+    val rows = run("q93_vocab_coverage").orderBy("rank").collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 20))
+    val cums = rows.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a })
+    val shares = rows.map(_.getDouble(4))
+    assert(shares.forall(s => s > 0.0 && s <= 1.0))
+    // counts are ranked descending
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a })
+  }
+}

@@ -122,6 +122,44 @@ class PlanAuditSpec extends SparkSpecBase {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q87: the benchmark shingle set joins as the broadcast side") {
+    // eval sets are KBs against a 100 TB corpus — the overlap join must
+    // broadcast the benchmark shingles, never shuffle the corpus side
+    // on the shingle key
+    val plan = executed("q87_decontamination")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q90: k-means assignment is a fixed-k broadcast loop; the Lloyd " +
+      "update aggregates map-side") {
+    val df = SparkEntry.queries("q90_kmeans_lloyd")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // O(n·k) with k constant: centroids broadcast, corpus streamed
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the (cluster, dim) agg combines before its shuffle
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("q92: packing windows are partitioned by stratum, never a " +
+      "single global sort") {
+    // a global greedy pack serializes the corpus through one partition;
+    // the per-lang window must NOT plan an Exchange SinglePartition
+    val plan = executed("q92_token_packing")
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("q93: the coverage window ranks the post-agg vocabulary, " +
+      "with map-side combine below it") {
+    // the single-partition window is fine ONLY because it sees the
+    // aggregated vocabulary; the token stream must partial-aggregate
+    // before any exchange
+    val plan = executed("q93_vocab_coverage")
+    assert(plan.contains("partial_"), plan)
+  }
+
   test("no query in the battery plans a non-broadcast cartesian product") {
     // the blanket 100 TB invariant: a CartesianProduct materializes
     // |L|×|R| with NO bounded build side — at scale that's a dead job
