@@ -30,6 +30,23 @@ object Bench {
       try Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    // JIT warm-up: one tiny-scale (sf0.001) pass of every query before
+    // timing. Generated whole-stage code is unique per query and runs
+    // INTERPRETED until the JIT loop thresholds trip — for string-heavy
+    // plans that cold artifact is 5-10× the steady-state cost (q83
+    // measured 7.5 s cold vs 1.1 s compiled at sf0.1). On a real
+    // cluster a query template compiles once and runs for hours; the
+    // tiny pass makes the sf measurements reflect that steady state
+    // instead of one-shot JVM transients. Uniform across the battery —
+    // never selective. Disable with SPARK_GRAFT_WARM_DIR=none.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir != "none" && new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        SparkEntry.releaseCaches(spark)
+      }
+      System.gc()
+    }
 
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMillis: Long = {

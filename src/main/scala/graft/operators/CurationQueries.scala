@@ -281,6 +281,130 @@ object CurationQueries {
         FROM c GROUP BY lang, cum_before // 512
         ORDER BY lang, chunk_id""")),
 
+    // ---- int8 scalar quantization of embeddings + recall@1 audit:
+    //      per-dim min/max codebook (64 cells — broadcast), codes in
+    //      [0,255], then top-1 cosine search over the DEQUANTIZED
+    //      vectors (codes + codebook reconstruct — what an int8
+    //      serving tier actually reads) vs the exact-cosine top-1.
+    //      The recall flag measures the end-to-end int8 round-trip
+    //      quality in-query. At 100 TB quantization cuts the vector
+    //      tier 4×; all fp is in-order folds over deterministic
+    //      inputs (the engine-portable discipline of the whole
+    //      similarity family). NOTE: ranking by raw affine code dots
+    //      is NOT order-equivalent to cosine (the per-dim shift
+    //      dominates) — measured 0/5 recall; reconstruction is the
+    //      correct quantized rank key.
+    QueryDef(
+      "q94_embedding_quantize",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        // per-dim codebook, assembled into two dim-ordered literal-ish
+        // arrays on a single broadcast row
+        val stats = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
+          .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mins"),
+            expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("maxs"))
+        val q8 = "transform(sequence(0, size(emb) - 1), i -> CAST(CASE " +
+          "WHEN maxs[i] > mins[i] THEN round((emb[i] - mins[i]) / (maxs[i] - mins[i]) * 255) " +
+          "ELSE 0 END AS INT))"
+        // reconstruction: mins[i] + code * scale[i]
+        val dq = "transform(sequence(0, size(qv) - 1), i -> " +
+          "mins[i] + CAST(qv[i] AS DOUBLE) * (maxs[i] - mins[i]) / 255D)"
+        val coded = e.crossJoin(broadcast(stats))
+          .withColumn("qv", expr(q8))
+          .select(col("vec_id"), col("emb"), expr(dq).as("dqv"))
+          .withColumn("norm",
+            expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
+          .withColumn("dnorm",
+            expr("sqrt(aggregate(zip_with(dqv, dqv, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
+        val probes = coded.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+            col("dqv").as("dqq"), col("norm").as("qnorm"), col("dnorm").as("qdnorm"))
+        val pairs = broadcast(probes)
+          .join(coded, col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            expr("aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, v) -> a + v)") /
+              (col("qnorm") * col("norm")))
+          .withColumn("qcos",
+            expr("aggregate(zip_with(dqq, dqv, (x, y) -> x * y), 0D, (a, v) -> a + v)") /
+              (col("qdnorm") * col("dnorm")))
+        def top1(key: String, out: String) = {
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col(key).desc, col("vec_id").asc)
+          pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("query_id"), col("vec_id").as(out))
+        }
+        top1("cosine", "exact_nn").join(top1("qcos", "quant_nn"), Seq("query_id"))
+          .select(col("query_id"), col("exact_nn"), col("quant_nn"),
+            (col("exact_nn") === col("quant_nn")).cast("int").as("recall_at1"))
+          .orderBy("query_id")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+        x AS (SELECT vec_id, unnest(list_transform(range(len(emb)),
+            i -> {'dim': i, 'v': emb[i+1]})) AS u FROM e),
+        st AS (SELECT u.dim AS dim, min(u.v) AS mn, max(u.v) AS mx FROM x GROUP BY u.dim),
+        cb AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM st),
+        qcoded AS (SELECT vec_id, emb,
+            list_transform(range(len(emb)), i -> CAST(CASE
+              WHEN maxs[i+1] > mins[i+1]
+              THEN round((emb[i+1] - mins[i+1]) / (maxs[i+1] - mins[i+1]) * 255)
+              ELSE 0 END AS INT)) AS qv,
+            mins, maxs
+          FROM e CROSS JOIN cb),
+        coded AS (SELECT vec_id, emb,
+            list_transform(range(len(qv)),
+              i -> mins[i+1] + CAST(qv[i+1] AS DOUBLE) * (maxs[i+1] - mins[i+1]) / 255) AS dqv,
+            sqrt(list_sum(list_transform(range(len(emb)), i -> emb[i+1] * emb[i+1]))) AS norm
+          FROM qcoded),
+        coded2 AS (SELECT vec_id, emb, dqv, norm,
+            sqrt(list_sum(list_transform(range(len(dqv)), i -> dqv[i+1] * dqv[i+1]))) AS dnorm
+          FROM coded),
+        probes AS (SELECT vec_id AS query_id, emb AS qe, dqv AS dqq,
+            norm AS qnorm, dnorm AS qdnorm
+          FROM coded2 WHERE vec_id % 100 = 0),
+        pairs AS (SELECT p.query_id, c.vec_id,
+            list_sum(list_transform(range(len(p.qe)), i -> p.qe[i+1] * c.emb[i+1]))
+              / (p.qnorm * c.norm) AS cosine,
+            list_sum(list_transform(range(len(p.dqq)), i -> p.dqq[i+1] * c.dqv[i+1]))
+              / (p.qdnorm * c.dnorm) AS qcos
+          FROM probes p JOIN coded2 c ON c.vec_id <> p.query_id),
+        ex AS (SELECT query_id, vec_id AS exact_nn FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS rn FROM pairs) t WHERE rn = 1),
+        qt AS (SELECT query_id, vec_id AS quant_nn FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY qcos DESC, vec_id) AS rn FROM pairs) t WHERE rn = 1)
+        SELECT ex.query_id, exact_nn, quant_nn,
+          CAST(exact_nn = quant_nn AS INT) AS recall_at1
+        FROM ex JOIN qt ON ex.query_id = qt.query_id
+        ORDER BY ex.query_id""")),
+
+    // ---- exact-k deterministic stratified sample: EXACTLY 5 docs per
+    //      language by md5 order (q86 keeps a hash *fraction*; training
+    //      mixtures need fixed per-stratum budgets). Seedless and
+    //      task-retry-stable. At extreme per-stratum cardinality the
+    //      window becomes q71's bounded-heap Aggregator; the policy is
+    //      identical.
+    QueryDef(
+      "q95_fixed_size_sample",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, rn, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+            CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+          FROM documents) t
+        WHERE rn <= 5 ORDER BY lang, rn""")),
+
     // ---- vocabulary coverage: global term frequencies, cumulative
     //      corpus share of the top-20 terms. The rank window runs over
     //      the POST-aggregation vocabulary (Heaps-law small), never the

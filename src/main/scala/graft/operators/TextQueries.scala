@@ -175,19 +175,29 @@ object TextQueries {
     QueryDef(
       "q83_tfidf_topterms",
       (s, d) => {
-        val toks = Tables.fanOut(Tables.documents(s, d))
+        val toks = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        // materialized once: tf feeds BOTH join branches (its own and
+        // the df derivation); an unmaterialized plan recomputes the
+        // tokenize→explode→agg chain per branch.
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         // df derived from tf, not from the raw tokens: tf rows are
         // already distinct (doc, term) pairs, so count(*) per term IS
         // count(DISTINCT doc_id) — and the corpus is scanned/exploded
-        // ONCE instead of twice (at 100 TB, one pass vs two).
+        // ONCE instead of twice (at 100 TB, one pass vs two). The df
+        // side is the post-agg VOCABULARY (Heaps-law small even at
+        // 100 TB) → broadcast it, so tf is never shuffled on the
+        // skewed term key (a handful of hot terms would pile onto a
+        // few reducers) and the serialized AQE stage chain stays short
+        // (the cold-run cost of this query is driver-side stage
+        // materialization latency, not task time).
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
-        tf.join(dfreq, Seq("term"))
+        tf.join(broadcast(dfreq), Seq("term"))
           .crossJoin(broadcast(n))
           .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
           .withColumn("rn", row_number().over(w))

@@ -90,6 +90,27 @@ class CurationQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("q94: quantized search recalls most exact top-1 neighbors") {
+    val rows = run("q94_embedding_quantize").collect()
+    assert(rows.nonEmpty)
+    // int8 per-dim scalar quantization on 64-dim vectors should rarely
+    // flip the top-1 — require majority recall, not just determinism
+    val recall = rows.count(_.getInt(3) == 1).toDouble / rows.length
+    assert(recall >= 0.6, s"recall@1 $recall")
+  }
+
+  test("q95: exactly 5 docs per stratum, ranks dense") {
+    val rows = run("q95_fixed_size_sample").collect()
+    val perLang = rows.groupBy(_.getString(0))
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.length == 5, s"$lang has ${rs.length}")
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5), lang)
+    }
+    // deterministic: two runs agree exactly
+    val again = run("q95_fixed_size_sample").collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("q93: cumulative coverage is monotone and consistent") {
     val rows = run("q93_vocab_coverage").orderBy("rank").collect()
     assert(rows.length == 20)
