@@ -405,6 +405,73 @@ object CurationQueries {
           FROM documents) t
         WHERE rn <= 5 ORDER BY lang, rn""")),
 
+    // ---- unigram-LM log-likelihood quality bucketing (the CCNet
+    //      signal with the LM *self-trained* on the corpus — fully
+    //      deterministic, no external model): per-term probabilities
+    //      from one agg (vocabulary-sized → broadcast back), per-doc
+    //      mean log-prob via decimal-exact sums, quartile buckets.
+    //      The ntile window ranks POST-AGG per-doc scores; at 100 TB
+    //      the bucket boundaries would come from an approx-quantile
+    //      sketch instead of a global sort — the scoring pipeline
+    //      (the expensive part) is shape-identical.
+    QueryDef(
+      "q96_unigram_loglik",
+      (s, d) => {
+        val toks = tokenized(s, d).select(col("doc_id"), explode(col("ts")).as("term"))
+        val tfreq = toks.groupBy("term").agg(count(lit(1)).as("n"))
+        val total = tfreq.agg(sum(col("n")).as("tot"))
+        val w = Window.orderBy(col("avg_ll_r").asc, col("doc_id").asc)
+        toks.join(broadcast(tfreq), Seq("term"))
+          .crossJoin(broadcast(total))
+          .withColumn("lp", log(col("n").cast("double") / col("tot").cast("double")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("lp").cast("decimal(18,12)")).cast("double").as("ll"))
+          .withColumn("avg_ll_r", round(col("ll") / col("n_tokens"), 4))
+          .withColumn("bucket", ntile(4).over(w))
+          .select(col("doc_id"), col("n_tokens"), col("avg_ll_r"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tf),
+        sc AS (SELECT doc_id, count(*) AS n_tokens,
+            CAST(sum(CAST(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+              AS DECIMAL(18,12))) AS DOUBLE) AS ll
+          FROM toks JOIN tf USING (term) CROSS JOIN tot GROUP BY doc_id)
+        SELECT doc_id, n_tokens, round(ll / n_tokens, 4) AS avg_ll_r,
+          CAST(ntile(4) OVER (ORDER BY round(ll / n_tokens, 4), doc_id) AS INT) AS bucket
+        FROM sc ORDER BY doc_id""")),
+
+    // ---- source-mix rebalancing: per-source sampling weights that
+    //      would equalize the training mixture (weight = uniform
+    //      target share / actual share). One agg + broadcast scalars;
+    //      the weights then drive a q86/q95-style sampler.
+    QueryDef(
+      "q97_source_mix_weights",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val totals = bySrc.agg(sum(col("n_docs")).as("tot"),
+          count(lit(1)).as("n_sources"))
+        bySrc.crossJoin(broadcast(totals))
+          .withColumn("share", col("n_docs").cast("double") / col("tot").cast("double"))
+          .withColumn("weight",
+            round((col("tot").cast("double") / col("n_sources").cast("double")) /
+              col("n_docs").cast("double"), 6))
+          .select(col("source"), col("n_docs"), col("share"), col("weight"))
+          .orderBy("source")
+      },
+      Some("""WITH bysrc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot,
+            CAST(count(*) AS BIGINT) AS n_sources FROM bysrc)
+        SELECT source, n_docs,
+          CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+          round((CAST(tot AS DOUBLE) / CAST(n_sources AS DOUBLE))
+            / CAST(n_docs AS DOUBLE), 6) AS weight
+        FROM bysrc CROSS JOIN tot ORDER BY source""")),
+
     // ---- vocabulary coverage: global term frequencies, cumulative
     //      corpus share of the top-20 terms. The rank window runs over
     //      the POST-aggregation vocabulary (Heaps-law small), never the

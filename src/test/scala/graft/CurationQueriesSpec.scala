@@ -111,6 +111,25 @@ class CurationQueriesSpec extends SparkSpecBase {
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
 
+  test("q96: log-likelihoods are negative, buckets balanced") {
+    val rows = run("q96_unigram_loglik").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    assert(rows.forall(_.getDouble(2) < 0.0), "a unigram avg log-prob must be < 0")
+    val bucketSizes = rows.groupBy(_.getInt(3)).view.mapValues(_.length)
+    assert(bucketSizes.keys.toSeq.sorted == Seq(1, 2, 3, 4))
+    // ntile keeps buckets within 1 of each other
+    assert(bucketSizes.values.max - bucketSizes.values.min <= 1)
+  }
+
+  test("q97: weights rebalance the mixture to uniform") {
+    val rows = run("q97_source_mix_weights").collect()
+    // shares sum to 1; weighted counts are equal across sources
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"share sum $shareSum")
+    val weighted = rows.map(r => r.getLong(1) * r.getDouble(3))
+    assert(weighted.max - weighted.min < 1e-3, weighted.mkString(","))
+  }
+
   test("q93: cumulative coverage is monotone and consistent") {
     val rows = run("q93_vocab_coverage").orderBy("rank").collect()
     assert(rows.length == 20)
