@@ -151,7 +151,18 @@ object SimilarityQueries {
       (s, d) => {
         val e = normed(s, d)
         val a = e.select(col("vec_id"), col("label"), col("emb").as("qe"), col("norm").as("qnorm"))
+        // deterministic per-block candidate cap (md5 order — seedless,
+        // retry-stable): bounds the block join at O(block × min(block,
+        // cap)) instead of block². Inactive at test scales (blocks
+        // ≪ 1000, so the output stays the exact NN and the oracle
+        // mirrors the same pool); at 100 TB a hot block degrades to a
+        // deterministic-pool approximation instead of a dead job — the
+        // q41/q81 cap policy applied to the blocked-exact case.
+        val capW = Window.partitionBy(col("label"))
+          .orderBy(md5(col("other_id").cast("string")).asc, col("other_id").asc)
         val b = e.select(col("vec_id").as("other_id"), col("label"), col("emb"), col("norm"))
+          .withColumn("ck", row_number().over(capW))
+          .filter(col("ck") <= 1000).drop("ck")
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("cosine").desc, col("other_id").asc)
         a.join(b, Seq("label"))
@@ -163,19 +174,23 @@ object SimilarityQueries {
           .orderBy("vec_id")
       },
       Some(s"""$oracleNormed,
+        pool AS (SELECT vec_id, label, emb, norm FROM (
+            SELECT *, row_number() OVER (PARTITION BY label
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS ck FROM n) t
+          WHERE ck <= 1000),
         p AS (SELECT q.vec_id, q.label, c.vec_id AS nn_id,
             $oracleDot / (q.norm * c.norm) AS cosine
-          FROM n q JOIN n c ON q.label = c.label AND q.vec_id != c.vec_id)
+          FROM n q JOIN pool c ON q.label = c.label AND q.vec_id != c.vec_id)
         SELECT vec_id, label, nn_id, cosine FROM (
           SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
           FROM p) t
         WHERE rn = 1 ORDER BY vec_id"""),
-      doc = "Blocked EXACT nearest neighbor: quadratic *within* each " +
-        "label block by construction — the standard blocking strategy, " +
-        "valid while blocks stay bounded (cost = sum of block sizes " +
-        "squared, one shuffle on label). For unbounded/skewed blocks " +
-        "the scale path is the LSH family (q41/q81), which bounds " +
-        "per-bucket work with deterministic caps."),
+      doc = "Blocked nearest neighbor with a deterministic per-block " +
+        "candidate cap: exact while blocks stay under the cap (all test " +
+        "scales), a bounded deterministic-pool approximation beyond it " +
+        "— cost O(block × min(block, cap)) per block, one shuffle on " +
+        "label. The exhaustive scale path for unbounded/skewed blocks " +
+        "is the LSH family (q41/q81)."),
 
     // ---- hyperplane-LSH bucketed ANN (scale path). A pair is a
     //      candidate if it collides in ANY of the 4 tables

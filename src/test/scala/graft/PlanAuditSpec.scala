@@ -160,6 +160,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("q94: quantized search stays a broadcast probe loop over a " +
+      "broadcast codebook — no cartesian, no code-side shuffle") {
+    val plan = executed("q94_embedding_quantize")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q96: the unigram LM joins as a broadcast of the post-agg " +
+      "vocabulary; the token stream partial-aggregates") {
+    val df = SparkEntry.queries("q96_unigram_loglik")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("partial_"), plan)
+  }
+
   test("no query in the battery plans a non-broadcast cartesian product") {
     // the blanket 100 TB invariant: a CartesianProduct materializes
     // |L|×|R| with NO bounded build side — at scale that's a dead job
