@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import scala.annotation.tailrec
+
+/** ScalaCheck property: the distributed min-label propagation must
+  * agree with a brute-force union-find closure on arbitrary random
+  * graphs — chains, stars, cycles, isolated pairs, whatever the
+  * generator produces. The q77 oracle only exercises the LSH candidate
+  * graph's shapes; this covers the operator as a component. */
+object ConnectedComponentsProps extends Properties("connected-components") {
+
+  private lazy val spark = SparkSpecBase.session
+
+  private val edgesGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(2, 40) // node id space
+    m <- Gen.chooseNum(1, 60) // edge count
+    es <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0L, n.toLong)
+      b <- Gen.chooseNum(0L, n.toLong) if a != b
+    } yield (a, b))
+  } yield es
+
+  /** Reference union-find with path compression. */
+  private def closure(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    @tailrec def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { parent(x) = parent.getOrElse(p, p); find(p) }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(v => v -> find(v)).toMap
+  }
+
+  property("labels equal the union-find closure's min-id components") =
+    forAll(edgesGen) { es =>
+      es.nonEmpty ==> {
+        import spark.implicits._
+        val df = es.toDF("src", "dst")
+        val got = ConnectedComponents.run(df).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == closure(es)
+      }
+    }
+
+  // keep the suite fast: each case spins ~n Spark jobs
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(12)
+}
