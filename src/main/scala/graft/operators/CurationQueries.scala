@@ -70,7 +70,13 @@ object CurationQueries {
     QueryDef(
       "q87_decontamination",
       (s, d) => {
-        val sh = shingles(s, d)
+        // one tokenize→shingle pass: the exploded shingle stream feeds
+        // THREE branches (benchmark set, per-doc totals, overlap join);
+        // unmaterialized, each branch re-runs the corpus pipeline. In
+        // production the shingle stream lands in storage once;
+        // localCheckpoint is the in-process equivalent (released by
+        // SparkEntry.releaseCaches per the contract).
+        val sh = shingles(s, d).localCheckpoint()
         val bench = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
         val corpus = sh.filter(col("doc_id") % 50 =!= 0)
         val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -311,6 +317,9 @@ object CurationQueries {
         // reconstruction: mins[i] + code * scale[i]
         val dq = "transform(sequence(0, size(qv) - 1), i -> " +
           "mins[i] + CAST(qv[i] AS DOUBLE) * (maxs[i] - mins[i]) / 255D)"
+        // codes + reconstructions materialized ONCE (production writes
+        // the int8 tier to storage); probes and the pair scan both read
+        // the stored blocks instead of re-running the quantize pipeline
         val coded = e.crossJoin(broadcast(stats))
           .withColumn("qv", expr(q8))
           .select(col("vec_id"), col("emb"), expr(dq).as("dqv"))
@@ -318,6 +327,7 @@ object CurationQueries {
             expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
           .withColumn("dnorm",
             expr("sqrt(aggregate(zip_with(dqv, dqv, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
+          .localCheckpoint()
         val probes = coded.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("query_id"), col("emb").as("qe"),
             col("dqv").as("dqq"), col("norm").as("qnorm"), col("dnorm").as("qdnorm"))
@@ -329,13 +339,19 @@ object CurationQueries {
           .withColumn("qcos",
             expr("aggregate(zip_with(dqq, dqv, (x, y) -> x * y), 0D, (a, v) -> a + v)") /
               (col("qdnorm") * col("dnorm")))
-        def top1(key: String, out: String) = {
-          val w = Window.partitionBy(col("query_id"))
-            .orderBy(col(key).desc, col("vec_id").asc)
-          pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .select(col("query_id"), col("vec_id").as(out))
-        }
-        top1("cosine", "exact_nn").join(top1("qcos", "quant_nn"), Seq("query_id"))
+        // both rank keys resolved in ONE pass over the pair scan: two
+        // windows share the partition, the winners fold in a final agg
+        // (two top1-and-join branches would run the broadcast loop —
+        // the expensive part at scale — twice)
+        def w(key: String) = Window.partitionBy(col("query_id"))
+          .orderBy(col(key).desc, col("vec_id").asc)
+        pairs
+          .withColumn("rn_e", row_number().over(w("cosine")))
+          .withColumn("rn_q", row_number().over(w("qcos")))
+          .filter(col("rn_e") === 1 || col("rn_q") === 1)
+          .groupBy("query_id")
+          .agg(max(when(col("rn_e") === 1, col("vec_id"))).as("exact_nn"),
+            max(when(col("rn_q") === 1, col("vec_id"))).as("quant_nn"))
           .select(col("query_id"), col("exact_nn"), col("quant_nn"),
             (col("exact_nn") === col("quant_nn")).cast("int").as("recall_at1"))
           .orderBy("query_id")
@@ -418,7 +434,10 @@ object CurationQueries {
       "q96_unigram_loglik",
       (s, d) => {
         val toks = tokenized(s, d).select(col("doc_id"), explode(col("ts")).as("term"))
+        // vocab-sized materialization: both the broadcast-back join and
+        // the corpus-total scalar read the aggregated term table
         val tfreq = toks.groupBy("term").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         val total = tfreq.agg(sum(col("n")).as("tot"))
         val w = Window.orderBy(col("avg_ll_r").asc, col("doc_id").asc)
         toks.join(broadcast(tfreq), Seq("term"))
@@ -479,9 +498,12 @@ object CurationQueries {
     QueryDef(
       "q93_vocab_coverage",
       (s, d) => {
+        // vocab-sized materialization: `total` derives from counts —
+        // without it the broadcast branch re-runs the corpus explode
         val counts = tokenized(s, d)
           .select(explode(col("ts")).as("term"))
           .groupBy("term").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         val total = counts.agg(sum(col("n")).as("total"))
         val ord = Window.orderBy(col("n").desc, col("term").asc)
         counts
