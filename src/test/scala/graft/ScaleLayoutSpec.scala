@@ -82,5 +82,24 @@ class ScaleLayoutSpec extends SparkSpecBase {
     val jsonBack = spark.read.schema(orders.schema).json(s"$tmp/orders_json")
     assert(jsonBack.exceptAll(orders).count() == 0)
     assert(orders.exceptAll(jsonBack).count() == 0)
+
+    orders.write.mode("overwrite").orc(s"$tmp/orders_orc")
+    val orcBack = spark.read.schema(orders.schema).orc(s"$tmp/orders_orc")
+    assert(orcBack.exceptAll(orders).count() == 0)
+    assert(orders.exceptAll(orcBack).count() == 0)
+  }
+
+  test("orc scans push filters and prune columns like parquet") {
+    val sf = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Tables.lineitem(spark, sf).write.mode("overwrite").orc(s"$tmp/li_orc")
+    val read = spark.read.orc(s"$tmp/li_orc")
+      .filter($"l_quantity" > 45.0).select("l_orderkey", "l_quantity")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    val rs = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("l_orderkey") && !rs.contains("l_extendedprice"), rs)
+    assert(read.count() ==
+      Tables.lineitem(spark, sf).filter($"l_quantity" > 45.0).count())
   }
 }
