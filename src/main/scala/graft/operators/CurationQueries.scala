@@ -491,6 +491,64 @@ object CurationQueries {
             / CAST(n_docs AS DOUBLE), 6) AS weight
         FROM bysrc CROSS JOIN tot ORDER BY source""")),
 
+    // ---- overflow-aware document chunking: a doc longer than the
+    //      token budget SPLITS into ceil(n/budget) training chunks
+    //      (q92 packs whole docs; this is the other half of sequence
+    //      prep). Budget 32 so the fixture corpus (10-99 tokens/doc)
+    //      actually exercises multi-chunk splits; production budgets
+    //      are 2k-8k with identical shape. Pure per-row explode —
+    //      embarrassingly parallel, no shuffle at all.
+    QueryDef(
+      "q98_doc_chunking",
+      (s, d) => tokenized(s, d)
+        .select(col("doc_id"), col("lang"), size(col("ts")).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          explode(expr("sequence(0, CAST(ceil(n_tokens / 32.0) AS INT) - 1)"))
+            .as("chunk_idx"))
+        .withColumn("chunk_tokens",
+          least(lit(32L), col("n_tokens") - col("chunk_idx") * 32L))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"), col("lang"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""SELECT doc_id, CAST(u AS INT) AS chunk_idx,
+          least(32, n_tokens - u * 32) AS chunk_tokens, lang
+        FROM (SELECT doc_id, lang,
+            CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents) t,
+          unnest(range(CAST(ceil(n_tokens / 32.0) AS BIGINT))) AS s(u)
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ---- equi-depth histogram: exact quartile boundaries (one agg)
+    //      broadcast back, bucket assignment per row, per-bucket
+    //      profile. The boundary agg sees column values once; at
+    //      100 TB the boundaries would come from an approx-quantile
+    //      sketch, the assignment pass is identical.
+    QueryDef(
+      "q99_equidepth_histogram",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bounds = docs.agg(
+          expr("percentile(n_chars, 0.25)").as("b1"),
+          expr("percentile(n_chars, 0.5)").as("b2"),
+          expr("percentile(n_chars, 0.75)").as("b3"))
+        docs.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            when(col("n_chars") <= col("b1"), 1)
+              .when(col("n_chars") <= col("b2"), 2)
+              .when(col("n_chars") <= col("b3"), 3).otherwise(4))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+          .orderBy("bucket")
+      },
+      Some("""WITH b AS (SELECT quantile_cont(n_chars, 0.25) AS b1,
+            quantile_cont(n_chars, 0.5) AS b2, quantile_cont(n_chars, 0.75) AS b3
+          FROM documents)
+        SELECT CASE WHEN n_chars <= b1 THEN 1 WHEN n_chars <= b2 THEN 2
+            WHEN n_chars <= b3 THEN 3 ELSE 4 END AS bucket,
+          count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents CROSS JOIN b
+        GROUP BY 1 ORDER BY bucket""")),
+
     // ---- vocabulary coverage: global term frequencies, cumulative
     //      corpus share of the top-20 terms. The rank window runs over
     //      the POST-aggregation vocabulary (Heaps-law small), never the

@@ -130,6 +130,33 @@ class CurationQueriesSpec extends SparkSpecBase {
     assert(weighted.max - weighted.min < 1e-3, weighted.mkString(","))
   }
 
+  test("q98: chunks conserve tokens and exercise the split path") {
+    val rows = run("q98_doc_chunking").collect()
+    assert(rows.length > Tables.documents(spark, sf).count(),
+      "no doc split into multiple chunks — the overflow path is untested")
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 32))
+    // per-doc chunk tokens sum to the doc's token count
+    val byDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val truth = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.forall { case (id, tot) => truth(id) == tot })
+  }
+
+  test("q99: equi-depth buckets are balanced and ordered") {
+    val rows = run("q99_equidepth_histogram").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.sum == Tables.documents(spark, sf).count())
+    // equi-depth: quartiles keep buckets within ~2% of each other at
+    // this corpus size (ties on n_chars can shift a few docs)
+    assert(sizes.max - sizes.min <= sizes.sum / 20, sizes.mkString(","))
+    // ranges are disjoint and ascending
+    val (mins, maxs) = (rows.map(_.getLong(2)), rows.map(_.getLong(3)))
+    assert(maxs.zip(mins.tail).forall { case (hi, nextLo) => hi < nextLo })
+  }
+
   test("q93: cumulative coverage is monotone and consistent") {
     val rows = run("q93_vocab_coverage").orderBy("rank").collect()
     assert(rows.length == 20)
