@@ -549,6 +549,59 @@ object CurationQueries {
         FROM documents CROSS JOIN b
         GROUP BY 1 ORDER BY bucket""")),
 
+    // ---- the capstone: a content-addressed training-set manifest.
+    //      Funnel survivors (q91's lang→quality→dedup ladder) are
+    //      chunked to the token budget (q98's split) and each chunk
+    //      emits its token slice's md5 — the manifest a 100 TB run
+    //      writes to storage for the trainer. One scan + one dedup
+    //      window + one explode; chunk hashing is per-row.
+    QueryDef(
+      "q100_training_manifest",
+      (s, d) => {
+        val flagged = tokenized(s, d)
+          .withColumn("fp",
+            md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+          .withColumn("lang_ok", col("lang").isin("en", "es", "fr", "de"))
+          .withColumn("qual_ok", col("lang_ok") && size(col("ts")) >= 20 &&
+            size(array_distinct(col("ts"))).cast("double") / size(col("ts")) >= 0.3)
+          .withColumn("keep_ok", col("qual_ok") &&
+            col("doc_id") === min(when(col("qual_ok"), col("doc_id")))
+              .over(Window.partitionBy(col("fp"))))
+          .filter(col("keep_ok"))
+        flagged
+          .select(col("doc_id"), col("lang"), col("ts"),
+            size(col("ts")).cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("lang"), col("ts"), col("n_tokens"),
+            explode(expr("sequence(0, CAST(ceil(n_tokens / 32.0) AS INT) - 1)"))
+              .as("chunk_idx"))
+          .withColumn("chunk_tokens",
+            least(lit(32L), col("n_tokens") - col("chunk_idx") * 32L))
+          .withColumn("chunk_hash",
+            md5(concat_ws(" ",
+              expr("slice(ts, chunk_idx * 32 + 1, CAST(chunk_tokens AS INT))"))))
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+            col("lang"), col("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang,
+            string_split_regex(lower(trim(text)), '\s+') AS ts,
+            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        f AS (SELECT doc_id, lang, ts, fp,
+            (lang IN ('en','es','fr','de') AND len(ts) >= 20
+              AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) >= 0.3) AS qual_ok
+          FROM base),
+        k AS (SELECT doc_id, lang, ts, CAST(len(ts) AS BIGINT) AS n_tokens
+          FROM (SELECT *, (qual_ok AND doc_id = min(CASE WHEN qual_ok THEN doc_id END)
+              OVER (PARTITION BY fp)) AS keep_ok FROM f) t
+          WHERE keep_ok)
+        SELECT doc_id, CAST(u AS INT) AS chunk_idx,
+          least(32, n_tokens - u * 32) AS chunk_tokens, lang,
+          md5(array_to_string(ts[u * 32 + 1 : u * 32 + least(32, n_tokens - u * 32)], ' '))
+            AS chunk_hash
+        FROM k, unnest(range(CAST(ceil(n_tokens / 32.0) AS BIGINT))) AS s(u)
+        ORDER BY doc_id, chunk_idx""")),
+
     // ---- vocabulary coverage: global term frequencies, cumulative
     //      corpus share of the top-20 terms. The rank window runs over
     //      the POST-aggregation vocabulary (Heaps-law small), never the

@@ -157,6 +157,17 @@ class CurationQueriesSpec extends SparkSpecBase {
     assert(maxs.zip(mins.tail).forall { case (hi, nextLo) => hi < nextLo })
   }
 
+  test("q100: the manifest covers exactly the dedup survivors") {
+    val rows = run("q100_training_manifest").collect()
+    val funnel = run("q91_curation_funnel").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    // one manifest group per surviving doc (stage 3 = exact_dedup)
+    assert(rows.map(_.getLong(0)).distinct.length == funnel("exact_dedup"))
+    // chunk hashes are content-addressed: distinct unless token slices repeat
+    assert(rows.forall(_.getString(4).length == 32))
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 32))
+  }
+
   test("q93: cumulative coverage is monotone and consistent") {
     val rows = run("q93_vocab_coverage").orderBy("rank").collect()
     assert(rows.length == 20)
