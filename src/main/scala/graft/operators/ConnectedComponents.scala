@@ -1,123 +1,118 @@
 package graft.operators
 
+import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed connected components by iterative min-label propagation —
   * the step that turns near-duplicate *pairs* (q36/q37) into duplicate
   * *clusters* so dedup can keep one representative per component.
   *
-  * Each iteration is one shuffle join (neighbor-min) + a pointer-jump
-  * join; labels are min-monotone so propagation distance doubles per
-  * round and the loop converges in O(log diameter) rounds. Lineage is
-  * truncated per round with a local checkpoint (a checkpoint dir in
-  * production) — without it the plan doubles every iteration and the
-  * driver, not the data, becomes the bottleneck.
+  * This is the one deliberately RDD-shaped operator in the engine (the
+  * builder prompt's "genuine per-partition imperative logic" case): an
+  * iterative algorithm re-plans N times under Catalyst — per-round
+  * analysis, optimization, codegen, and AQE stage materialization cost
+  * 100-300 ms each and dominate the loop (measured: ~50 jobs, 1.3 s of
+  * task time, 3-8 s wall on the DataFrame formulation). With RDDs and
+  * ONE fixed HashPartitioner the per-round plan is static:
   *
-  * Checkpoint blocks are pinned in the block manager until explicitly
-  * unpersisted — `spark.catalog.clearCache()` never touches them, so a
-  * 20-round run would otherwise pin 20+ generations of the full node
-  * set for the life of the JVM. Each round therefore materializes
-  * through [[materialize]], which returns the EXACT checkpointed RDD
-  * handle; the superseded generation is unpersisted as soon as the next
-  * one is stored. (Diffing the global `getPersistentRDDs` set instead
-  * would race with unrelated machinery persisting RDDs inside the same
-  * job and could unpersist a caller's lazily-checkpointed blocks —
-  * lineage already truncated, blocks unrecoverable.)
+  *  - `sym` (symmetric edge list, keyed by src) is partitioned ONCE;
+  *  - `sym join labels` is co-partitioned → narrow, zero shuffle;
+  *  - routing neighbor labels dst-ward is the round's ONE shuffle, with
+  *    map-side combine (`reduceByKey(min)`) so the wire carries one
+  *    (node, min) pair per partition, not the edge fan-in;
+  *  - folding the new minimum into the old labels is co-partitioned →
+  *    narrow again.
+  *
+  * Labels are min-monotone and each round folds in a pointer jump
+  * (label(label(n))) alongside the neighbor minima, so propagation
+  * distance doubles per round and the loop converges in O(log
+  * diameter) — maxIter 20 covers diameters beyond 2^19, not 20 hops.
+  *
+  * Each round localCheckpoints through the EXACT materialized RDD
+  * handle and unpersists the superseded generation immediately —
+  * checkpoint blocks are invisible to `spark.catalog.clearCache()` and
+  * would otherwise pin executor memory for the life of the JVM (the
+  * round-2 lesson). The convergence count rides the materialization
+  * job as an accumulator, so each round is ONE action; a task retry
+  * can only over-count, which can only delay convergence by a round —
+  * never report a false fixpoint.
   */
 object ConnectedComponents {
-
-  /** Eagerly materialize `df` into a local-checkpointed RDD, returning
-    * a DataFrame view over the stored blocks plus the precise RDD
-    * handle for later unpersist. Public-API only: `df.rdd` →
-    * `RDD.localCheckpoint` → count (stores blocks, truncates lineage)
-    * → `createDataFrame` over the stored rows. The Row round-trip is
-    * linear, per-partition work — acceptable for label frames. */
-  private def materialize(df: DataFrame): (DataFrame, RDD[Row]) = {
-    val rdd = df.rdd
-    rdd.localCheckpoint()
-    rdd.count()
-    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
-  }
 
   /** @param edges (src, dst) undirected pairs (any orientation)
     * @return (node, cluster) where cluster = min node id reachable */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // materialize the edge list ONCE — every iteration references it,
-    // and without the checkpoint each reference re-executes the full
-    // upstream pipeline that produced the edges (e.g. the whole LSH
-    // candidate generation)
-    val (sym, symRdd) = materialize(
-      edges.select(col("src"), col("dst"))
-        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val spark = edges.sparkSession
-    // (AQE stays ON for the loop: measured 5.3 s with AQE vs 8.8 s
-    // without at sf0.1 — the adaptive broadcast conversion and
-    // partition coalescing on the small label frames outweigh the
-    // per-stage re-planning latency they cost. The loop is
-    // driver-bound either way; ~1.3 s of task time across ~50 jobs.)
+    val sc = spark.sparkContext
+    val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
+
+    // materialize the symmetric edge list ONCE, partitioned by src —
+    // every round's narrow join reuses these blocks; without the
+    // checkpoint each reference re-executes the full upstream pipeline
+    // that produced the edges (e.g. the whole LSH candidate generation)
+    val sym: RDD[(Long, Long)] = edges.select("src", "dst").rdd
+      .flatMap { r => val a = r.getLong(0); val b = r.getLong(1); Seq((a, b), (b, a)) }
+      .partitionBy(part)
+    sym.localCheckpoint()
+    sym.count()
+
     // fuse propagation round 1 into initialization: label₀ = min(node,
-    // direct neighbors) is one groupBy over the symmetric edge list —
-    // the same result the first loop iteration would produce with two
-    // shuffle-joins and a broadcast, at a third of the jobs. The loop
-    // then starts one round ahead (pairs — the common dedup cluster
-    // shape — are already at their fixpoint here).
-    var (labels, labelsRdd) = materialize(
-      sym.groupBy(col("src"))
-        .agg(min(col("dst")).as("mn"))
-        .select(col("src").as("node"), least(col("src"), col("mn")).as("label")))
-    val labelSchema = labels.schema
-    // changed-row count rides the materialization job as an accumulator,
-    // so each round is ONE action (a separate convergence count would
-    // re-read the stored blocks as a second job per round). A task retry
-    // can only over-count, which can only delay convergence by a round —
-    // never report a false fixpoint.
-    val changed = spark.sparkContext.longAccumulator("cc_changed")
+    // direct neighbors) is one reduceByKey over the already-partitioned
+    // edge list (narrow — map-side combine within the stored blocks).
+    // Pairs — the dominant dedup cluster shape — are at their fixpoint
+    // before the loop starts.
+    var labels: RDD[(Long, Long)] = sym
+      .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      .mapPartitions(_.map { case (n, mn) => (n, math.min(n, mn)) },
+        preservesPartitioning = true)
+    labels.localCheckpoint()
+    labels.count()
+    var prev = labels
+
+    val changed = sc.longAccumulator("cc_changed")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = sym
-        .join(labels, sym("dst") === labels("node"))
-        .groupBy(sym("src").as("node"))
-        .agg(min(col("label")).as("nbr_label"))
-      val stepped = labels.withColumnRenamed("label", "prev")
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("prev"), coalesce(col("nbr_label"), col("prev"))).as("mid"),
-          col("prev"))
-      // pointer jumping: follow the tentative label one more hop through
-      // the PREVIOUS round's map (label(label(node))). Labels are
-      // min-monotone (label(x) <= x always), so the hop can only lower
-      // the value and never leaves the component. At the fixpoint
-      // mid = prev and label(prev) = prev, so the hop is the identity
-      // and the convergence check below is unaffected.
-      val updated = stepped
-        .join(labels.select(col("node").as("mid"), col("label").as("jump")),
-          Seq("mid"), "left")
-        .select(col("node"),
-          least(col("mid"), coalesce(col("jump"), col("mid"))).as("label"),
-          col("prev"))
+      // neighbor propagation: narrow join (sym and labels share `part`),
+      // then route each label dst-ward
+      val nbr = sym.join(labels, part)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+      // pointer jumping: label(label(n)) — propagation distance DOUBLES
+      // per round, so convergence is O(log diameter), not O(diameter)
+      // (a 1000-link chain under a plain neighbor walk would silently
+      // hit maxIter un-converged). Re-key by label (shuffle), hop
+      // through the label map (narrow — same partitioner), emit the
+      // grand-label back to the node.
+      val jump = labels.map { case (n, l) => (l, n) }
+        .join(labels, part)
+        .map { case (_, (n, ll)) => (n, ll) }
+      // fold self + neighbor + jump minima in ONE combine-heavy shuffle
+      val stepped = labels.union(nbr).union(jump)
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      // narrow: reduceByKey(part) and labels share `part`
+      val checked = stepped.join(labels, part)
+        .mapPartitions(_.map { case (n, (nw, old)) =>
+          if (nw != old) changed.add(1L)
+          (n, nw)
+        }, preservesPartitioning = true)
       changed.reset()
-      // count changed rows while storing; drop `prev` so the blocks
-      // carry only (node, label)
-      val matRdd = updated.rdd.map { r =>
-        if (r.get(1) != r.get(2)) changed.add(1L)
-        Row(r.get(0), r.get(1))
-      }
-      matRdd.localCheckpoint()
-      matRdd.count()
+      checked.localCheckpoint()
+      checked.count() // ONE action: stores blocks + counts changes
       converged = changed.value == 0L
-      // this round's blocks are stored, so the previous generation can
+      // this round's blocks are stored; the superseded generation can
       // never be re-read — free it immediately
-      labelsRdd.unpersist(blocking = false)
-      labelsRdd = matRdd
-      labels = spark.createDataFrame(matRdd, labelSchema)
+      prev.unpersist(blocking = false)
+      prev = checked
+      labels = checked
       i += 1
     }
-    // the result's lineage stops at the final checkpoint; the edge list
-    // is no longer reachable from it
-    symRdd.unpersist(blocking = false)
-    labels.select(col("node"), col("label").as("cluster"))
+    sym.unpersist(blocking = false)
+
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = false),
+      StructField("cluster", LongType, nullable = false)))
+    spark.createDataFrame(labels.map { case (n, c) => Row(n, c) }, schema)
   }
 }

@@ -49,6 +49,16 @@ object ConnectedComponentsProps extends Properties("connected-components") {
       }
     }
 
+  property("a 200-link chain converges within the iteration budget") = {
+    // diameter 200 ≫ maxIter 20: only pointer jumping (O(log d) rounds)
+    // can close this — a plain neighbor walk silently caps out
+    import spark.implicits._
+    val chain = (0L until 200L).map(i => (i, i + 1)).toList
+    val got = ConnectedComponents.run(chain.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got == (0L to 200L).map(_ -> 0L).toMap
+  }
+
   // keep the suite fast: each case spins ~n Spark jobs
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(12)
