@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType}
 
 /** Optimizer rule: recognize the declarative dot-product fold
   *
@@ -65,9 +65,27 @@ object FuseVectorOps extends Rule[LogicalPlan] {
     }
 }
 
+/** Optimizer rule: fuse `size(array_distinct(x))` over string arrays —
+  * the type-token-ratio / repetition counter on the text-quality hot
+  * path — into the allocation-free [[graft.functions.ArrayDistinctCount]]
+  * probe loop. Matches only the non-legacy `Size` (legacySizeOfNull =
+  * false): the fused expression returns NULL for a null array, which
+  * is `size`'s non-legacy semantics; a legacy session's -1 must not be
+  * rewritten. */
+object FuseDistinctCount extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ArrayDistinct(e), false)
+          if e.dataType == ArrayType(StringType) ||
+             e.dataType == ArrayType(StringType, containsNull = false) =>
+        graft.functions.ArrayDistinctCount(e)
+    }
+}
+
 /** Session extension installing the graft optimizer rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FuseVectorOps)
+    e.injectOptimizerRule(_ => FuseDistinctCount)
   }
 }
