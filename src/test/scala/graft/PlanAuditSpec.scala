@@ -122,6 +122,12 @@ class PlanAuditSpec extends SparkSpecBase {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q85: the near-dup prune is one anti join, never a closure") {
+    val plan = executed("q85_dedup_prune")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q87: the benchmark shingle set joins as the broadcast side") {
     // eval sets are KBs against a 100 TB corpus — the overlap join must
     // broadcast the benchmark shingles, never shuffle the corpus side

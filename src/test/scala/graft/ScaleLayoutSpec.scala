@@ -89,6 +89,28 @@ class ScaleLayoutSpec extends SparkSpecBase {
     assert(orders.exceptAll(orcBack).count() == 0)
   }
 
+  test("repartitionByRange + sortWithinPartitions yields totally-ordered layout") {
+    // the write-side layout for time/key-ordered corpora: range
+    // partition so file k's keys all precede file k+1's, sort within
+    // partitions so each file is internally ordered — global order
+    // without a single-partition sort
+    val sf = "/root/testdata/sf0.001"
+    val df = Tables.orders(spark, sf)
+      .repartitionByRange(4, $"o_orderkey")
+      .sortWithinPartitions($"o_orderkey")
+    assert(df.queryExecution.executedPlan.toString.contains("rangepartitioning"),
+      df.queryExecution.executedPlan.toString)
+    // partition boundaries are disjoint and ordered
+    val perPart = df.select($"o_orderkey")
+      .mapPartitions { it => val s = it.map(_.getLong(0)).toSeq
+        if (s.isEmpty) Iterator.empty
+        else Iterator((s.min, s.max, s.sameElements(s.sorted))) }
+      .collect().sortBy(_._1)
+    assert(perPart.forall(_._3), "a partition was not internally sorted")
+    assert(perPart.zip(perPart.tail).forall { case ((_, hi, _), (lo, _, _)) => hi < lo },
+      perPart.mkString(","))
+  }
+
   test("orc scans push filters and prune columns like parquet") {
     val sf = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
