@@ -177,7 +177,7 @@ object EtlMain {
           (kind, id, j.at("/number").asLong(), j.at("/node_id").asText(),
             j.at("/state").asText("open"), j.at("/title").asText(),
             j.at("/html_url").asText(), null: String, StateStore.MCreated)
-        }.toDF(issueLedgerSchema.fieldNames: _*)
+        }.toDF(issueLedgerSchema.fieldNames.toIndexedSeq: _*)
         ledger = ledger.unionByName(created)
       }
     }

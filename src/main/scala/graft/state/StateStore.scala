@@ -56,7 +56,7 @@ object StateStore {
 
   /** Apply a change set: changed/new rows replace, untouched rows kept. */
   def merge(state: DataFrame, changes: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val incoming = changes.select(state.columns.map(col): _*)
+    val incoming = changes.select(state.columns.toIndexedSeq.map(col): _*)
     state.join(incoming, keyCols, "left_anti").unionByName(incoming)
   }
 
