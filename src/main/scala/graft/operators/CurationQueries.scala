@@ -156,8 +156,8 @@ object CurationQueries {
     //      codebook (broadcast, O(n·k)) + one Lloyd centroid update
     //      (posexplode → (cluster, dim)-keyed agg; k×dim output cells
     //      regardless of corpus size). Component means go through
-    //      exact decimal sums (shuffle-order-independent), then one
-    //      deterministic decimal→double division.
+    //      ordered member-id folds (shuffle-order-independent AND
+    //      engine-portable), then one deterministic division.
     QueryDef(
       "q90_kmeans_lloyd",
       (s, d) => {
@@ -172,12 +172,22 @@ object CurationQueries {
             expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
+        // component means via an ORDERED double fold (collect → sort by
+        // member id → left-fold): shuffle-order-independent AND
+        // engine-portable. A decimal-cast sum is also order-independent
+        // but double→decimal rounding diverges between engines at exact
+        // grid midpoints (measured: one cell in 128k off by 1e-9 at
+        // sf0.1 — HALF_UP vs round-half-even). Per-group state is the
+        // cluster's member list per dim; the production trade at
+        // extreme cluster sizes is a fixed-precision integer sum.
         assigned
-          .select(col("cid"), posexplode(col("emb")).as(Seq("dim", "v")))
+          .select(col("cid"), col("vec_id"), posexplode(col("emb")).as(Seq("dim", "v")))
           .groupBy("cid", "dim")
           .agg(count(lit(1)).as("n_members"),
-            (sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1)))
-              .as("c_new"))
+            expr("""aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
+                 s -> s.v), 0D, (a, x) -> a + x)""").as("vsum"))
+          .select(col("cid"), col("dim"), col("n_members"),
+            (col("vsum") / col("n_members")).as("c_new"))
           .orderBy("cid", "dim")
       },
       Some(s"""WITH e AS (SELECT vec_id,
@@ -192,10 +202,10 @@ object CurationQueries {
             SELECT *, row_number() OVER (PARTITION BY vec_id
               ORDER BY sqdist, cid) AS rn FROM dist) t
           WHERE rn = 1),
-        x AS (SELECT cid, unnest(list_transform(range(len(emb)),
+        x AS (SELECT cid, vec_id, unnest(list_transform(range(len(emb)),
             i -> {'dim': i, 'v': emb[i+1]})) AS u FROM a)
         SELECT cid, CAST(u.dim AS INT) AS dim, count(*) AS n_members,
-          CAST(sum(CAST(u.v AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS c_new
+          list_sum(list(u.v ORDER BY vec_id)) / count(*) AS c_new
         FROM x GROUP BY cid, u.dim
         ORDER BY cid, dim""")),
 
@@ -440,12 +450,18 @@ object CurationQueries {
           .localCheckpoint()
         val total = tfreq.agg(sum(col("n")).as("tot"))
         val w = Window.orderBy(col("avg_ll_r").asc, col("doc_id").asc)
+        // per-doc log-prob total via an ORDERED double fold (sorted by
+        // term; duplicate terms carry identical lp, so the fold is
+        // fully determined): shuffle-order-independent and
+        // engine-portable — a decimal-cast sum diverges between
+        // engines at exact rounding-grid midpoints (the q90 lesson)
         toks.join(broadcast(tfreq), Seq("term"))
           .crossJoin(broadcast(total))
           .withColumn("lp", log(col("n").cast("double") / col("tot").cast("double")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_tokens"),
-            sum(col("lp").cast("decimal(18,12)")).cast("double").as("ll"))
+            expr("""aggregate(transform(array_sort(collect_list(struct(term, lp))),
+                 s -> s.lp), 0D, (a, x) -> a + x)""").as("ll"))
           .withColumn("avg_ll_r", round(col("ll") / col("n_tokens"), 4))
           .withColumn("bucket", ntile(4).over(w))
           .select(col("doc_id"), col("n_tokens"), col("avg_ll_r"), col("bucket"))
@@ -456,8 +472,8 @@ object CurationQueries {
         tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
         tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM tf),
         sc AS (SELECT doc_id, count(*) AS n_tokens,
-            CAST(sum(CAST(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
-              AS DECIMAL(18,12))) AS DOUBLE) AS ll
+            list_sum(list(ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) ORDER BY term))
+              AS ll
           FROM toks JOIN tf USING (term) CROSS JOIN tot GROUP BY doc_id)
         SELECT doc_id, n_tokens, round(ll / n_tokens, 4) AS avg_ll_r,
           CAST(ntile(4) OVER (ORDER BY round(ll / n_tokens, 4), doc_id) AS INT) AS bucket
