@@ -15,7 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    non-associative; cast inputs to DECIMAL(18,4) first (exact,
   *    associative), then final-cast the aggregated decimal to DOUBLE on
   *    BOTH sides. The exact-decimal → nearest-double conversion is
-  *    deterministic and engine-identical, while a DECIMAL output column
+  *    deterministic and engine-identical ONLY when routed through a
+  *    VARCHAR round-trip on the DuckDB side: DuckDB's decimal→double
+  *    cast divides two separately-rounded doubles, off by 1 ulp once
+  *    the unscaled value passes 2^53 (bit at sf0.1, q01), while
+  *    string→double parsing is correctly rounded in both engines.
+  *    Likewise never cast a raw double to DECIMAL: Spark rounds
+  *    HALF_UP on the value's shortest repr, DuckDB half-even on the
+  *    binary expansion — exact grid midpoints diverge (q90 at sf0.1);
+  *    fold doubles in a deterministic order instead. A DECIMAL output column
   *    reaches the driver's pandas canonicalization as object-dtype
   *    `Decimal(...)` vs DuckDB's float64 and hash-mismatches despite
   *    equal values (round-1 verdict);
@@ -34,5 +42,5 @@ object QueryDef {
     * final-cast to DOUBLE (order-independent internally, hash-comparable
     * externally). */
   def sumDec(col: String, as: String): String =
-    s"CAST(sum(CAST($col AS DECIMAL(18,4))) AS DOUBLE) AS $as"
+    s"CAST(CAST(sum(CAST($col AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS $as"
 }

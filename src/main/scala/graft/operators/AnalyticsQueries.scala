@@ -188,7 +188,7 @@ object AnalyticsQueries {
           sum(dec4(col("o_totalprice"))).cast("double").as("sampled_revenue"))
         .orderBy("o_orderstatus"),
       Some("""SELECT o_orderstatus, count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sampled_revenue
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sampled_revenue
         FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
         GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
@@ -208,8 +208,8 @@ object AnalyticsQueries {
         .withColumn("stddev_qty", sqrt(col("var_qty")))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, n,
-        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS var_qty,
-        sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS stddev_qty
+        (CAST(CAST(s2 AS VARCHAR) AS DOUBLE) - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n) / (n - 1) AS var_qty,
+        sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE) - CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n) / (n - 1)) AS stddev_qty
         FROM (SELECT l_returnflag, count(*) AS n,
             sum(CAST(l_quantity AS DECIMAL(18,4))) AS s1,
             sum(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS s2

@@ -102,7 +102,7 @@ object ConnectorQueries {
           .orderBy("o_orderstatus")
       },
       Some("""SELECT o_orderstatus, count(*) AS n,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )

@@ -33,7 +33,7 @@ object EventQueries {
         .orderBy("window_start", "event_type"),
       Some("""SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         event_type, count(*) AS n,
-        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS value_sum
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
     // ---- sliding window (10 min window, 5 min slide → 2 windows/event)
@@ -50,7 +50,7 @@ object EventQueries {
                   time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS window_start
           FROM e)
         SELECT window_start, event_type, count(*) AS n,
-          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+          CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS value_sum
         FROM x WHERE ts >= window_start AND ts < window_start + INTERVAL '10 minutes'
         GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
@@ -71,7 +71,7 @@ object EventQueries {
         SELECT user_id, min(ts) AS session_start,
           max(ts) + INTERVAL '10 minutes' AS session_end,
           count(*) AS n_events,
-          CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+          CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS value_sum
         FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""")),
 
     // ---- streaming-dedup batch twin: first event per (user, type)
@@ -136,7 +136,7 @@ object EventQueries {
       Some("""SELECT user_id, count(*) AS n_events,
         count(DISTINCT event_type) AS n_types,
         CAST(date_diff('second', CAST(min(ts) AS TIMESTAMP), CAST(max(ts) AS TIMESTAMP)) AS BIGINT) AS span_seconds,
-        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS value_sum
         FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -34,7 +34,7 @@ object RelationalQueries {
     * column arrives in pandas as object-dtype and never matches DuckDB's
     * float64 — round-1 verdict). */
   private def outD(c: Column): Column = c.cast(DoubleType)
-  private val SumDec = "CAST(sum(CAST(%s AS DECIMAL(18,4))) AS DOUBLE) AS %s"
+  private val SumDec = "CAST(CAST(sum(CAST(%s AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS %s"
   private def sumDec(col: String, as: String): String = SumDec.format(col, as)
 
   val defs: Seq[QueryDef] = Seq(
@@ -53,9 +53,9 @@ object RelationalQueries {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
-        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
@@ -108,7 +108,7 @@ object RelationalQueries {
                (lit(1).cast(DecimalType(18, 4)) - dec4(col("l_discount"))))).as("revenue"))
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, count(*) AS n_lines,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
@@ -237,8 +237,8 @@ object RelationalQueries {
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend
         FROM orders ORDER BY o_custkey, o_orderkey""")),
 
     // ---- window: lag/lead
