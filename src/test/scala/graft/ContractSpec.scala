@@ -1,0 +1,41 @@
+package graft
+
+/** Driver-contract hygiene: the properties the harness relies on but
+  * nothing else would catch until a round's gate silently degraded. */
+class ContractSpec extends SparkSpecBase {
+
+  test("every oracle key names a query; names are unique and well-formed") {
+    val qs = SparkEntry.allDefs.map(_.name)
+    assert(qs.distinct.size == qs.size, "duplicate query names")
+    assert(qs.forall(_.matches("q\\d+_[a-z0-9_]+")), qs.filterNot(_.matches("q\\d+_[a-z0-9_]+")))
+    val orphan = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphan.isEmpty, s"oracles without queries: $orphan")
+    // bench JSON keys are the qNN prefixes — they must stay unique too
+    val prefixes = qs.map(_.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size == prefixes.size, "duplicate qNN prefix")
+  }
+
+  test("the battery is fully gated: only the two documented rows-only queries lack oracles") {
+    val unoracled = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).sorted
+    assert(unoracled == Seq("q54_multimodal_decode", "q66_approx_distinct"),
+      s"unexpected rows-only queries: $unoracled")
+  }
+
+  test("every oracle orders its rows (deterministic row order)") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
+    }
+  }
+
+  test("no oracle casts a decimal sum straight to double (1-ulp hazard)") {
+    // DuckDB's decimal→double cast is off by 1 ulp past 2^53 unscaled;
+    // the QueryDef rule is a VARCHAR round-trip — keep it machine-checked
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql) if sql.replaceAll("\\s+", " ")
+        .matches("(?s).*CAST\\(sum\\(CAST\\((?!.{0,200}?VARCHAR).*") &&
+        sql.contains("DECIMAL") && !sql.contains("AS VARCHAR) AS DOUBLE") &&
+        sql.replaceAll("\\s+", " ").contains("DECIMAL(18,4))) AS DOUBLE") => name
+    }
+    assert(offenders.isEmpty, s"raw decimal→double casts in: $offenders")
+  }
+}
