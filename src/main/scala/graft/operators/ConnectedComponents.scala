@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed connected components by iterative min-label propagation —
@@ -41,22 +42,45 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object ConnectedComponents {
 
-  /** @param edges (src, dst) undirected pairs (any orientation)
+  /** Partition count sized to the graph, not the session default: a
+    * ~1.3k-node dedup graph on 32 partitions is pure scheduler overhead
+    * (5 stages × 32 near-empty tasks × ~5 rounds — the round-6 q77
+    * regression), while a billion-edge graph wants every shuffle slot.
+    * One partition per ~1M directed edge-endpoints (~16 MB of (Long,
+    * Long) pairs), capped at the session's shuffle parallelism. */
+  private[graft] def sizePartitions(edgeEndpoints: Long, maxParts: Int): Int = {
+    val perPart = 1L << 20
+    val want = ((edgeEndpoints + perPart - 1) / perPart).toInt
+    math.max(1, math.min(maxParts, want))
+  }
+
+  /** @param edges (src, dst) undirected pairs (any orientation, any
+    *              numeric id type — cast to long internally)
     * @return (node, cluster) where cluster = min node id reachable */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     val sc = spark.sparkContext
-    val part = new HashPartitioner(spark.sessionState.conf.numShufflePartitions)
 
-    // materialize the symmetric edge list ONCE, partitioned by src —
-    // every round's narrow join reuses these blocks; without the
-    // checkpoint each reference re-executes the full upstream pipeline
-    // that produced the edges (e.g. the whole LSH candidate generation)
-    val sym: RDD[(Long, Long)] = edges.select("src", "dst").rdd
+    // materialize the symmetric edge list ONCE — without the checkpoint
+    // each reference re-executes the full upstream pipeline that
+    // produced the edges (e.g. the whole LSH candidate generation).
+    // Materialize BEFORE choosing the partitioner: the edge count sizes
+    // it (see sizePartitions), and counting a checkpointed handle runs
+    // the upstream exactly once.
+    val raw: RDD[(Long, Long)] = edges
+      .select(col("src").cast("long"), col("dst").cast("long")).rdd
       .flatMap { r => val a = r.getLong(0); val b = r.getLong(1); Seq((a, b), (b, a)) }
-      .partitionBy(part)
+    raw.localCheckpoint()
+    val m = raw.count()
+    val part = new HashPartitioner(
+      sizePartitions(m, spark.sessionState.conf.numShufflePartitions))
+
+    // re-key the stored blocks by src under the loop's ONE partitioner —
+    // every round's narrow join reuses these blocks
+    val sym: RDD[(Long, Long)] = raw.partitionBy(part)
     sym.localCheckpoint()
     sym.count()
+    raw.unpersist(blocking = false)
 
     // fuse propagation round 1 into initialization: label₀ = min(node,
     // direct neighbors) is one reduceByKey over the already-partitioned

@@ -59,6 +59,23 @@ object ConnectedComponentsProps extends Properties("connected-components") {
     got == (0L to 200L).map(_ -> 0L).toMap
   }
 
+  property("an IntegerType edge frame works (internal long cast)") = {
+    // the RDD loop reads getLong(0); without the explicit cast an
+    // Int-typed caller would ClassCastException at runtime
+    import spark.implicits._
+    val df = List((1, 2), (2, 3), (7, 8)).toDF("src", "dst")
+    val got = ConnectedComponents.run(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+  }
+
+  property("partitioner is sized to the graph, capped at the session width") =
+    forAll(Gen.chooseNum(0L, 1L << 40), Gen.chooseNum(1, 4096)) { (m, cap) =>
+      val p = ConnectedComponents.sizePartitions(m, cap)
+      val want = ((m + (1L << 20) - 1) / (1L << 20)).toInt
+      p >= 1 && p <= cap && (m <= (1L << 20) || p == math.min(cap, want))
+    }
+
   // keep the suite fast: each case spins ~n Spark jobs
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(12)

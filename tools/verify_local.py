@@ -8,6 +8,7 @@ Usage: verify_local.py [sfDir] [outDir]
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -41,6 +42,11 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     with open(f"{out}/oracle_sql.json") as f:
         oracle = json.load(f)
+    # mirror graft.Verify's subset env so partial dumps compare cleanly
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        keep = {q.strip() for q in only.split(",") if q.strip()}
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     failures = []
     for name in sorted(oracle):
         sql = oracle[name]
