@@ -619,25 +619,31 @@ object CurationQueries {
         ORDER BY doc_id, chunk_idx""")),
 
     // ---- vocabulary coverage: global term frequencies, cumulative
-    //      corpus share of the top-20 terms. The rank window runs over
-    //      the POST-aggregation vocabulary (Heaps-law small), never the
-    //      token stream.
+    //      corpus share of the top-20 terms. The top-20 is a parallel
+    //      partial top-k (TakeOrderedAndProject), NEVER a rank window
+    //      over the whole vocabulary: web-scale whitespace vocabularies
+    //      (typos/URLs/numbers) run to billions of distinct terms, and
+    //      a global window would Exchange SinglePartition all of them
+    //      to keep 20. Rank/cumsum run over the 20 survivors only.
     QueryDef(
       "q93_vocab_coverage",
       (s, d) => {
         // vocab-sized materialization: `total` derives from counts —
-        // without it the broadcast branch re-runs the corpus explode
+        // without it the total branch re-runs the corpus explode
         val counts = tokenized(s, d)
           .select(explode(col("ts")).as("term"))
           .groupBy("term").agg(count(lit(1)).as("n"))
           .localCheckpoint()
         val total = counts.agg(sum(col("n")).as("total"))
+        val top = counts.orderBy(col("n").desc, col("term").asc).limit(20)
+        // the window's single-partition exchange sees ≤ 20 rows — the
+        // limit already established global (n desc, term) order, so
+        // rank/cum over the survivors equal their vocabulary-wide values
         val ord = Window.orderBy(col("n").desc, col("term").asc)
-        counts
+        top
           .withColumn("rank", row_number().over(ord))
           .withColumn("cum",
             sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-          .filter(col("rank") <= 20)
           .crossJoin(broadcast(total))
           .select(col("rank"), col("term"), col("n"), col("cum"),
             (col("cum").cast("double") / col("total").cast("double")).as("cum_share"))

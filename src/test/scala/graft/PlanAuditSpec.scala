@@ -157,13 +157,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
-  test("q93: the coverage window ranks the post-agg vocabulary, " +
-      "with map-side combine below it") {
-    // the single-partition window is fine ONLY because it sees the
-    // aggregated vocabulary; the token stream must partial-aggregate
-    // before any exchange
+  test("q93: top-20 plans as a parallel partial top-k; no " +
+      "single-partition exchange ever carries the vocabulary") {
     val plan = executed("q93_vocab_coverage")
+    // the token stream must partial-aggregate before any exchange
     assert(plan.contains("partial_"), plan)
+    // the vocabulary is reduced by TakeOrderedAndProject (parallel
+    // partial top-k), and the rank window consumes those 20 survivors
+    // directly — never the full term counts
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert("Window [^\n]*\n[^\n]*TakeOrderedAndProject".r
+      .findFirstIn(plan).isDefined, plan)
+    // the only allowed single-partition exchange is the scalar `total`
+    // rollup: its direct child must be a keyless partial aggregate
+    // (one pre-combined row per partition on the wire, never raw vocab)
+    var at = plan.indexOf("Exchange SinglePartition")
+    while (at >= 0) {
+      val eol = plan.indexOf('\n', at)
+      val child = plan.substring(eol + 1, plan.indexOf('\n', eol + 1))
+      assert(child.contains("HashAggregate(keys=[]") &&
+        child.contains("partial_"), plan)
+      at = plan.indexOf("Exchange SinglePartition", at + 1)
+    }
   }
 
   test("q94: quantized search stays a broadcast probe loop over a " +
