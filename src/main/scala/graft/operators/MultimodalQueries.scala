@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
   * metadata, with decode / feature-extraction / frame-sampling as
   * per-partition batch transforms (north-star surface).
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB (`fakeDecode`) — the Spark-side
-  * contract is real: binary column + metadata struct in, typed feature
-  * rows out, executed per partition in batches exactly where a codec
-  * (or `mapInPandas`-style vectorized UDF in PySpark) would slot in.
+  * The decode step is a REAL pure-JVM container parse over three
+  * public formats whose headers need no codec library: BMP
+  * (BITMAPINFOHEADER width/height), WAV (RIFF chunk walk →
+  * channels/rate/data size → duration), and YUV4MPEG2 (plain-text
+  * header + FRAME markers → dimensions/frame count). [[synthesizeMedia]]
+  * builds genuine container bytes with parameters derived from doc_id,
+  * so the DuckDB oracle recomputes the expected features from the
+  * fixture keys while [[decodeFeatures]] reads them from the bytes —
+  * the contract a real codec would satisfy. Deeper decode (pixel/PCM
+  * content) would slot into the same per-partition loop.
   *
   * Scale: payload bytes never shuffle — decode is a narrow map; only
   * extracted (small) features flow into joins/aggs downstream. For
@@ -35,39 +40,171 @@ object MultimodalQueries {
         col("source").as("origin"),
         octet_length(col("text")).as("n_bytes")).as("meta"))
 
-  final case class MediaFeature(
-      doc_id: Long, kind: String, n_bytes: Int,
-      width: Int, height: Int, checksum: Long)
+  // ---------------------------------------------------------------
+  // container synthesis: REAL format bytes, parameters from doc_id
+  // ---------------------------------------------------------------
 
-  /** STUB decoder — stands in for a real codec. Deterministic: derives
-    * fake dimensions and a checksum from the payload bytes alone. */
-  def fakeDecode(payload: Array[Byte]): (Int, Int, Long) = {
-    var sum = 0L
+  private def le16(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+  }
+  private def le32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    b.write(v & 0xff); b.write((v >> 8) & 0xff)
+    b.write((v >> 16) & 0xff); b.write((v >> 24) & 0xff)
+  }
+  private def ascii(b: java.io.ByteArrayOutputStream, s: String): Unit =
+    b.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** Uncompressed 24-bpp BMP (BITMAPFILEHEADER + BITMAPINFOHEADER). */
+  def bmpBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundary
+    val size = 54 + rowSize * h
+    val b = new java.io.ByteArrayOutputStream(size)
+    ascii(b, "BM"); le32(b, size); le32(b, 0); le32(b, 54)
+    le32(b, 40); le32(b, w); le32(b, h); le16(b, 1); le16(b, 24)
+    le32(b, 0); le32(b, rowSize * h); le32(b, 2835); le32(b, 2835)
+    le32(b, 0); le32(b, 0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < rowSize) { b.write((((seed + y * rowSize + x) * 31) & 0xff).toInt); x += 1 }
+      y += 1
+    }
+    b.toByteArray
+  }
+
+  /** Canonical PCM WAV (RIFF / fmt / data). */
+  def wavBytes(channels: Int, rate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    val dataBytes = nSamples * channels * 2
+    val b = new java.io.ByteArrayOutputStream(44 + dataBytes)
+    ascii(b, "RIFF"); le32(b, 36 + dataBytes); ascii(b, "WAVE")
+    ascii(b, "fmt "); le32(b, 16); le16(b, 1); le16(b, channels)
+    le32(b, rate); le32(b, rate * channels * 2); le16(b, channels * 2); le16(b, 16)
+    ascii(b, "data"); le32(b, dataBytes)
     var i = 0
-    while (i < payload.length) { sum = sum * 31 + (payload(i) & 0xff); i += 1 }
-    val w = 64 + (math.abs(sum) % 1024).toInt
-    val h = 64 + (math.abs(sum / 7) % 1024).toInt
-    (w, h, sum)
+    while (i < nSamples * channels) { le16(b, ((seed + i) * 2654435761L & 0xffff).toInt); i += 1 }
+    b.toByteArray
+  }
+
+  /** YUV4MPEG2 stream (plain-text header, 4:2:0 FRAME chunks). */
+  def y4mBytes(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    val frameBytes = w * h * 3 / 2
+    val b = new java.io.ByteArrayOutputStream(64 + frames * (6 + frameBytes))
+    ascii(b, s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1\n")
+    var f = 0
+    while (f < frames) {
+      ascii(b, "FRAME\n")
+      var i = 0
+      while (i < frameBytes) { b.write((((seed + f * 131 + i) * 31) & 0xff).toInt); i += 1 }
+      f += 1
+    }
+    b.toByteArray
+  }
+
+  /** (doc_id, kind, payload) with REAL container bytes per modality —
+    * image→BMP, audio→WAV, video→Y4M — sized/shaped by doc_id so the
+    * oracle can recompute the expected decode from the fixture keys. */
+  def synthesizeMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").rdd.mapPartitions(_.map { r =>
+      val id = r.getLong(0)
+      (id % 3) match {
+        case 0 =>
+          Row(id, "image", bmpBytes((4 + id % 16).toInt, (4 + (id / 3) % 16).toInt, id))
+        case 1 =>
+          Row(id, "audio", wavBytes((1 + id % 2).toInt, 8000, (8 * (100 + id % 400)).toInt, id))
+        case _ =>
+          Row(id, "video", y4mBytes((2 * (4 + id % 16)).toInt, (2 * (4 + (id / 5) % 16)).toInt,
+            (1 + id % 5).toInt, id))
+      }
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // ---------------------------------------------------------------
+  // container parsing: format detected from magic bytes alone
+  // ---------------------------------------------------------------
+
+  final case class MediaInfo(
+      format: String, width: Option[Int], height: Option[Int], durationMs: Option[Long])
+
+  private def rdLe16(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+  private def rdLe32(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) | ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+  private def asciiAt(p: Array[Byte], o: Int, s: String): Boolean =
+    o + s.length <= p.length && s.indices.forall(i => p(o + i) == s.charAt(i).toByte)
+
+  /** Pure-JVM header parse. Detects the container from its magic bytes
+    * (never trusts metadata), walks the real header structures. */
+  def parseMediaHeader(p: Array[Byte]): MediaInfo = {
+    if (asciiAt(p, 0, "BM")) {
+      // BITMAPINFOHEADER: signed LE32 width@18, height@22 (negative
+      // height = top-down rows in the wild; dimensions are |value|)
+      MediaInfo("bmp", Some(math.abs(rdLe32(p, 18))), Some(math.abs(rdLe32(p, 22))), None)
+    } else if (asciiAt(p, 0, "RIFF") && asciiAt(p, 8, "WAVE")) {
+      // RIFF chunk walk (chunks pad to even length)
+      var off = 12
+      var channels = -1; var rate = -1; var bits = -1; var dataLen = -1L
+      while (off + 8 <= p.length && (channels < 0 || dataLen < 0)) {
+        val sz = rdLe32(p, off + 4).toLong & 0xffffffffL
+        if (asciiAt(p, off, "fmt ")) {
+          channels = rdLe16(p, off + 10); rate = rdLe32(p, off + 12); bits = rdLe16(p, off + 22)
+        } else if (asciiAt(p, off, "data")) dataLen = sz
+        off += (8 + sz + (sz & 1)).toInt
+      }
+      require(channels > 0 && rate > 0 && bits > 0 && dataLen >= 0, "malformed WAV")
+      val bytesPerSec = rate.toLong * channels * (bits / 8)
+      MediaInfo("wav", None, None, Some(dataLen * 1000L / bytesPerSec))
+    } else if (asciiAt(p, 0, "YUV4MPEG2")) {
+      val nl = p.indexOf('\n'.toByte)
+      require(nl > 0, "malformed Y4M header")
+      val params = new String(p, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+        .split(' ').drop(1)
+      def tag(c: Char): Option[String] =
+        params.find(_.headOption.contains(c)).map(_.tail)
+      val w = tag('W').get.toInt
+      val h = tag('H').get.toInt
+      val Array(fNum, fDen) = tag('F').get.split(':').map(_.toLong)
+      val frameBytes = w * h * 3 / 2 // C420 default
+      var off = nl + 1
+      var frames = 0L
+      while (off < p.length) {
+        require(asciiAt(p, off, "FRAME"), s"expected FRAME marker at $off")
+        var e = off + 5
+        while (p(e) != '\n'.toByte) e += 1 // frame params, if any
+        off = e + 1 + frameBytes
+        frames += 1
+      }
+      MediaInfo("y4m", Some(w), Some(h), Some(frames * 1000L * fDen / fNum))
+    } else throw new IllegalArgumentException("unknown container format")
   }
 
   private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("kind", StringType),
-    StructField("n_bytes", IntegerType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("checksum", LongType)))
+    StructField("doc_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
 
   /** Per-partition decode + feature extraction (batched where a real
-    * codec would be initialized once per partition). */
+    * codec would be initialized once per partition). Expects the
+    * (doc_id, kind, payload) shape of [[synthesizeMedia]]. */
   def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
-    val rdd = media.select("doc_id", "payload", "meta.kind").rdd
+    val rdd = media.select("doc_id", "kind", "payload").rdd
       .mapPartitions { rows =>
         // per-partition init point: a real impl opens the codec here
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          val (w, h, cks) = fakeDecode(payload)
-          Row(r.getLong(0), r.getString(2), payload.length, w, h, cks)
+          val info = parseMediaHeader(payload)
+          Row(r.getLong(0), r.getString(1), info.format, payload.length,
+            info.width.map(Int.box).orNull, info.height.map(Int.box).orNull,
+            info.durationMs.map(Long.box).orNull)
         }
       }
     spark.createDataFrame(rdd, featureSchema)
@@ -102,13 +239,40 @@ object MultimodalQueries {
         md5(text) AS payload_md5
         FROM documents ORDER BY doc_id""")),
 
-    // ---- full decode pipeline (stubbed codec; rows-only check)
+    // ---- full decode pipeline: real BMP/WAV/Y4M container bytes in,
+    //      header-parsed features out. The oracle recomputes every
+    //      feature from the same doc_id-derived synthesis parameters —
+    //      the parser must read matching values from the actual bytes
+    //      (magic detection, RIFF chunk walk, Y4M frame scan).
     QueryDef(
       "q54_multimodal_decode",
-      (s, d) => decodeFeatures(s, withBinaryPayload(Tables.documents(s, d)))
+      (s, d) => decodeFeatures(s, synthesizeMedia(Tables.documents(s, d)))
         .orderBy("doc_id"),
-      None,
-      doc = "binary payload → per-partition stub decode → typed features"),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 3 AS k FROM documents)
+        SELECT doc_id, 'image' AS kind, 'bmp' AS format,
+          CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT) AS n_bytes,
+          CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          CAST(NULL AS BIGINT) AS duration_ms
+        FROM (SELECT doc_id, 4 + doc_id % 16 AS w, 4 + (doc_id // 3) % 16 AS h
+              FROM p WHERE k = 0)
+        UNION ALL
+        SELECT doc_id, 'audio', 'wav',
+          CAST(44 + ns * ch * 2 AS INT),
+          CAST(NULL AS INT), CAST(NULL AS INT),
+          CAST(ns // 8 AS BIGINT)
+        FROM (SELECT doc_id, 1 + doc_id % 2 AS ch, 8 * (100 + doc_id % 400) AS ns
+              FROM p WHERE k = 1)
+        UNION ALL
+        SELECT doc_id, 'video', 'y4m',
+          CAST(length('YUV4MPEG2 W' || w || ' H' || h || ' F25:1 Ip A1:1') + 1
+            + fr * (6 + w * h * 3 // 2) AS INT),
+          CAST(w AS INT), CAST(h AS INT),
+          CAST(fr * 40 AS BIGINT)
+        FROM (SELECT doc_id, 2 * (4 + doc_id % 16) AS w,
+                2 * (4 + (doc_id // 5) % 16) AS h, 1 + doc_id % 5 AS fr
+              FROM p WHERE k = 2)
+        ORDER BY doc_id"""),
+      doc = "real container bytes → per-partition header parse → typed features"),
 
     // ---- frame sampling. The frame *positions and sizes* are pure
     //      integer arithmetic over octet_length, so DuckDB reproduces

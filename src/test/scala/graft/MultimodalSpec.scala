@@ -19,16 +19,39 @@ class MultimodalSpec extends SparkSpecBase {
     assert(kinds == Set("image", "audio", "video"))
   }
 
-  test("decode features: one row per doc, deterministic across runs") {
-    val f1 = MultimodalQueries.decodeFeatures(spark, media).orderBy("doc_id").collect()
-    val f2 = MultimodalQueries.decodeFeatures(spark, media).orderBy("doc_id").collect()
+  test("decode features: real container parse, one row per doc, deterministic") {
+    val synth = MultimodalQueries.synthesizeMedia(docs)
+    val f1 = MultimodalQueries.decodeFeatures(spark, synth).orderBy("doc_id").collect()
+    val f2 = MultimodalQueries.decodeFeatures(spark, synth).orderBy("doc_id").collect()
     assert(f1.length == docs.count())
     assert(f1.toSeq == f2.toSeq)
-    assert(f1.forall(r => r.getAs[Int]("width") >= 64 && r.getAs[Int]("height") >= 64))
-    // n_bytes must equal the payload length the metadata promised
-    val joined = MultimodalQueries.decodeFeatures(spark, media)
-      .join(media.select(col("doc_id"), col("meta.n_bytes").as("meta_bytes")), "doc_id")
-    assert(joined.filter(col("n_bytes") =!= col("meta_bytes")).count() == 0)
+    // format comes from the MAGIC BYTES and must agree with the kind
+    assert(f1.forall { r =>
+      (r.getAs[String]("kind"), r.getAs[String]("format")) match {
+        case ("image", "bmp") | ("audio", "wav") | ("video", "y4m") => true
+        case _ => false
+      }
+    })
+    // images/videos carry parsed dimensions; audio carries duration
+    assert(f1.filter(_.getString(1) != "audio")
+      .forall(r => r.getAs[Int]("width") >= 4 && r.getAs[Int]("height") >= 4))
+    assert(f1.filter(_.getString(1) != "image")
+      .forall(r => r.getAs[Long]("duration_ms") > 0L))
+  }
+
+  test("header parser round-trips hand-built containers exactly") {
+    import MultimodalQueries._
+    assert(parseMediaHeader(bmpBytes(17, 9, seed = 42L)) ==
+      MediaInfo("bmp", Some(17), Some(9), None))
+    // 8000 Hz stereo, 4000 samples = exactly 500 ms
+    assert(parseMediaHeader(wavBytes(2, 8000, 4000, seed = 7L)) ==
+      MediaInfo("wav", None, None, Some(500L)))
+    // 3 frames at 25 fps = 120 ms
+    assert(parseMediaHeader(y4mBytes(16, 12, 3, seed = 1L)) ==
+      MediaInfo("y4m", Some(16), Some(12), Some(120L)))
+    intercept[IllegalArgumentException] {
+      parseMediaHeader("not a container".getBytes)
+    }
   }
 
   test("frame sampling: every-2nd 64-byte frame, correct sizes") {
