@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Error-bound gate for the battery's one remaining rows-only query:
+  * q66's HLL++ sketches can never hash-match a DuckDB oracle, so this
+  * spec pins their quality instead — each approximate distinct count
+  * must land within a small multiple of its configured rsd of q20's
+  * exact counts, at two scale factors. (The AnnRecallSpec pattern:
+  * approximations ship with a measured accuracy contract, not a
+  * rows>0 shrug.) HLL++ is deterministic for fixed data, so the gate
+  * is stable across runs.
+  */
+class ApproxQualitySpec extends SparkSpecBase {
+
+  /** relative-error ceiling = 3× the sketch's configured rsd */
+  private def check(sf: String): Unit = {
+    val approx = SparkEntry.queries("q66_approx_distinct")(spark, sf)
+    val exact = SparkEntry.queries("q20_distinct_counts")(spark, sf)
+    val rows = approx.join(exact, "l_returnflag")
+      .select(
+        (abs(col("approx_parts") - col("n_parts")).cast("double") / col("n_parts"))
+          .as("err_parts"),
+        (abs(col("approx_supps") - col("n_supps")).cast("double") / col("n_supps"))
+          .as("err_supps"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // approx_parts uses the default rsd (0.05), approx_supps 0.01
+      assert(r.getDouble(0) <= 3 * 0.05, s"$sf parts err ${r.getDouble(0)}")
+      assert(r.getDouble(1) <= 3 * 0.01, s"$sf supps err ${r.getDouble(1)}")
+    }
+  }
+
+  test("q66 approx distinct counts sit within 3x rsd of q20's exact counts (sf0.001)") {
+    check("/root/testdata/sf0.001")
+  }
+
+  test("q66 approx distinct counts sit within 3x rsd of q20's exact counts (sf0.01)") {
+    check("/root/testdata/sf0.01")
+  }
+}
