@@ -1,7 +1,9 @@
 package graft.state
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** MERGE-style keyed state — the Spark-native replacement for the
   * reference's dom-storage/json-storage KV ledger (etl.js:14-19).
@@ -67,5 +69,46 @@ object StateStore {
       .withColumn("migration", greatest(col("migration"), lit(level)))
     state.join(keys.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(bumped)
+  }
+
+  // ---------------------------------------------------------------
+  // durable round-trip — the reference's db.json persists between
+  // runs (etl.js:14-19); these give the batch ledgers the same
+  // restart semantics: run → save, load → re-run sends nothing.
+  // ---------------------------------------------------------------
+
+  /** Persist a ledger as parquet, atomically: the frame fully
+    * materializes into a sibling temp dir FIRST, then a rename swaps
+    * it in (with the superseded generation renamed aside and deleted
+    * last). Readers either see the old ledger or the new one, never a
+    * half-written directory — and because the temp write completes
+    * before `path` is touched, saving a frame that was itself LOADED
+    * from `path` is safe (self-overwrite). */
+  def save(ledger: DataFrame, path: String): Unit = {
+    val spark = ledger.sparkSession
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(path + s".tmp-$stamp")
+    val old = new Path(path + s".old-$stamp")
+    // a ledger is change-set-sized; one file keeps the rename cheap
+    ledger.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val hadPrev = fs.exists(dest)
+    if (hadPrev) require(fs.rename(dest, old), s"could not stage out $dest")
+    require(fs.rename(tmp, dest), s"could not commit $tmp -> $dest")
+    if (hadPrev) fs.delete(old, true)
+    // frames loaded from `path` BEFORE this save hold the old file
+    // list — drop the cached metadata; callers re-load after a save
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Load a ledger saved by [[save]]; an absent path is an empty
+    * ledger (first run — the reference's missing db.json). */
+  def load(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dest)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 }

@@ -139,6 +139,48 @@ class EtlMainSpec extends SparkSpecBase {
     assert(again.issueLedger.count() == 4)
   }
 
+  test("ledgers persist between batch runs: run → save → load → re-run sends nothing") {
+    // the reference's db.json restart semantics (etl.js:14-19), on the
+    // batch ledgers: a fresh process that loads the saved state must
+    // classify every write as already-applied
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val issuePath = s"$dir/issue_ledger"
+    val fieldPath = s"$dir/field_ledger"
+    try {
+      // first run starts from ABSENT paths — load yields empty ledgers
+      val issue0 = graft.state.StateStore.load(spark, issuePath, EtlMain.issueLedgerSchema)
+      val field0 = graft.state.StateStore.load(spark, fieldPath, EtlMain.fieldLedgerSchema)
+      assert(issue0.count() == 0 && field0.count() == 0)
+
+      val gh = new FakeGithub
+      val result = EtlMain.run(spark, boardPath, config, gh,
+        issueLedger0 = Some(issue0), fieldLedger0 = Some(field0), sleeper = _ => ())
+      assert(result.report.failed == 0)
+      graft.state.StateStore.save(result.issueLedger, issuePath)
+      graft.state.StateStore.save(result.fieldLedger, fieldPath)
+
+      // "restart": reload from disk, re-run — zero mutations on the wire
+      val issue1 = graft.state.StateStore.load(spark, issuePath, EtlMain.issueLedgerSchema)
+      val field1 = graft.state.StateStore.load(spark, fieldPath, EtlMain.fieldLedgerSchema)
+      assert(issue1.count() == 4)
+      val gh2 = new FakeGithub
+      val again = EtlMain.run(spark, boardPath, config, gh2,
+        issueLedger0 = Some(issue1), fieldLedger0 = Some(field1), sleeper = _ => ())
+      assert(gh2.log.filterNot(_.method == "GET").isEmpty)
+      assert(again.report.sent == 0)
+
+      // saving a ledger LOADED from the same path must not corrupt it
+      // (the temp write fully materializes before the swap)
+      val rowsBefore = issue1.collect().map(_.toString).sorted.toSeq
+      graft.state.StateStore.save(again.issueLedger, issuePath)
+      val issue2 = graft.state.StateStore.load(spark, issuePath, EtlMain.issueLedgerSchema)
+      assert(issue2.count() == 4)
+      assert(issue2.collect().map(_.toString).sorted.toSeq == rowsBefore)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("missing configured field fails mustInit (gh.js:144-176 gate)") {
     val gh = new FakeGithub {
       override def send(req: HttpRequest): HttpResponse =
