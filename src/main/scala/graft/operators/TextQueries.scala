@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (north-star LLM-pipeline
@@ -25,6 +26,53 @@ object TextQueries {
 
   private def orChain(v: String, words: Seq[String]): String =
     words.map(w => s"$v = '$w'").mkString(" OR ")
+
+  /** q83 body, with the broadcast-vocabulary assumption GUARDED: the
+    * df side is the post-agg vocabulary — Heaps-law small for curated
+    * text, but a raw web-scale whitespace vocabulary (typos/URLs/
+    * numbers) can exceed what a driver can broadcast. The vocabulary
+    * is materialized and COUNTED; at or under `maxBroadcastVocab`
+    * rows (default ~1M ≈ tens of MB serialized, safely inside the
+    * broadcast/driver limits) it broadcasts so tf never shuffles on
+    * the skewed term key; above it, the join falls back to a
+    * term-keyed sort-merge (both sides shuffle once on term — AQE's
+    * skew-join split handles the hot-term reducers). Both shapes are
+    * proven result-identical in PlanAuditSpec. */
+  private[graft] def tfidfTopTerms(
+      s: SparkSession, d: String,
+      maxBroadcastVocab: Long = 1000000L): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    // materialized once: tf feeds BOTH join branches (its own and
+    // the df derivation); an unmaterialized plan recomputes the
+    // tokenize→explode→agg chain per branch.
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // df derived from tf, not from the raw tokens: tf rows are
+    // already distinct (doc, term) pairs, so count(*) per term IS
+    // count(DISTINCT doc_id) — and the corpus is scanned/exploded
+    // ONCE instead of twice (at 100 TB, one pass vs two). The
+    // checkpoint makes the guard's count() cheap and reuses the same
+    // blocks for the join input.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val vocabSize = dfreq.count()
+    val joined =
+      if (vocabSize <= maxBroadcastVocab) tf.join(broadcast(dfreq), Seq("term"))
+      else tf.join(dfreq.hint("merge"), Seq("term"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
+    joined
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf_r"))
+      .orderBy("doc_id", "rn")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -174,38 +222,7 @@ object TextQueries {
     //      across engines; the rounding grid is 1e9× coarser).
     QueryDef(
       "q83_tfidf_topterms",
-      (s, d) => {
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        // materialized once: tf feeds BOTH join branches (its own and
-        // the df derivation); an unmaterialized plan recomputes the
-        // tokenize→explode→agg chain per branch.
-        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
-        // df derived from tf, not from the raw tokens: tf rows are
-        // already distinct (doc, term) pairs, so count(*) per term IS
-        // count(DISTINCT doc_id) — and the corpus is scanned/exploded
-        // ONCE instead of twice (at 100 TB, one pass vs two). The df
-        // side is the post-agg VOCABULARY (Heaps-law small even at
-        // 100 TB) → broadcast it, so tf is never shuffled on the
-        // skewed term key (a handful of hot terms would pile onto a
-        // few reducers) and the serialized AQE stage chain stays short
-        // (the cold-run cost of this query is driver-side stage
-        // materialization latency, not task time).
-        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term").asc)
-        tf.join(broadcast(dfreq), Seq("term"))
-          .crossJoin(broadcast(n))
-          .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
-            round(col("tfidf"), 4).as("tfidf_r"))
-          .orderBy("doc_id", "rn")
-      },
+      (s, d) => tfidfTopTerms(s, d),
       Some("""WITH toks AS (SELECT doc_id,
           unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),

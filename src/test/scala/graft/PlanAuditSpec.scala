@@ -157,6 +157,24 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("q83: the vocabulary guard picks broadcast under the cap, " +
+      "sort-merge above it — and both shapes agree row-for-row") {
+    val bcast = graft.operators.TextQueries.tfidfTopTerms(spark, sf)
+    bcast.collect()
+    val bcastPlan = bcast.queryExecution.executedPlan.toString
+    assert(bcastPlan.contains("BroadcastHashJoin"), bcastPlan)
+
+    // force the fallback: a zero cap means "vocabulary too big"
+    val smj = graft.operators.TextQueries.tfidfTopTerms(spark, sf,
+      maxBroadcastVocab = 0L)
+    smj.collect()
+    val smjPlan = smj.queryExecution.executedPlan.toString
+    assert(smjPlan.contains("SortMergeJoin"), smjPlan)
+
+    assert(bcast.collect().map(_.toString).toSeq ==
+      smj.collect().map(_.toString).toSeq)
+  }
+
   test("q93: top-20 plans as a parallel partial top-k; no " +
       "single-partition exchange ever carries the vocabulary") {
     val plan = executed("q93_vocab_coverage")
