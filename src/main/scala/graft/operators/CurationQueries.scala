@@ -40,6 +40,22 @@ object CurationQueries {
     Tables.documents(s, d)
       .withColumn("ts", split(lower(trim(col("text"))), "\\s+"))
 
+  /** The curation funnel's shared flag ladder — fp → lang_ok →
+    * qual_ok → keep_ok, each conjoining the previous. ONE definition
+    * feeds both q91 (per-stage retention counts) and q100 (the
+    * manifest of kept chunks), so the manifest can never drift from
+    * the funnel it claims to summarize. */
+  private def funnelFlags(tok: DataFrame): DataFrame =
+    tok
+      .withColumn("fp",
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+      .withColumn("lang_ok", col("lang").isin("en", "es", "fr", "de"))
+      .withColumn("qual_ok", col("lang_ok") && size(col("ts")) >= 20 &&
+        size(array_distinct(col("ts"))).cast("double") / size(col("ts")) >= 0.3)
+      .withColumn("keep_ok", col("qual_ok") &&
+        col("doc_id") === min(when(col("qual_ok"), col("doc_id")))
+          .over(Window.partitionBy(col("fp"))))
+
   private val shingle3 =
     "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
 
@@ -217,15 +233,7 @@ object CurationQueries {
     QueryDef(
       "q91_curation_funnel",
       (s, d) => {
-        val flagged = tokenized(s, d)
-          .withColumn("fp",
-            md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
-          .withColumn("lang_ok", col("lang").isin("en", "es", "fr", "de"))
-          .withColumn("qual_ok", col("lang_ok") && size(col("ts")) >= 20 &&
-            size(array_distinct(col("ts"))).cast("double") / size(col("ts")) >= 0.3)
-          .withColumn("keep_ok", col("qual_ok") &&
-            col("doc_id") === min(when(col("qual_ok"), col("doc_id")))
-              .over(Window.partitionBy(col("fp"))))
+        val flagged = funnelFlags(tokenized(s, d))
           .withColumn("samp_ok", col("keep_ok") &&
             substring(md5(col("doc_id").cast("string")), 1, 1)
               .isin("0", "1", "2", "3"))
@@ -435,7 +443,8 @@ object CurationQueries {
     //      signal with the LM *self-trained* on the corpus — fully
     //      deterministic, no external model): per-term probabilities
     //      from one agg (vocabulary-sized → broadcast back), per-doc
-    //      mean log-prob via decimal-exact sums, quartile buckets.
+    //      mean log-prob via ordered double folds (decimal casts
+    //      diverge between engines — the q90 lesson), quartile buckets.
     //      The ntile window ranks POST-AGG per-doc scores; at 100 TB
     //      the bucket boundaries would come from an approx-quantile
     //      sketch instead of a global sort — the scoring pipeline
@@ -574,15 +583,7 @@ object CurationQueries {
     QueryDef(
       "q100_training_manifest",
       (s, d) => {
-        val flagged = tokenized(s, d)
-          .withColumn("fp",
-            md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
-          .withColumn("lang_ok", col("lang").isin("en", "es", "fr", "de"))
-          .withColumn("qual_ok", col("lang_ok") && size(col("ts")) >= 20 &&
-            size(array_distinct(col("ts"))).cast("double") / size(col("ts")) >= 0.3)
-          .withColumn("keep_ok", col("qual_ok") &&
-            col("doc_id") === min(when(col("qual_ok"), col("doc_id")))
-              .over(Window.partitionBy(col("fp"))))
+        val flagged = funnelFlags(tokenized(s, d))
           .filter(col("keep_ok"))
         flagged
           .select(col("doc_id"), col("lang"), col("ts"),

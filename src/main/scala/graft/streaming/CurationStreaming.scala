@@ -74,12 +74,15 @@ object CurationStreaming {
       .dropDuplicatesWithinWatermark(Seq("fp"))
       .select("doc_id", "fp")
 
-  /** Drive a streaming frame into a memory sink to completion. */
+  /** Drive a streaming frame into a memory sink to completion. Fails
+    * loudly on timeout (a partially-populated memory table is a flaky
+    * spec, not a pass) and always stops the query so it never leaks
+    * into the shared session. */
   def runToMemory(df: DataFrame, name: String, mode: String): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
-    ()
+    try require(q.awaitTermination(120000), s"stream $name timed out")
+    finally q.stop()
   }
 }
