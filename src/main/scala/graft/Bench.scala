@@ -52,33 +52,46 @@ object Bench {
     def gcMillis: Long = {
       var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
     }
+    // min-of-N timed passes per query (default 3): a single pass can't
+    // distinguish plan regressions from shared-VM noise (the r6
+    // embedding-family ±10-40% drift); the minimum is the stable
+    // estimator of intrinsic plan cost under one-sided contention.
+    // Per-pass times go to stderr so drift stays diagnosable.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val gc0 = gcMillis
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // a query may cache an index for its own reuse (e.g. the LSH
-      // shingle sets); drop it so storage memory never starves the
-      // execution memory of later queries. clearCache only drops
-      // catalog-cached plans — localCheckpoint blocks (q77's CC rounds,
-      // ledger checkpoints) live in getPersistentRDDs and must be
-      // dropped explicitly or they pin executor memory for the rest of
-      // the sweep, poisoning every later measurement.
-      SparkEntry.releaseCaches(spark)
-      // broadcast-variable blocks are reaped by the ContextCleaner only
-      // after their weak refs are GC'd — with a 100+ GiB heap that can
-      // take the whole sweep, so force the collection that lets the
-      // cleaner run now (measured: without this a query following a
-      // 20-broadcast CC run degrades 4×)
-      System.gc()
+      val times = (1 to passes).map { _ =>
+        val gc0 = gcMillis
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // a query may cache an index for its own reuse (e.g. the LSH
+        // shingle sets); drop it so storage memory never starves the
+        // execution memory of later queries. clearCache only drops
+        // catalog-cached plans — localCheckpoint blocks (q77's CC rounds,
+        // ledger checkpoints) live in getPersistentRDDs and must be
+        // dropped explicitly or they pin executor memory for the rest of
+        // the sweep, poisoning every later measurement.
+        SparkEntry.releaseCaches(spark)
+        // broadcast-variable blocks are reaped by the ContextCleaner only
+        // after their weak refs are GC'd — with a 100+ GiB heap that can
+        // take the whole sweep, so force the collection that lets the
+        // cleaner run now (measured: without this a query following a
+        // 20-broadcast CC run degrades 4×)
+        System.gc()
+        (dt, gcMillis - gc0)
+      }
+      val best = times.map(_._1).min
+      val spread = if (best > 0) (times.map(_._1).max - best) / best else 0.0
       // per-query JVM hygiene log (stderr — stdout stays one JSON line):
-      // GC time attributable to the query + post-cleanup heap floor, so
-      // a real regression is distinguishable from shared-JVM residue
+      // per-pass times + GC + post-cleanup heap floor, so a real
+      // regression is distinguishable from shared-JVM residue
       val rt = Runtime.getRuntime
       val usedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
       System.err.println(
-        f"[bench] $name%-28s ${dt}%9.3f s  gc=${gcMillis - gc0}%5d ms  heap=${usedMb}%6d MB")
-      name -> dt
+        f"[bench] $name%-28s min=${best}%8.3f s  spread=${spread * 100}%5.1f%%  " +
+          f"passes=[${times.map(t => f"${t._1}%.3f").mkString(" ")}]  " +
+          f"gc=${times.map(_._2).sum}%5d ms  heap=${usedMb}%6d MB")
+      name -> best
     }
     // The driver keeps only the tail of this process's output, so the
     // one JSON line must stay well under 2000 chars even with sbt's
@@ -96,7 +109,11 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // methodology fields: whether the JIT warm-up pass ran and how many
+    // timed passes the per-query min covers — cross-round comparisons
+    // must not silently mix cold and steady-state measurements
+    val warmed = warmDir != "none" && new java.io.File(warmDir).isDirectory
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes}""")
     spark.stop()
   }
 }
