@@ -39,4 +39,28 @@ class ApproxQualitySpec extends SparkSpecBase {
   test("q66 approx distinct counts sit within 3x rsd of q20's exact counts (sf0.01)") {
     check("/root/testdata/sf0.01")
   }
+
+  test("percentile_approx tracks q68's exact percentiles (the 100 TB form)") {
+    // q68's exact percentile is a full sort per group — at 100 TB the
+    // same question is asked through the GK sketch. Pin the substitution
+    // error so "use percentile_approx at scale" is a measured contract:
+    // accuracy 10000 → rank error ≤ n/10000; on these value ranges the
+    // relative value error stays well under 2%.
+    val sf = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q68_percentiles")(spark, sf)
+    val approx = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_approx(l_quantity, 0.5, 10000)").as("a_p50"),
+           expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("a_p90"))
+    val rows = exact.join(approx, "l_returnflag")
+      .select(
+        (abs(col("a_p50") - col("qty_p50")) / col("qty_p50")).as("e50"),
+        (abs(col("a_p90") - col("price_p90")) / col("price_p90")).as("e90"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) <= 0.02, s"p50 err ${r.getDouble(0)}")
+      assert(r.getDouble(1) <= 0.02, s"p90 err ${r.getDouble(1)}")
+    }
+  }
 }
