@@ -4,6 +4,7 @@ import graft.board.EtlMain.{EtlConfig, EtlResult, Fields}
 import graft.sinks.HttpSink.Transport
 import graft.sinks.{JdkTransport, RequestBuilders}
 import graft.sources.{ApiSource, DimFiles}
+import graft.state.StateStore
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
@@ -172,7 +173,27 @@ object EtlCli {
       .flatMap(_.get("secondaryAdmin"))
       .getOrElse("")
     val config = resolveConfig(spark, env, transport, secondaryAdmin)
-    EtlMain.run(spark, boardPath, config, transport)
+    // durable ledgers — the reference persists db.json automatically
+    // between runs (etl.js:14-19); with GRAFT_STATE_DIR set the CLI
+    // does the same: load before, save after, so a re-run sends only
+    // what is missing. The returned frames are re-loaded from the
+    // saved generation (the pre-save handles point at renamed files).
+    env.get("GRAFT_STATE_DIR") match {
+      case Some(dir) =>
+        val issuePath = s"$dir/issue_ledger"
+        val fieldPath = s"$dir/field_ledger"
+        val result = EtlMain.run(spark, boardPath, config, transport,
+          issueLedger0 =
+            Some(StateStore.load(spark, issuePath, EtlMain.issueLedgerSchema)),
+          fieldLedger0 =
+            Some(StateStore.load(spark, fieldPath, EtlMain.fieldLedgerSchema)))
+        StateStore.save(result.issueLedger, issuePath)
+        StateStore.save(result.fieldLedger, fieldPath)
+        result.copy(
+          issueLedger = StateStore.load(spark, issuePath, EtlMain.issueLedgerSchema),
+          fieldLedger = StateStore.load(spark, fieldPath, EtlMain.fieldLedgerSchema))
+      case None => EtlMain.run(spark, boardPath, config, transport)
+    }
   }
 
   /** bin/etl: `etl [board.json [trello-fields.json]]` against the real

@@ -183,6 +183,33 @@ class EtlCliSpec extends SparkSpecBase {
     assert(result.issueLedger.count() == 4)
   }
 
+  test("GRAFT_STATE_DIR makes CLI runs resumable (the reference's automatic db.json)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-state").toString
+    try {
+      val gh = new FakeGithub
+      val first = EtlCli.run(spark, env + ("GRAFT_STATE_DIR" -> dir), gh, boardPath)
+      assert(first.report.failed == 0)
+      assert(first.issueLedger.count() == 4)
+
+      // a brand-new "process" with the same state dir: config
+      // resolution still queries project/fields (mustInit re-validates
+      // every run, gh.js:48-190) but ZERO mutations go on the wire
+      val gh2 = new FakeGithub
+      val second = EtlCli.run(spark, env + ("GRAFT_STATE_DIR" -> dir), gh2, boardPath)
+      val mutations = gh2.log.filter(r =>
+        r.method == "PATCH" || r.url.startsWith("/repos/") ||
+          r.body.contains("addProjectNextItem") ||
+          r.body.contains("updateProjectNextItemField"))
+      assert(mutations.isEmpty, mutations.take(3))
+      assert(second.report.sent == 0)
+      // the returned ledgers read the freshly-saved generation
+      assert(second.issueLedger.count() == 4)
+      assert(second.fieldLedger.count() == 30)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("parseBoardLists mirrors the reference split (gh.js:78-80)") {
     assert(EtlCli.parseBoardLists("A:B, None:C,  D:E ") ==
       Map("A" -> "B", "None" -> "C", "D" -> "E"))
