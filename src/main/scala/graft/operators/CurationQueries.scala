@@ -40,6 +40,32 @@ object CurationQueries {
     Tables.documents(s, d)
       .withColumn("ts", split(lower(trim(col("text"))), "\\s+"))
 
+  /** q96's scoring pipeline (everything before the quartile split) —
+    * also the plan-audit surface: the ntile step checkpoints, so the
+    * broadcast-join/partial-agg shape is only visible on this frame.
+    * Per-doc log-prob totals are ORDERED double folds (sorted by term;
+    * duplicate terms carry identical lp, so the fold is fully
+    * determined): shuffle-order-independent and engine-portable — a
+    * decimal-cast sum diverges between engines at exact rounding-grid
+    * midpoints (the q90 lesson). */
+  private[graft] def q96Scored(s: SparkSession, d: String): DataFrame = {
+    val toks = tokenized(s, d).select(col("doc_id"), explode(col("ts")).as("term"))
+    // vocab-sized materialization: both the broadcast-back join and
+    // the corpus-total scalar read the aggregated term table
+    val tfreq = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val total = tfreq.agg(sum(col("n")).as("tot"))
+    toks.join(broadcast(tfreq), Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", log(col("n").cast("double") / col("tot").cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(term, lp))),
+             s -> s.lp), 0D, (a, x) -> a + x)""").as("ll"))
+      .withColumn("avg_ll_r", round(col("ll") / col("n_tokens"), 4))
+      .select("doc_id", "n_tokens", "avg_ll_r")
+  }
+
   /** The curation funnel's shared flag ladder — fp → lang_ok →
     * qual_ok → keep_ok, each conjoining the previous. ONE definition
     * feeds both q91 (per-stage retention counts) and q100 (the
@@ -445,37 +471,17 @@ object CurationQueries {
     //      from one agg (vocabulary-sized → broadcast back), per-doc
     //      mean log-prob via ordered double folds (decimal casts
     //      diverge between engines — the q90 lesson), quartile buckets.
-    //      The ntile window ranks POST-AGG per-doc scores; at 100 TB
-    //      the bucket boundaries would come from an approx-quantile
-    //      sketch instead of a global sort — the scoring pipeline
-    //      (the expensive part) is shape-identical.
+    //      The quartile assignment is EXACT ntile over the per-doc
+    //      scores, but never a global window: GlobalRank.ntileByRange
+    //      range-partitions by the total order and ranks via
+    //      zipWithIndex — per-document rows (billions at 100 TB) never
+    //      pass through one partition.
     QueryDef(
       "q96_unigram_loglik",
-      (s, d) => {
-        val toks = tokenized(s, d).select(col("doc_id"), explode(col("ts")).as("term"))
-        // vocab-sized materialization: both the broadcast-back join and
-        // the corpus-total scalar read the aggregated term table
-        val tfreq = toks.groupBy("term").agg(count(lit(1)).as("n"))
-          .localCheckpoint()
-        val total = tfreq.agg(sum(col("n")).as("tot"))
-        val w = Window.orderBy(col("avg_ll_r").asc, col("doc_id").asc)
-        // per-doc log-prob total via an ORDERED double fold (sorted by
-        // term; duplicate terms carry identical lp, so the fold is
-        // fully determined): shuffle-order-independent and
-        // engine-portable — a decimal-cast sum diverges between
-        // engines at exact rounding-grid midpoints (the q90 lesson)
-        toks.join(broadcast(tfreq), Seq("term"))
-          .crossJoin(broadcast(total))
-          .withColumn("lp", log(col("n").cast("double") / col("tot").cast("double")))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            expr("""aggregate(transform(array_sort(collect_list(struct(term, lp))),
-                 s -> s.lp), 0D, (a, x) -> a + x)""").as("ll"))
-          .withColumn("avg_ll_r", round(col("ll") / col("n_tokens"), 4))
-          .withColumn("bucket", ntile(4).over(w))
-          .select(col("doc_id"), col("n_tokens"), col("avg_ll_r"), col("bucket"))
-          .orderBy("doc_id")
-      },
+      (s, d) => GlobalRank
+        .ntileByRange(q96Scored(s, d), 4,
+          Seq(col("avg_ll_r").asc, col("doc_id").asc), "bucket")
+        .orderBy("doc_id"),
       Some("""WITH toks AS (SELECT doc_id,
             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
         tf AS (SELECT term, count(*) AS n FROM toks GROUP BY term),

@@ -207,12 +207,22 @@ class PlanAuditSpec extends SparkSpecBase {
   }
 
   test("q96: the unigram LM joins as a broadcast of the post-agg " +
-      "vocabulary; the token stream partial-aggregates") {
-    val df = SparkEntry.queries("q96_unigram_loglik")(spark, sf)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
+      "vocabulary; the token stream partial-aggregates; the quartile " +
+      "split never windows over one partition") {
+    // the ntile step checkpoints, so the join/agg shape is audited on
+    // the scoring frame it consumes
+    val scored = graft.operators.CurationQueries.q96Scored(spark, sf)
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("partial_"), plan)
+    // the full query must not reintroduce a global window: no Window
+    // operator and no single-partition exchange anywhere in its plan
+    val df = SparkEntry.queries("q96_unigram_loglik")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(!full.contains("Exchange SinglePartition"), full)
+    assert(!full.contains("Window"), full)
   }
 
   test("no query in the battery plans a non-broadcast cartesian product") {
