@@ -40,6 +40,29 @@ class ApproxQualitySpec extends SparkSpecBase {
     check("/root/testdata/sf0.01")
   }
 
+  test("approxQuantile boundaries track q99's exact equi-depth buckets") {
+    // q99's histogram boundaries are exact percentiles (a full sort);
+    // at 100 TB they'd come from DataFrame.stat.approxQuantile (GK
+    // sketch). Pin the substitution: with relativeError 0.001 each
+    // bucket built from approximate boundaries must hold 25% ± 1% of
+    // the corpus.
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count().toDouble
+    val Array(b1, b2, b3) =
+      docs.stat.approxQuantile("n_chars", Array(0.25, 0.5, 0.75), 0.001)
+    val counts = docs.select(
+      when(col("n_chars") <= b1, 1)
+        .when(col("n_chars") <= b2, 2)
+        .when(col("n_chars") <= b3, 3).otherwise(4).as("bucket"))
+      .groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set(1, 2, 3, 4))
+    counts.foreach { case (b, c) =>
+      assert(math.abs(c / n - 0.25) <= 0.01, s"bucket $b share ${c / n}")
+    }
+  }
+
   test("percentile_approx tracks q68's exact percentiles (the 100 TB form)") {
     // q68's exact percentile is a full sort per group — at 100 TB the
     // same question is asked through the GK sketch. Pin the substitution
