@@ -187,8 +187,10 @@ object EtlCli {
             Some(StateStore.load(spark, issuePath, EtlMain.issueLedgerSchema)),
           fieldLedger0 =
             Some(StateStore.load(spark, fieldPath, EtlMain.fieldLedgerSchema)))
-        StateStore.save(result.issueLedger, issuePath)
-        StateStore.save(result.fieldLedger, fieldPath)
+        StateStore.save(result.issueLedger, issuePath,
+          bucketCols = Seq("entity_kind", "entity_id"))
+        StateStore.save(result.fieldLedger, fieldPath,
+          bucketCols = Seq("entity_id", "field_id"))
         result.copy(
           issueLedger = StateStore.load(spark, issuePath, EtlMain.issueLedgerSchema),
           fieldLedger = StateStore.load(spark, fieldPath, EtlMain.fieldLedgerSchema))

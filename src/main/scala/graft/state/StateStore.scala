@@ -80,19 +80,39 @@ object StateStore {
   /** Persist a ledger as parquet, atomically: the frame fully
     * materializes into a sibling temp dir FIRST, then a rename swaps
     * it in (with the superseded generation renamed aside and deleted
-    * last). Readers either see the old ledger or the new one, never a
-    * half-written directory — and because the temp write completes
-    * before `path` is touched, saving a frame that was itself LOADED
-    * from `path` is safe (self-overwrite). */
-  def save(ledger: DataFrame, path: String): Unit = {
+    * last). The atomicity comes from the directory-level renames, NOT
+    * from a single file — so the write itself stays parallel: the
+    * ledger is entity-count-sized (one row per migrated entity,
+    * forever), and at scale a single-task write would serialize it.
+    * Pass `bucketCols` (the ledger key) to hash-partition the files so
+    * a reload is co-partitioned for the MERGE join; otherwise the
+    * frame's existing partitioning is written as-is. With
+    * `numBuckets = 0` AQE sizes the bucket count to the data (a small
+    * ledger collapses to one file, a 100×-scale one fans out); a
+    * positive `numBuckets` pins the count.
+    *
+    * Because the temp write completes before `path` is touched, saving
+    * a frame that was itself LOADED from `path` is safe
+    * (self-overwrite). A crash mid-swap leaves only `.tmp-*`/`.old-*`
+    * generations; [[load]] (and the next [[save]]) runs [[recover]],
+    * which rolls the newest committed generation back in — readers see
+    * the old ledger or the new one, never a half-written directory and
+    * never a silently-empty one. */
+  def save(ledger: DataFrame, path: String, bucketCols: Seq[String] = Nil,
+      numBuckets: Int = 0): Unit = {
     val spark = ledger.sparkSession
     val dest = new Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, dest)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(path + s".tmp-$stamp")
     val old = new Path(path + s".old-$stamp")
-    // a ledger is change-set-sized; one file keeps the rename cheap
-    ledger.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val out =
+      if (bucketCols.nonEmpty && numBuckets > 0)
+        ledger.repartition(numBuckets, bucketCols.map(col): _*)
+      else if (bucketCols.nonEmpty) ledger.repartition(bucketCols.map(col): _*)
+      else ledger
+    out.write.mode("overwrite").parquet(tmp.toString)
     val hadPrev = fs.exists(dest)
     if (hadPrev) require(fs.rename(dest, old), s"could not stage out $dest")
     require(fs.rename(tmp, dest), s"could not commit $tmp -> $dest")
@@ -103,12 +123,58 @@ object StateStore {
   }
 
   /** Load a ledger saved by [[save]]; an absent path is an empty
-    * ledger (first run — the reference's missing db.json). */
+    * ledger (first run — the reference's missing db.json). Runs
+    * [[recover]] first, so a crash between [[save]]'s stage-out and
+    * commit renames does NOT read as a first run (which would re-send
+    * every external mutation). */
   def load(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val dest = new Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(fs, dest)
     if (fs.exists(dest)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Roll an interrupted [[save]] forward (or back) and sweep strays.
+    *
+    * If sibling generations exist, a save crashed mid-swap. The commit
+    * point is the `_SUCCESS` marker: a `.tmp-*` carrying one holds a
+    * fully-written NEW generation whose recorded mutations were
+    * already sent, so it rolls FORWARD over whatever `dest` holds
+    * (re-reading the superseded generation would re-send them). With
+    * no committed tmp, an absent `dest` is restored from the newest
+    * `.old-*` (the staged-out previous generation) — never silently
+    * read as an empty first run. Everything else — incomplete tmp
+    * writes, superseded old generations — is deleted once `dest` is
+    * settled. */
+  private def recover(
+      fs: org.apache.hadoop.fs.FileSystem, dest: Path): Unit = {
+    val parent = dest.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val name = dest.getName
+    def generations(): (Array[Path], Array[Path]) = {
+      val sibs = fs.listStatus(parent).map(_.getPath)
+      (sibs.filter(_.getName.startsWith(name + ".tmp-")),
+        sibs.filter(_.getName.startsWith(name + ".old-")))
+    }
+    val (tmps, olds) = generations()
+    if (tmps.isEmpty && olds.isEmpty) return
+    def newest(ps: Array[Path]): Option[Path] =
+      if (ps.isEmpty) None
+      else Some(ps.maxBy(p => fs.getFileStatus(p).getModificationTime))
+    newest(tmps.filter(p => fs.exists(new Path(p, "_SUCCESS")))) match {
+      case Some(committed) =>
+        if (fs.exists(dest))
+          require(fs.delete(dest, true), s"could not clear superseded $dest")
+        require(fs.rename(committed, dest), s"could not recover $committed -> $dest")
+      case None if !fs.exists(dest) =>
+        newest(olds).foreach { g =>
+          require(fs.rename(g, dest), s"could not recover $g -> $dest")
+        }
+      case None => // dest is the live generation; only strays remain
+    }
+    val (strayTmps, strayOlds) = generations()
+    (strayTmps ++ strayOlds).foreach(p => fs.delete(p, true))
   }
 }

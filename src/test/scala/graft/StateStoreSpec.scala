@@ -64,4 +64,106 @@ class StateStoreSpec extends SparkSpecBase {
     val again = StateStore.bumpMigration(bumped, keys, Seq("kind", "id"), StateStore.MCreated)
     assert(again.filter($"id" === "c1").select("migration").head().getInt(0) == 1)
   }
+
+  // ---------------------------------------------------------------
+  // durable persistence: parallel write + crash-window recovery
+  // ---------------------------------------------------------------
+
+  private def withLedgerDir(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss").toString
+    try f(dir)
+    finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  private def bigLedger = spark.range(0, 200)
+    .selectExpr("'card' AS kind", "concat('c', id) AS id",
+      "concat('t', id) AS title", "cast(id as double) AS price")
+
+  private def partFiles(path: String): Seq[java.io.File] = {
+    val d = new java.io.File(path)
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq.filter(_.getName.startsWith("part-"))
+  }
+
+  private def idsAt(path: String): Seq[String] = {
+    val schema = bigLedger.schema
+    StateStore.load(spark, path, schema)
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  test("save is a parallel multi-file write when bucketed by key " +
+      "(the dir-level rename swap supplies atomicity, not a single file)") {
+    withLedgerDir { dir =>
+      val path = s"$dir/ledger"
+      StateStore.save(bigLedger, path, bucketCols = Seq("kind", "id"),
+        numBuckets = 4)
+      assert(partFiles(path).size > 1,
+        s"expected a multi-file ledger, got ${partFiles(path).map(_.getName)}")
+      assert(idsAt(path) == bigLedger.select("id")
+        .collect().map(_.getString(0)).sorted.toSeq)
+    }
+  }
+
+  test("load recovers a crash between stage-out and commit: committed " +
+      ".tmp-* rolls forward, .old-* and strays are swept") {
+    withLedgerDir { dir =>
+      val path = s"$dir/ledger"
+      StateStore.save(bigLedger.limit(10), path, bucketCols = Seq("kind", "id"))
+      // simulate save(v2) crashing after the tmp write + stage-out
+      // renames but before the commit rename: dest is ABSENT, the v2
+      // generation sits complete (with _SUCCESS) in .tmp-*, v1 in .old-*
+      val v2 = bigLedger.filter($"id".isin("c100", "c101", "c102"))
+      v2.write.parquet(s"$path.tmp-crash1")
+      assert(new java.io.File(s"$path.tmp-crash1/_SUCCESS").exists())
+      assert(new java.io.File(path).renameTo(new java.io.File(s"$path.old-crash1")))
+      assert(!new java.io.File(path).exists())
+
+      assert(idsAt(path) == Seq("c100", "c101", "c102")) // v2, NOT empty, NOT v1
+      assert(new java.io.File(path).exists())
+      assert(!new java.io.File(s"$path.tmp-crash1").exists())
+      assert(!new java.io.File(s"$path.old-crash1").exists())
+    }
+  }
+
+  test("load recovers a crash after stage-out with NO committed tmp: " +
+      ".old-* rolls back instead of reading an empty first run") {
+    withLedgerDir { dir =>
+      val path = s"$dir/ledger"
+      StateStore.save(bigLedger.limit(10), path, bucketCols = Seq("kind", "id"))
+      val expected = idsAt(path)
+      // dest staged out; the replacement tmp never finished (no _SUCCESS)
+      assert(new java.io.File(path).renameTo(new java.io.File(s"$path.old-crash2")))
+      val half = new java.io.File(s"$path.tmp-crash2")
+      assert(half.mkdir())
+      java.nio.file.Files.write(half.toPath.resolve("part-00000.parquet"),
+        Array[Byte](1, 2, 3)) // torn write, never committed
+      assert(idsAt(path) == expected)
+      assert(!new java.io.File(s"$path.old-crash2").exists())
+      assert(!new java.io.File(s"$path.tmp-crash2").exists())
+    }
+  }
+
+  test("a committed tmp rolls forward even over an intact dest " +
+      "(crash between tmp write and stage-out)") {
+    withLedgerDir { dir =>
+      val path = s"$dir/ledger"
+      StateStore.save(bigLedger.limit(10), path, bucketCols = Seq("kind", "id"))
+      val v2 = bigLedger.filter($"id".isin("c42"))
+      v2.write.parquet(s"$path.tmp-crash3")
+      assert(idsAt(path) == Seq("c42"))
+      assert(!new java.io.File(s"$path.tmp-crash3").exists())
+    }
+  }
+
+  test("save after an interrupted save recovers first, then commits " +
+      "its own generation; load sees only the newest") {
+    withLedgerDir { dir =>
+      val path = s"$dir/ledger"
+      StateStore.save(bigLedger.limit(10), path, bucketCols = Seq("kind", "id"))
+      assert(new java.io.File(path).renameTo(new java.io.File(s"$path.old-crash4")))
+      StateStore.save(bigLedger.limit(3), path, bucketCols = Seq("kind", "id"))
+      assert(idsAt(path) == Seq("c0", "c1", "c2"))
+      assert(new java.io.File(dir).listFiles().map(_.getName).toSeq == Seq("ledger"))
+    }
+  }
 }
