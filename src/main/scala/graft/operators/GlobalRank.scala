@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.types.IntegerType
 
 /** Exact global ntile WITHOUT an `Exchange SinglePartition`: the
@@ -14,10 +15,19 @@ import org.apache.spark.sql.types.IntegerType
   *     partitions, and PIN the result with a localCheckpoint (range
   *     boundaries come from sampling; two jobs re-planning the
   *     exchange could disagree);
-  *  2. `zipWithIndex` over the pinned partitions: partition index then
-  *     position IS the global 0-based rank — one count job + one
-  *     narrow map, no further shuffle;
+  *  2. one fused pass over the pinned partitions computes the
+  *     per-partition row counts → prefix offsets; partition index then
+  *     position IS the global 0-based rank — no further shuffle;
   *  3. apply ntile's exact bucket arithmetic to the 1-based rank.
+  *
+  * The input is pinned LAZILY (`localCheckpoint(eager = false)`):
+  * repartitionByRange samples its child before the shuffle, so an
+  * unpinned expensive upstream would execute twice — but an eager pin
+  * would cost a dedicated materialize job. Lazy, the sampling pass
+  * itself materializes the checkpoint. Once the shuffled copy is
+  * pinned, its checkpoint truncates lineage back to the input, so the
+  * input copy is released immediately — the scored frame is never
+  * double-stored.
   *
   * The order must be TOTAL (include a unique tiebreaker) or ranks of
   * equal keys depend on partition placement.
@@ -34,20 +44,42 @@ object GlobalRank {
     else (rem + (r - big + q - 1) / q).toInt
   }
 
-  /** Appends an ntile(k)-over-total-`order` column named `out`. */
-  def ntileByRange(df: DataFrame, k: Int, order: Seq[Column], out: String): DataFrame = {
+  /** Appends an ntile(k)-over-total-`order` column named `out`.
+    * Pass `inputPinned = true` when `df` is already checkpointed or
+    * cached — skips the defensive pin against repartitionByRange's
+    * double execution of its child. */
+  def ntileByRange(df: DataFrame, k: Int, order: Seq[Column], out: String,
+      inputPinned: Boolean = false): DataFrame = {
     require(k >= 1, "k must be positive")
     val spark = df.sparkSession
-    // pin the INPUT first: repartitionByRange runs a sampling pass over
-    // its child before the shuffle, so an unpinned upstream (e.g. an
-    // expensive join/agg pipeline) would execute twice
-    val pinned = df.localCheckpoint()
-    val snap = pinned.repartitionByRange(order: _*)
+    val input = if (inputPinned) df else df.localCheckpoint(eager = false)
+    val snap = input.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .localCheckpoint()
-    val n = snap.count()
-    val rdd = snap.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ ntileBucket(idx + 1, n, k))
+    // snap's checkpoint truncated the lineage — the input copy can go
+    // now (the ConnectedComponents generation pattern)
+    if (!inputPinned) input.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    val pinnedRdd = snap.rdd
+    // ONE pass for the offset arithmetic — replaces both the separate
+    // count() and zipWithIndex's internal per-partition size job
+    val counts = pinnedRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1 }
+        Iterator.single(i -> c)
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val rdd = pinnedRdd.mapPartitionsWithIndex { (i, it) =>
+      var idx = offsets(i) // 0-based global rank of the previous row
+      it.map { row =>
+        idx += 1
+        Row.fromSeq(row.toSeq :+ ntileBucket(idx, n, k))
+      }
     }
     spark.createDataFrame(rdd, snap.schema.add(out, IntegerType, nullable = false))
   }
