@@ -146,11 +146,15 @@ object MultimodalQueries {
       // height = top-down rows in the wild; dimensions are |value|)
       MediaInfo("bmp", Some(math.abs(rdLe32(p, 18))), Some(math.abs(rdLe32(p, 22))), None)
     } else if (asciiAt(p, 0, "RIFF") && asciiAt(p, 8, "WAVE")) {
-      // RIFF chunk walk (chunks pad to even length)
+      // RIFF chunk walk (chunks pad to even length). The declared size
+      // is an UNSIGNED 32-bit field from untrusted bytes: unbounded, a
+      // value near 2^31 would overflow the step to <= 0 and stall the
+      // walk forever — every chunk must fit inside the payload.
       var off = 12
       var channels = -1; var rate = -1; var bits = -1; var dataLen = -1L
       while (off + 8 <= p.length && (channels < 0 || dataLen < 0)) {
         val sz = rdLe32(p, off + 4).toLong & 0xffffffffL
+        require(sz <= p.length - off - 8, s"malformed WAV: chunk at $off overruns payload")
         if (asciiAt(p, off, "fmt ")) {
           channels = rdLe16(p, off + 10); rate = rdLe32(p, off + 12); bits = rdLe16(p, off + 22)
         } else if (asciiAt(p, off, "data")) dataLen = sz
@@ -175,12 +179,130 @@ object MultimodalQueries {
       while (off < p.length) {
         require(asciiAt(p, off, "FRAME"), s"expected FRAME marker at $off")
         var e = off + 5
-        while (p(e) != '\n'.toByte) e += 1 // frame params, if any
+        while (e < p.length && p(e) != '\n'.toByte) e += 1 // frame params, if any
+        require(e < p.length, s"malformed Y4M: unterminated FRAME header at $off")
         off = e + 1 + frameBytes
+        require(off <= p.length, s"malformed Y4M: truncated frame at $off")
         frames += 1
       }
       MediaInfo("y4m", Some(w), Some(h), Some(frames * 1000L * fDen / fNum))
     } else throw new IllegalArgumentException("unknown container format")
+  }
+
+  /** Content-level features — the decode contract past the header:
+    * samples, not just structure. One field per modality, the others
+    * None. */
+  final case class MediaContent(
+      meanLuma: Option[Double], pcmRms: Option[Double], frameCrc: Option[Long])
+
+  /** Pure-JVM CONTENT parse: walks the same container structures as
+    * [[parseMediaHeader]] but reads the sample regions.
+    *
+    *  - BMP → mean BT.601 luma over the decoded BGR pixels (padding
+    *    bytes excluded). The per-pixel luma is kept on the integer
+    *    per-mille grid (299·R + 587·G + 114·B) and summed as a long, so
+    *    the mean is ONE exact-integer division — order-free and
+    *    engine-portable (the q90 lesson applied to pixels).
+    *  - WAV → RMS over the signed 16-bit PCM samples; the sum of
+    *    squares is an exact long, then one divide + IEEE sqrt.
+    *  - Y4M → order-sensitive frame checksum: Σ (frame_idx+1) · (sum of
+    *    that frame's plane bytes) — exact integer throughout.
+    *
+    * Same trust model as the header parse: format from magic bytes,
+    * every region bounds-checked before reading. */
+  def parseMediaContent(p: Array[Byte]): MediaContent = {
+    if (asciiAt(p, 0, "BM")) {
+      val pix = rdLe32(p, 10)
+      val w = math.abs(rdLe32(p, 18)); val h = math.abs(rdLe32(p, 22))
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      require(w > 0 && h > 0 && pix >= 54 &&
+        pix.toLong + rowSize.toLong * h <= p.length, "malformed BMP: pixel array overruns payload")
+      var lumaPm = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = pix + y * rowSize + 3 * x
+          val blue = p(o) & 0xff; val green = p(o + 1) & 0xff; val red = p(o + 2) & 0xff
+          lumaPm += 299L * red + 587L * green + 114L * blue
+          x += 1
+        }
+        y += 1
+      }
+      MediaContent(Some(lumaPm.toDouble / (1000.0 * w * h)), None, None)
+    } else if (asciiAt(p, 0, "RIFF") && asciiAt(p, 8, "WAVE")) {
+      var off = 12
+      var bits = -1; var dataOff = -1; var dataLen = -1L
+      while (off + 8 <= p.length && (bits < 0 || dataOff < 0)) {
+        val sz = rdLe32(p, off + 4).toLong & 0xffffffffL
+        require(sz <= p.length - off - 8, s"malformed WAV: chunk at $off overruns payload")
+        if (asciiAt(p, off, "fmt ")) bits = rdLe16(p, off + 22)
+        else if (asciiAt(p, off, "data")) { dataOff = off + 8; dataLen = sz }
+        off += (8 + sz + (sz & 1)).toInt
+      }
+      require(bits == 16 && dataOff > 0, "malformed WAV: need 16-bit PCM data")
+      val n = (dataLen / 2).toInt
+      var ssq = 0L
+      var i = 0
+      while (i < n) {
+        val v = rdLe16(p, dataOff + 2 * i)
+        val s = if (v >= 0x8000) v - 0x10000 else v
+        ssq += s.toLong * s
+        i += 1
+      }
+      MediaContent(None, Some(math.sqrt(ssq.toDouble / n)), None)
+    } else if (asciiAt(p, 0, "YUV4MPEG2")) {
+      val nl = p.indexOf('\n'.toByte)
+      require(nl > 0, "malformed Y4M header")
+      val params = new String(p, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+        .split(' ').drop(1)
+      def tag(c: Char): Option[String] =
+        params.find(_.headOption.contains(c)).map(_.tail)
+      val w = tag('W').get.toInt
+      val h = tag('H').get.toInt
+      val frameBytes = w * h * 3 / 2 // C420 default
+      var off = nl + 1
+      var frame = 0L
+      var crc = 0L
+      while (off < p.length) {
+        require(asciiAt(p, off, "FRAME"), s"expected FRAME marker at $off")
+        var e = off + 5
+        while (e < p.length && p(e) != '\n'.toByte) e += 1
+        require(e < p.length, s"malformed Y4M: unterminated FRAME header at $off")
+        val start = e + 1
+        require(start + frameBytes <= p.length, s"malformed Y4M: truncated frame at $off")
+        var fsum = 0L
+        var i = 0
+        while (i < frameBytes) { fsum += p(start + i) & 0xff; i += 1 }
+        frame += 1
+        crc += frame * fsum
+        off = start + frameBytes
+      }
+      MediaContent(None, None, Some(crc))
+    } else throw new IllegalArgumentException("unknown container format")
+  }
+
+  private val contentSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = true),
+    StructField("pcm_rms", DoubleType, nullable = true),
+    StructField("frame_crc", LongType, nullable = true)))
+
+  /** Per-partition content decode — same batching contract as
+    * [[decodeFeatures]], one level deeper into the payload. */
+  def contentFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val rdd = media.select("doc_id", "kind", "payload").rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val c = parseMediaContent(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), r.getString(1),
+            c.meanLuma.map(Double.box).orNull,
+            c.pcmRms.map(Double.box).orNull,
+            c.frameCrc.map(Long.box).orNull)
+        }
+      }
+    spark.createDataFrame(rdd, contentSchema)
   }
 
   private val featureSchema = StructType(Seq(
@@ -273,6 +395,58 @@ object MultimodalQueries {
               FROM p WHERE k = 2)
         ORDER BY doc_id"""),
       doc = "real container bytes → per-partition header parse → typed features"),
+
+    // ---- content-level decode: past the headers into the samples.
+    //      The synthesized payloads' content is deterministic
+    //      arithmetic, so the oracle regenerates every pixel/sample/
+    //      plane byte from the fixture keys and recomputes the same
+    //      features the parser must read out of the actual bytes.
+    //      All three features ride exact integer aggregation (luma on
+    //      the per-mille grid, PCM sum-of-squares, plane-byte sums)
+    //      with ONE final float op — order-free and engine-portable.
+    QueryDef(
+      "q101_multimodal_content",
+      (s, d) => contentFeatures(s, synthesizeMedia(Tables.documents(s, d)))
+        .orderBy("doc_id"),
+      Some("""WITH p AS (SELECT doc_id, doc_id % 3 AS k FROM documents),
+        img AS (SELECT doc_id, 4 + doc_id % 16 AS w, 4 + (doc_id // 3) % 16 AS h
+                FROM p WHERE k = 0),
+        imgy AS (SELECT doc_id, w, ((w * 3 + 3) // 4) * 4 AS row_size,
+                   unnest(range(h)) AS y FROM img),
+        imgyx AS (SELECT doc_id, row_size, y, unnest(range(w)) AS x FROM imgy),
+        img_luma AS (SELECT doc_id,
+            SUM(299 * (((doc_id + y * row_size + 3 * x + 2) * 31) & 255)
+              + 587 * (((doc_id + y * row_size + 3 * x + 1) * 31) & 255)
+              + 114 * (((doc_id + y * row_size + 3 * x) * 31) & 255)) AS luma_pm,
+            COUNT(*) AS n_px
+          FROM imgyx GROUP BY doc_id),
+        aud AS (SELECT doc_id, (1 + doc_id % 2) * 8 * (100 + doc_id % 400) AS n
+                FROM p WHERE k = 1),
+        audi AS (SELECT doc_id, unnest(range(n)) AS i FROM aud),
+        auds AS (SELECT doc_id, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+          FROM (SELECT doc_id, (((doc_id + i) * 2654435761) & 65535) AS v FROM audi)),
+        aud_rms AS (SELECT doc_id,
+            sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+          FROM auds GROUP BY doc_id),
+        vid AS (SELECT doc_id, 2 * (4 + doc_id % 16) AS w,
+                  2 * (4 + (doc_id // 5) % 16) AS h, 1 + doc_id % 5 AS fr
+                FROM p WHERE k = 2),
+        vidf AS (SELECT doc_id, w * h * 3 // 2 AS fb, unnest(range(fr)) AS f FROM vid),
+        vidfi AS (SELECT doc_id, f, unnest(range(fb)) AS i FROM vidf),
+        vid_crc AS (SELECT doc_id,
+            CAST(SUM((f + 1) * (((doc_id + f * 131 + i) * 31) & 255)) AS BIGINT) AS crc
+          FROM vidfi GROUP BY doc_id)
+        SELECT p.doc_id,
+          CASE WHEN k = 0 THEN 'image' WHEN k = 1 THEN 'audio' ELSE 'video' END AS kind,
+          CAST(luma_pm AS DOUBLE) / (1000 * n_px) AS mean_luma,
+          rms AS pcm_rms,
+          crc AS frame_crc
+        FROM p
+        LEFT JOIN img_luma USING (doc_id)
+        LEFT JOIN aud_rms USING (doc_id)
+        LEFT JOIN vid_crc USING (doc_id)
+        ORDER BY p.doc_id"""),
+      doc = "content decode: BMP mean luma / WAV PCM RMS / Y4M frame checksums from the sample bytes"),
 
     // ---- frame sampling. The frame *positions and sizes* are pure
     //      integer arithmetic over octet_length, so DuckDB reproduces

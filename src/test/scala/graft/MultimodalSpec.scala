@@ -54,6 +54,68 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("content parser recomputes hand-checked sample features exactly") {
+    import MultimodalQueries._
+    // BMP: mean BT.601 luma over decoded BGR pixels, padding excluded —
+    // recompute straight from the synthesis formula
+    val (w, h, seed) = (5, 3, 11L)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    def px(j: Int): Int = (((seed + j) * 31) & 0xff).toInt
+    val lumaPm = (for (y <- 0 until h; x <- 0 until w) yield {
+      val o = y * rowSize + 3 * x
+      299L * px(o + 2) + 587L * px(o + 1) + 114L * px(o)
+    }).sum
+    val got = parseMediaContent(bmpBytes(w, h, seed))
+    assert(got.meanLuma.contains(lumaPm.toDouble / (1000.0 * w * h)))
+    assert(got.pcmRms.isEmpty && got.frameCrc.isEmpty)
+
+    // WAV: RMS over signed 16-bit PCM
+    val n = 32
+    val ssq = (0 until n).map { i =>
+      val v = (((7L + i) * 2654435761L) & 0xffff).toInt
+      val s = if (v >= 0x8000) v - 0x10000 else v
+      s.toLong * s
+    }.sum
+    val wav = parseMediaContent(wavBytes(2, 8000, n / 2, seed = 7L))
+    assert(wav.pcmRms.contains(math.sqrt(ssq.toDouble / n)))
+
+    // Y4M: Σ (frame_idx+1)·(plane-byte sum)
+    val (vw, vh, fr, vseed) = (4, 2, 3, 5L)
+    val fb = vw * vh * 3 / 2
+    val crc = (0 until fr).map { f =>
+      (f + 1L) * (0 until fb).map(i => (((vseed + f * 131 + i) * 31) & 0xff).toInt).sum
+    }.sum
+    assert(parseMediaContent(y4mBytes(vw, vh, fr, vseed)).frameCrc.contains(crc))
+  }
+
+  test("parsers reject malformed input instead of hanging or overrunning") {
+    import MultimodalQueries._
+    // WAV whose declared chunk size is a near-2^31 unsigned value: the
+    // naive step arithmetic overflows to <= 0 and the walk never
+    // advances — must throw, not hang
+    val evil = wavBytes(1, 8000, 4, seed = 1L)
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte // fmt size = 0x7fffffff
+    intercept[IllegalArgumentException](parseMediaHeader(evil))
+    intercept[IllegalArgumentException](parseMediaContent(evil))
+
+    // Y4M truncated mid-frame: bounded scan must throw, not overrun
+    val video = y4mBytes(4, 4, 2, seed = 2L)
+    val cut = java.util.Arrays.copyOf(video, video.length - 5)
+    intercept[IllegalArgumentException](parseMediaHeader(cut))
+    intercept[IllegalArgumentException](parseMediaContent(cut))
+
+    // Y4M whose last FRAME header never terminates
+    val tail = java.util.Arrays.copyOf(video, video.length + 5)
+    for (i <- video.length until tail.length) tail(i) = 'F'.toByte
+    intercept[IllegalArgumentException](parseMediaHeader(tail))
+
+    // BMP declaring more pixels than the payload carries
+    val bmp = bmpBytes(4, 4, seed = 3L)
+    bmp(22) = 0x40.toByte // height 64 with a 4-row payload
+    intercept[IllegalArgumentException](parseMediaContent(bmp))
+  }
+
   test("frame sampling: every-2nd 64-byte frame, correct sizes") {
     val frames = MultimodalQueries.frameSample(media, frameBytes = 64, everyN = 2)
     assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
