@@ -62,7 +62,11 @@ object Bench {
       val times = (1 to passes).map { _ =>
         val gc0 = gcMillis
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a throwing query must NOT fold its elapsed-to-exception into
+        // the min — a query that starts failing fast would read as a
+        // speedup; failed passes are excluded and surfaced as "errors"
+        val ok =
+          try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // a query may cache an index for its own reuse (e.g. the LSH
         // shingle sets); drop it so storage memory never starves the
@@ -78,10 +82,15 @@ object Bench {
         // cleaner run now (measured: without this a query following a
         // 20-broadcast CC run degrades 4×)
         System.gc()
-        (dt, gcMillis - gc0)
+        (dt, gcMillis - gc0, ok)
       }
-      val best = times.map(_._1).min
-      val spread = if (best > 0) (times.map(_._1).max - best) / best else 0.0
+      val good = times.filter(_._3).map(_._1)
+      val failed = times.count(!_._3)
+      // -1.0 = "no successful pass" sentinel: never a plausible timing,
+      // keeps the JSON key present so cross-round tooling sees the
+      // query, and the errors field (below) names it explicitly
+      val best = if (good.nonEmpty) good.min else -1.0
+      val spread = if (good.nonEmpty && good.min > 0) (good.max - good.min) / good.min else 0.0
       // per-query JVM hygiene log (stderr — stdout stays one JSON line):
       // per-pass times + GC + post-cleanup heap floor, so a real
       // regression is distinguishable from shared-JVM residue
@@ -89,9 +98,9 @@ object Bench {
       val usedMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
       System.err.println(
         f"[bench] $name%-28s min=${best}%8.3f s  spread=${spread * 100}%5.1f%%  " +
-          f"passes=[${times.map(t => f"${t._1}%.3f").mkString(" ")}]  " +
+          f"passes=[${times.map(t => f"${t._1}%.3f${if (t._3) "" else "!ERR"}").mkString(" ")}]  " +
           f"gc=${times.map(_._2).sum}%5d ms  heap=${usedMb}%6d MB")
-      name -> best
+      (name, best, failed)
     }
     // The driver keeps only the tail of this process's output, so the
     // one JSON line must stay well under 2000 chars even with sbt's
@@ -106,14 +115,21 @@ object Bench {
     require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
       "duplicate qNN bench key prefix")
     val qs = results
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // only queries with at least one successful pass contribute to the
+    // total; failing queries are named in "errors" (qNN -> failed-pass
+    // count) instead of polluting the timing
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val errJson = results.collect { case (k, _, e) if e > 0 =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + e
+    }
+    val errField = if (errJson.isEmpty) "" else errJson.mkString(""","errors":{""", ",", "}")
     // methodology fields: whether the JIT warm-up pass ran and how many
     // timed passes the per-query min covers — cross-round comparisons
     // must not silently mix cold and steady-state measurements
     val warmed = warmDir != "none" && new java.io.File(warmDir).isDirectory
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes$errField}""")
     spark.stop()
   }
 }
