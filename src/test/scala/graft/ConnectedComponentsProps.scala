@@ -69,6 +69,42 @@ object ConnectedComponentsProps extends Properties("connected-components") {
     got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
   }
 
+  // hub-heavy degree skew: a handful of hubs carry most of the edge
+  // endpoints (the power-law shape LSH candidate graphs take when one
+  // near-dup cluster dominates). The label exchange reduceByKeys on
+  // node id, so a hub's thousands of messages map-side combine to one
+  // record per partition before the shuffle — this pins that the skew
+  // path stays correct (labels still equal the union-find closure)
+  // through hubs ~100× the mean degree.
+  private val powerLawGen: Gen[List[(Long, Long)]] = for {
+    nHubs <- Gen.chooseNum(1, 3)
+    spokes <- Gen.chooseNum(50, 300)
+    // sub-hub bridges: connect some hubs so min-labels must propagate
+    // THROUGH a high-degree node, not just terminate at one
+    bridges <- Gen.listOfN(nHubs, Gen.chooseNum(0, nHubs - 1))
+    tail <- Gen.listOfN(20, for {
+      a <- Gen.chooseNum(10000L, 10040L)
+      b <- Gen.chooseNum(10000L, 10040L) if a != b
+    } yield (a, b))
+  } yield {
+    val hubEdges = for {
+      h <- 0 until nHubs
+      s <- 0 until spokes
+    } yield (h.toLong, 100L + h * 1000L + s) // hub h -> its spokes
+    val bridgeEdges = bridges.zipWithIndex.collect {
+      case (to, from) if to != from => (from.toLong, to.toLong)
+    }
+    (hubEdges ++ bridgeEdges ++ tail).toList
+  }
+
+  property("hub-heavy power-law graphs: labels equal the closure") =
+    forAll(powerLawGen) { es =>
+      import spark.implicits._
+      val got = ConnectedComponents.run(es.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == closure(es)
+    }
+
   property("partitioner is sized to the graph, capped at the session width") =
     forAll(Gen.chooseNum(0L, 1L << 40), Gen.chooseNum(1, 4096)) { (m, cap) =>
       val p = ConnectedComponents.sizePartitions(m, cap)
