@@ -14,11 +14,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Idempotence across restarts: Structured Streaming replays the
   * in-flight micro-batch after a failure, so each batch first
-  * anti-joins an *applied-key ledger* (parquet, append-only) and only
-  * sends rows whose key is absent — the reference's `store.get` guard
-  * before every mutation (etl.js:41-59) in streaming form. Only 2xx
-  * responses append their keys, so an unacknowledged write stays
-  * eligible for the replay, mirroring EtlMain's acked-only resume.
+  * anti-joins an *applied-key ledger* and only sends rows whose key is
+  * absent — the reference's `store.get` guard before every mutation
+  * (etl.js:41-59) in streaming form. Only 2xx responses admit their
+  * keys, so an unacknowledged write stays eligible for the replay,
+  * mirroring EtlMain's acked-only resume.
+  *
+  * The ledger IS [[graft.state.StateStore]]'s durable generation store
+  * — the same atomic rename swap + crash recovery the batch ledgers
+  * use, so batch and streaming restarts share one durability
+  * mechanism: a crash mid-commit can never read back as an empty
+  * ledger (which would re-send every acknowledged mutation). Each
+  * batch rewrites the ledger generation rather than appending files;
+  * the ledger is applied-keys-sized — bounded by what the rate-limited
+  * endpoint has ever absorbed — and the write is parallel and bucketed
+  * by key, so the rewrite stays cheap relative to the sends it guards.
   *
   * 100 TB posture: the expensive derivation upstream (diffing desired
   * state, rendering request bodies) stays a parallel streaming plan;
@@ -64,9 +74,9 @@ object ChangeSetStream {
       policy: RetryPolicy = RetryPolicy(),
       sleeper: Long => Unit = Thread.sleep): Unit = {
     val spark = batch.sparkSession
-    val applied =
-      try spark.read.parquet(ledgerDir).select(keyCols.map(col): _*)
-      catch { case _: Throwable => batch.select(keyCols.map(col): _*).limit(0) }
+    val keySchema = org.apache.spark.sql.types.StructType(
+      batch.select(keyCols.map(col): _*).schema.fields)
+    val applied = graft.state.StateStore.load(spark, ledgerDir, keySchema)
     val rows = batch
       .join(applied, keyCols, "left_anti")
       .select((keyCols ++ Seq("method", "url", "body")).map(col): _*)
@@ -84,11 +94,14 @@ object ChangeSetStream {
           org.apache.spark.sql.Row.fromSeq((0 until k).map(row.getString))
       }
       if (acked.nonEmpty) {
-        val schema = org.apache.spark.sql.types.StructType(
-          batch.select(keyCols.map(col): _*).schema.fields)
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(acked.toSeq, 1), schema)
-          .write.mode("append").parquet(ledgerDir)
+        val ackedDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(acked.toSeq, 1), keySchema)
+        // next generation = loaded ledger ∪ this batch's acks, through
+        // the same atomic swap the batch ledgers use (self-overwrite of
+        // `applied`'s source is safe: the temp write materializes fully
+        // before the swap touches the path)
+        graft.state.StateStore.save(
+          applied.unionByName(ackedDf), ledgerDir, bucketCols = keyCols)
       }
     }
   }

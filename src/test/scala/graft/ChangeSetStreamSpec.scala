@@ -69,6 +69,33 @@ class ChangeSetStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a ledger crash mid-swap recovers instead of re-sending acks " +
+      "(StateStore generation semantics, shared with the batch path)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_css").toString
+    val ledger = s"$dir/ledger"
+    val mem = MemoryStream[(String, String, String, String)]
+    val changes = mem.toDF().toDF("entity_id", "method", "url", "body")
+    val gh = new RecordingTransport
+    val q = ChangeSetStream.ship(changes, gh, ledger,
+      keyCols = Seq("entity_id"), sleeper = _ => ())
+    try {
+      mem.addData(("e1", "POST", "/issues/e1", "{}"))
+      q.processAllAvailable()
+      assert(ledgerKeys(ledger) == Set("e1"))
+      // simulate a crash between StateStore.save's stage-out and commit
+      // renames: the live dir vanishes, only an .old-* generation stays
+      assert(new java.io.File(ledger).renameTo(new java.io.File(s"$ledger.old-crash")))
+      // the replay arrives; a naive read would see an EMPTY ledger and
+      // re-send e1 — recovery must roll the generation back first
+      mem.addData(("e1", "POST", "/issues/e1", "{}"), ("e2", "POST", "/issues/e2", "{}"))
+      q.processAllAvailable()
+      assert(gh.log.map(_.url) == Seq("/issues/e1", "/issues/e2"))
+      assert(ledgerKeys(ledger) == Set("e1", "e2"))
+    } finally q.stop()
+  }
+
   test("a failed write stays out of the ledger and is retried next batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
