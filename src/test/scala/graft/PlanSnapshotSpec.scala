@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+/** Effective-plan snapshots for the bench's most expensive queries.
+  *
+  * PlanAuditSpec pins invariants by substring (no SinglePartition, a
+  * join must broadcast, …); this pins the WHOLE executed plan, so ANY
+  * shape drift — a new exchange, a lost pushed filter, a join strategy
+  * flip — diffs loudly in review instead of surfacing as a bench
+  * regression two rounds later.
+  *
+  * Snapshots are the `.plan` files under `src/test/resources/plans`,
+  * normalized:
+  * expression/plan ids, codegen ids, and data paths are volatile and
+  * masked before comparison. To bless an INTENDED shape change, re-run
+  * with `SPARK_GRAFT_BLESS_PLANS=1` and commit the diff — the point is
+  * that the diff is seen, not that the plan never changes.
+  */
+class PlanSnapshotSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // the 10 most expensive queries of the standing bench (BENCH_r07,
+  // BASELINE.md anchor) — where an unnoticed shape drift costs most
+  private val targets = Seq(
+    "q77_dedup_clusters",
+    "q85_dedup_prune",
+    "q81_embedding_neardup_pairs",
+    "q96_unigram_loglik",
+    "q41_ann_lsh_bucketed",
+    "q37_dedup_jaccard_verify",
+    "q36_dedup_minhash_lsh",
+    "q82_salted_join",
+    "q70_winnowing",
+    "q87_decontamination")
+
+  private val snapDir: Path = Paths.get("src", "test", "resources", "plans")
+  private def bless: Boolean = sys.env.contains("SPARK_GRAFT_BLESS_PLANS")
+
+  /** Mask volatile tokens: ids differ per session, paths per machine,
+    * and in-memory relation/RDD numbers per run order. */
+  private def normalize(plan: String): String =
+    plan
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\bid=#x\\b", "id=#x")
+      .replaceAll("WholeStageCodegen \\(\\d+\\)", "WholeStageCodegen (x)")
+      .replaceAll("Scan ExistingRDD\\[", "Scan ExistingRDD[") // stable, listed for clarity
+      .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[x]")
+      .replaceAll("SQLExecutionRDD\\[\\d+\\]", "SQLExecutionRDD[x]")
+      .replaceAll("\\[\\d+\\] at \\w+ at [^,\\]]*", "[x]")
+      .replaceAll("file:[^,\\]\\s]+", "PATH")
+      .replaceAll("/root/testdata[^,\\]\\s]*", "PATH")
+      .replaceAll("(?m)[ \\t]+$", "")
+      .trim
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize AQE so the snapshot is the EFFECTIVE plan
+    val s = df.queryExecution.executedPlan.toString
+    SparkEntry.releaseCaches(spark)
+    normalize(s)
+  }
+
+  targets.foreach { name =>
+    test(s"executed plan snapshot: $name") {
+      val file = snapDir.resolve(s"$name.plan")
+      val got = planOf(name)
+      if (bless || !Files.exists(file)) {
+        Files.createDirectories(snapDir)
+        Files.write(file, got.getBytes(StandardCharsets.UTF_8))
+        info(s"blessed ${file.toString}")
+      } else {
+        val want = new String(Files.readAllBytes(file), StandardCharsets.UTF_8)
+        if (got != want) {
+          val gotLines = got.linesIterator.toVector
+          val wantLines = want.linesIterator.toVector
+          val firstDiff = gotLines.zipAll(wantLines, "<eof>", "<eof>")
+            .indexWhere { case (a, b) => a != b }
+          fail(
+            s"""plan shape drift for $name (first diff at line ${firstDiff + 1}):
+               |  expected: ${wantLines.lift(firstDiff).getOrElse("<eof>")}
+               |  actual:   ${gotLines.lift(firstDiff).getOrElse("<eof>")}
+               |If intended, bless with SPARK_GRAFT_BLESS_PLANS=1 and commit the
+               |snapshot diff (src/test/resources/plans/$name.plan).""".stripMargin)
+        }
+      }
+    }
+  }
+}
