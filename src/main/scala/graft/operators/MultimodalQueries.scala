@@ -138,6 +138,18 @@ object MultimodalQueries {
   private def asciiAt(p: Array[Byte], o: Int, s: String): Boolean =
     o + s.length <= p.length && s.indices.forall(i => p(o + i) == s.charAt(i).toByte)
 
+  /** Y4M 4:2:0 frame size from UNTRUSTED header dimensions, in long
+    * arithmetic: `w*h*3/2` in Int overflows for crafted W/H, turning
+    * the frame-walk step negative — an executor-side infinite loop (or
+    * a wild negative index). The frame must fit the payload anyway, so
+    * that is the bound. */
+  private def y4mFrameBytes(w: Int, h: Int, payloadLen: Int): Int = {
+    require(w > 0 && h > 0, s"malformed Y4M: dimensions ${w}x$h")
+    val fb = w.toLong * h * 3 / 2
+    require(fb <= payloadLen, s"malformed Y4M: ${w}x$h frame exceeds payload")
+    fb.toInt
+  }
+
   /** Pure-JVM header parse. Detects the container from its magic bytes
     * (never trusts metadata), walks the real header structures. */
   def parseMediaHeader(p: Array[Byte]): MediaInfo = {
@@ -173,7 +185,7 @@ object MultimodalQueries {
       val w = tag('W').get.toInt
       val h = tag('H').get.toInt
       val Array(fNum, fDen) = tag('F').get.split(':').map(_.toLong)
-      val frameBytes = w * h * 3 / 2 // C420 default
+      val frameBytes = y4mFrameBytes(w, h, p.length) // overflow-checked
       var off = nl + 1
       var frames = 0L
       while (off < p.length) {
@@ -214,9 +226,12 @@ object MultimodalQueries {
     if (asciiAt(p, 0, "BM")) {
       val pix = rdLe32(p, 10)
       val w = math.abs(rdLe32(p, 18)); val h = math.abs(rdLe32(p, 22))
-      val rowSize = ((w * 3 + 3) / 4) * 4
+      // row stride in LONG arithmetic: a crafted width overflows w*3 in
+      // Int to a negative stride that defeats the overrun check below
+      val rowSizeL = (w.toLong * 3 + 3) / 4 * 4
       require(w > 0 && h > 0 && pix >= 54 &&
-        pix.toLong + rowSize.toLong * h <= p.length, "malformed BMP: pixel array overruns payload")
+        pix.toLong + rowSizeL * h <= p.length, "malformed BMP: pixel array overruns payload")
+      val rowSize = rowSizeL.toInt // fits: bounded by p.length above
       var lumaPm = 0L
       var y = 0
       while (y < h) {
@@ -242,6 +257,7 @@ object MultimodalQueries {
       }
       require(bits == 16 && dataOff > 0, "malformed WAV: need 16-bit PCM data")
       val n = (dataLen / 2).toInt
+      require(n > 0, "malformed WAV: empty data chunk (RMS undefined)")
       var ssq = 0L
       var i = 0
       while (i < n) {
@@ -260,7 +276,7 @@ object MultimodalQueries {
         params.find(_.headOption.contains(c)).map(_.tail)
       val w = tag('W').get.toInt
       val h = tag('H').get.toInt
-      val frameBytes = w * h * 3 / 2 // C420 default
+      val frameBytes = y4mFrameBytes(w, h, p.length) // overflow-checked
       var off = nl + 1
       var frame = 0L
       var crc = 0L

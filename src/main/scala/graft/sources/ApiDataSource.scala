@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .schema(ApiSource.fieldSchema)
   *   .option("endpoint", "http://127.0.0.1:8080")   // JdkTransport base
   *   .option("urlTemplate", "/fields?page={page}")  // {page} = 0-based
-  *   .option("pageSize", "100")                     // short page = last
+  *   .option("pageSize", "100")                     // optional: short page = last
   *   .option("partitions", "4")                     // parallel stripes
   *   .load()
   * }}}
@@ -33,9 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * gh.js:271,409; this walks to exhaustion) but becomes parallel:
   * with a known page count (`pages` option) planning is exactly
   * partition-per-page; otherwise each of `partitions` stripes walks
-  * pages `s, s+P, s+2P, …` until it sees a short page (fewer than
-  * `pageSize` rows — beyond-the-end pages return empty arrays), so no
-  * stripe depends on another and no cap is ever imposed.
+  * pages `s, s+P, s+2P, …` until it sees an EMPTY page (beyond-the-end
+  * pages return empty arrays), so no stripe depends on another and no
+  * cap is ever imposed. Declaring `pageSize` adds the short-page early
+  * stop (a page under the server's size is the last one — saves each
+  * stripe its one empty probe fetch); it is deliberately NOT defaulted,
+  * because a guessed page size larger than the server's would read
+  * every page as "short" and silently truncate the dataset.
   *
   * The transport is the same [[JdkTransport]] the connector tier uses,
   * rebuilt per executor from string options (`endpoint`, `header.*`) —
@@ -48,8 +52,13 @@ final class ApiDataSource extends TableProvider with DataSourceRegister {
     throw new IllegalArgumentException(
       "graft-api cannot infer a schema from a remote endpoint; pass .schema(...) explicitly")
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
+      properties: java.util.Map[String, String]): Table = {
+    // fail misconfiguration at .load(), not first action: pageSize = 0
+    // would make every stripe spin forever on empty pages
+    Option(properties.get("pageSize")).map(_.toInt).foreach(ps =>
+      require(ps >= 1, s"graft-api: pageSize must be >= 1, got $ps"))
     new ApiTable(schema)
+  }
 }
 
 private[sources] final class ApiTable(tableSchema: StructType)
@@ -70,9 +79,11 @@ private[sources] final class ApiTable(tableSchema: StructType)
       endpoint = req("endpoint"),
       headers = headers,
       urlTemplate = req("urlTemplate"),
-      pageSize = Option(options.get("pageSize")).map(_.toInt).getOrElse(100),
+      pageSize = Option(options.get("pageSize")).map(_.toInt),
       stripes = math.max(1, Option(options.get("partitions")).map(_.toInt).getOrElse(4)),
       pages = Option(options.get("pages")).map(_.toInt))
+    require(cfg.pageSize.forall(_ >= 1),
+      s"graft-api: pageSize must be >= 1, got ${cfg.pageSize.get}")
     require(cfg.urlTemplate.contains("{page}"),
       "graft-api: urlTemplate must contain a {page} placeholder")
     val schema = tableSchema
@@ -84,7 +95,7 @@ private[sources] final case class ApiScanConfig(
     endpoint: String,
     headers: Map[String, String],
     urlTemplate: String,
-    pageSize: Int,
+    pageSize: Option[Int],
     stripes: Int,
     pages: Option[Int])
 
@@ -139,7 +150,11 @@ private[sources] final class ApiPartitionReader(
     require(root != null && root.isArray, s"graft-api: expected a JSON array from $url")
     val n = root.size()
     iter = (0 until n).iterator.map(i => toRow(root.get(i)))
-    exhausted = part.single || n < cfg.pageSize
+    // an empty page always ends the stripe; a SHORT page ends it only
+    // when the caller declared the server's page size — a guessed-at
+    // default here would silently truncate a dataset whose server pages
+    // smaller than the guess (the gh.js:271 bug in a new costume)
+    exhausted = part.single || n == 0 || cfg.pageSize.exists(n < _)
     page += part.stride
   }
 

@@ -84,9 +84,13 @@ object StateStore {
     * from a single file — so the write itself stays parallel: the
     * ledger is entity-count-sized (one row per migrated entity,
     * forever), and at scale a single-task write would serialize it.
-    * Pass `bucketCols` (the ledger key) to hash-partition the files so
-    * a reload is co-partitioned for the MERGE join; otherwise the
-    * frame's existing partitioning is written as-is. With
+    * Pass `bucketCols` (the ledger key) to hash-partition the WRITE by
+    * key — each key's rows land in one file, which bounds the files a
+    * keyed reader must touch. (Plain parquet carries no bucketing
+    * metadata, so a reload still reports unknown partitioning to
+    * Spark; full join co-partitioning would need `bucketBy` +
+    * `saveAsTable`. What this buys is write parallelism and a stable
+    * key→file layout, not a shuffle-free reload join.) With
     * `numBuckets = 0` AQE sizes the bucket count to the data (a small
     * ledger collapses to one file, a 100×-scale one fans out); a
     * positive `numBuckets` pins the count.
@@ -103,7 +107,7 @@ object StateStore {
     val spark = ledger.sparkSession
     val dest = new Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recover(fs, dest)
+    if (recover(fs, dest)) spark.catalog.refreshByPath(path)
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(path + s".tmp-$stamp")
     val old = new Path(path + s".old-$stamp")
@@ -130,7 +134,10 @@ object StateStore {
   def load(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val dest = new Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recover(fs, dest)
+    // a recovery rename replaces dest's files under a path this session
+    // may have scanned before — drop the cached listing or the next
+    // plan reads deleted part files (FileNotFoundException)
+    if (recover(fs, dest)) spark.catalog.refreshByPath(path)
     if (fs.exists(dest)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -147,11 +154,15 @@ object StateStore {
     * `.old-*` (the staged-out previous generation) — never silently
     * read as an empty first run. Everything else — incomplete tmp
     * writes, superseded old generations — is deleted once `dest` is
-    * settled. */
+    * settled.
+    *
+    * Returns true when anything under `dest`'s parent changed — the
+    * caller must then invalidate Spark's cached file listing for the
+    * path (a rename swaps part files a live session may have scanned). */
   private def recover(
-      fs: org.apache.hadoop.fs.FileSystem, dest: Path): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, dest: Path): Boolean = {
     val parent = dest.getParent
-    if (parent == null || !fs.exists(parent)) return
+    if (parent == null || !fs.exists(parent)) return false
     val name = dest.getName
     def generations(): (Array[Path], Array[Path]) = {
       val sibs = fs.listStatus(parent).map(_.getPath)
@@ -159,7 +170,7 @@ object StateStore {
         sibs.filter(_.getName.startsWith(name + ".old-")))
     }
     val (tmps, olds) = generations()
-    if (tmps.isEmpty && olds.isEmpty) return
+    if (tmps.isEmpty && olds.isEmpty) return false
     def newest(ps: Array[Path]): Option[Path] =
       if (ps.isEmpty) None
       else Some(ps.maxBy(p => fs.getFileStatus(p).getModificationTime))
@@ -176,5 +187,6 @@ object StateStore {
     }
     val (strayTmps, strayOlds) = generations()
     (strayTmps ++ strayOlds).foreach(p => fs.delete(p, true))
+    true
   }
 }

@@ -76,6 +76,33 @@ class ApiDataSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("no pageSize declared: stripes stop only on EMPTY pages — a " +
+      "server paging smaller than any guess is still read in full") {
+    withServer { (endpoint, hits, _) =>
+      val df = spark.read.format("graft-api")
+        .schema(schema)
+        .option("endpoint", endpoint)
+        .option("urlTemplate", "/items?page={page}")
+        .option("partitions", "2")
+        .load()
+      assert(df.collect().map(_.getString(0)).toSet == expectedIds)
+      // stripe 0 walks 0,2,4 (empty stops it); stripe 1 walks 1,3
+      assert(hits.toSet == Set(0, 1, 2, 3, 4))
+    }
+  }
+
+  test("pageSize must be positive: 0 would spin forever on empty pages") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-api")
+        .schema(schema)
+        .option("endpoint", "http://127.0.0.1:1")
+        .option("urlTemplate", "/x?page={page}")
+        .option("pageSize", "0")
+        .load()
+    }
+    assert(e.getMessage.contains("pageSize"))
+  }
+
   test("known page count: exactly partition-per-page, no probe fetches") {
     withServer { (endpoint, hits, _) =>
       val df = spark.read.format("graft-api")

@@ -114,6 +114,25 @@ class MultimodalSpec extends SparkSpecBase {
     val bmp = bmpBytes(4, 4, seed = 3L)
     bmp(22) = 0x40.toByte // height 64 with a 4-row payload
     intercept[IllegalArgumentException](parseMediaContent(bmp))
+
+    // BMP width crafted so w*3 overflows Int to a NEGATIVE row stride
+    // — the overrun check must not be defeated into an OOB pixel walk
+    val wide = bmpBytes(4, 4, seed = 3L)
+    wide(18) = 0xab.toByte; wide(19) = 0xaa.toByte
+    wide(20) = 0xaa.toByte; wide(21) = 0x2a.toByte // width = 0x2AAAAAAB
+    intercept[IllegalArgumentException](parseMediaContent(wide))
+
+    // Y4M dimensions whose w*h*3/2 overflows Int to a negative frame
+    // step — the walk must throw, not loop forever at one offset
+    val loopy = ("YUV4MPEG2 W2 H2147483646 F25:1 Ip A1:1\nFRAME\n" + "x" * 16)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    intercept[IllegalArgumentException](parseMediaHeader(loopy))
+    intercept[IllegalArgumentException](parseMediaContent(loopy))
+
+    // WAV with a structurally valid but EMPTY data chunk: RMS of zero
+    // samples is undefined — reject instead of returning NaN
+    val silent = wavBytes(1, 8000, 0, seed = 1L)
+    intercept[IllegalArgumentException](parseMediaContent(silent))
   }
 
   test("frame sampling: every-2nd 64-byte frame, correct sizes") {
