@@ -259,6 +259,65 @@ object DedupQueries {
         WHERE doc_id NOT IN (SELECT doc_b FROM cand)
         ORDER BY doc_id""")),
 
+    // ---- incremental dedup: the NEW-BATCH-vs-CORPUS flow a crawl
+    //      pipeline actually runs — never corpus×corpus. The variant
+    //      docs (doc_id ≥ 1,000,000) play the incoming batch, the
+    //      originals the already-ingested corpus. Candidates come from
+    //      an lsh band equi-join of new bands against corpus bands
+    //      only, Jaccard-verified, then each new doc keeps its best
+    //      corpus match (highest jaccard, min-id tiebreak).
+    //
+    //      Scale: the corpus signature index is computed ONCE and
+    //      persisted (sigIndex's localCheckpoint stands in for the
+    //      StateStore/parquet persistence a production run would use) —
+    //      an incoming batch hashes only its own documents and joins
+    //      |batch|-sized bands against the stored index; the corpus
+    //      text is never re-tokenized and corpus×corpus pairs are
+    //      never generated. The best-match window partitions by
+    //      new_id — per-doc groups, no global window.
+    QueryDef(
+      "q102_incremental_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sets = shingleSets(s, d).localCheckpoint()
+        val sigs = minhashFrom(sets).localCheckpoint()
+        val newB = bandKeys(sigs.filter(col("doc_id") >= 1000000L))
+          .select(col("doc_id").as("new_id"), col("band"))
+        val corpusB = bandKeys(sigs.filter(col("doc_id") < 1000000L))
+          .select(col("doc_id").as("corpus_id"), col("band"))
+        val cand = newB.join(corpusB, Seq("band"))
+          .select("new_id", "corpus_id").distinct()
+        val inter = size(array_intersect(col("sa"), col("sb")))
+        cand
+          .join(sets.select(col("doc_id").as("new_id"), col("sd").as("sa")), Seq("new_id"))
+          .join(sets.select(col("doc_id").as("corpus_id"), col("sd").as("sb")), Seq("corpus_id"))
+          .withColumn("jaccard",
+            inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
+          .filter(col("jaccard") >= 0.5)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("new_id")
+              .orderBy(col("jaccard").desc, col("corpus_id").asc)))
+          .filter(col("rn") === 1)
+          .select(col("new_id"), col("corpus_id").as("dup_of"), col("jaccard"))
+          .orderBy("new_id")
+      },
+      Some(s"""$oracleBandsCte,
+        cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+          FROM bands n JOIN bands c ON n.band = c.band
+          WHERE n.doc_id >= 1000000 AND c.doc_id < 1000000),
+        sets AS (SELECT DISTINCT doc_id, list_distinct(shingles) AS sd FROM sh),
+        ver AS (SELECT new_id, corpus_id,
+            CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
+              (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) AS jaccard
+          FROM cand JOIN sets sa ON cand.new_id = sa.doc_id
+                    JOIN sets sb ON cand.corpus_id = sb.doc_id)
+        SELECT new_id, corpus_id AS dup_of, jaccard
+        FROM (SELECT new_id, corpus_id, jaccard,
+            row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, corpus_id) AS rn
+          FROM ver WHERE jaccard >= 0.5) t
+        WHERE rn = 1 ORDER BY new_id"""),
+      doc = "incremental dedup: new batch LSH-joined against the persisted corpus index, best match per new doc"),
+
     // ---- SimHash: 16-bit signature from per-token md5 nibble high-bits
     QueryDef(
       "q38_dedup_simhash",

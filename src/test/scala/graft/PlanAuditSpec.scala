@@ -128,6 +128,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q102: incremental dedup joins new bands against corpus bands " +
+      "on the band key; the best-match window partitions per new doc") {
+    val plan = executed("q102_incremental_dedup")
+    // candidates are an equi join on the band key — never a cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the keep-best window is per-new-doc, never a global single
+    // partition over the candidate set
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("q87: the benchmark shingle set joins as the broadcast side") {
     // eval sets are KBs against a 100 TB corpus — the overlap join must
     // broadcast the benchmark shingles, never shuffle the corpus side
