@@ -36,6 +36,21 @@ object GlobalRankProps extends Properties("global-rank") {
       got == expected
     }
 
+  property("inputPinned skips the defensive checkpoint but ranks identically") =
+    forAll(caseGen) { case (keys, k) =>
+      import spark.implicits._
+      val df = keys.zipWithIndex.map { case (key, id) => (id.toLong, key) }
+        .toDF("id", "key")
+      val order = Seq(col("key").asc, col("id").asc)
+      val pinned = df.localCheckpoint() // caller-managed pin
+      val viaPinned = GlobalRank.ntileByRange(pinned, k, order, "bucket",
+        inputPinned = true)
+        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val viaDefault = GlobalRank.ntileByRange(df, k, order, "bucket")
+        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      viaPinned == viaDefault
+    }
+
   property("bucket arithmetic matches SQL ntile sizing exactly") =
     forAll(Gen.chooseNum(1L, 100000L), Gen.chooseNum(1, 64)) { (n, k) =>
       val sizes = (1L to n).map(r => GlobalRank.ntileBucket(r, n, k))

@@ -26,6 +26,7 @@ class PlanSnapshotSpec extends SparkSpecBase {
   // BASELINE.md anchor) — where an unnoticed shape drift costs most
   private val targets = Seq(
     "q77_dedup_clusters",
+    "q102_incremental_dedup",
     "q85_dedup_prune",
     "q81_embedding_neardup_pairs",
     "q96_unigram_loglik",
