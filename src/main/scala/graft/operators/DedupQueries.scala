@@ -37,7 +37,7 @@ object DedupQueries {
   private val NumMd5 = NumHashes / LanesPerMd5
 
   /** corpus := documents ∪ first-token-dropped variants. */
-  private def variantCorpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def variantCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     docs.select(col("doc_id"), trim(col("text")).as("text"))
       .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
@@ -99,7 +99,7 @@ object DedupQueries {
     * once ("persist the LSH index"); localCheckpoint is the in-process
     * equivalent. Bench/QBench/Verify unpersist all persistent RDDs
     * between queries, so nothing leaks into later measurements. */
-  private def sigIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def sigIndex(s: SparkSession, d: String): DataFrame =
     minhashFrom(shingleSets(s, d).localCheckpoint()).localCheckpoint()
 
   /** Audit hook: the minhash pipeline WITHOUT the materializing
@@ -115,10 +115,37 @@ object DedupQueries {
   // downstream shingle reference inside the single fused stage)
 
   /** Exploded LSH band keys over the materialized signatures. */
-  private def bandKeys(sigs: DataFrame): DataFrame =
+  private[graft] def bandKeys(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> concat(b, ':', md5(concat(sig[2*b], sig[2*b+1]))))"))
         .as("band"))
+
+  /** Per-row MinHash band keys for any (doc_id, text) frame — the SAME
+    * hash family, lane carving, and banding as [[bandKeys]] over
+    * [[sigIndex]] (bit-for-bit: min over the distinct shingle set under
+    * identical lane substrings), but expressed as stateless per-row
+    * columns: no explode-shuffle-agg, so a STRUCTURED STREAMING frame
+    * can evaluate it without state or watermarks. The batch path keeps
+    * the aggregate formulation (each shingle hashed once at corpus
+    * scale); per-row here each doc hashes only its own shingles once
+    * per md5 family — the right trade for per-batch streaming rows.
+    * DedupStreamSpec proves the two formulations band-identical. */
+  private[graft] def rowBands(docs: DataFrame): DataFrame = {
+    val withSd = docs
+      .withColumn("ts", split(trim(col("text")), "\\s+"))
+      .filter(size(col("ts")) >= 3)
+      .withColumn("sd", array_distinct(expr(
+        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")))
+    val withDigests = (0 until NumMd5).foldLeft(withSd)((df, j) =>
+      df.withColumn(s"H$j", expr(s"transform(sd, s -> md5(concat('mh$j:', s)))")))
+    val sigCols = for { j <- 0 until NumMd5; k <- 0 until LanesPerMd5 }
+      yield expr(s"array_min(transform(H$j, h -> substring(h, ${1 + 8 * k}, 8)))")
+    withDigests
+      .withColumn("sig", array(sigCols: _*))
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> concat(b, ':', md5(concat(sig[2*b], sig[2*b+1]))))"))
+          .as("band"))
+  }
 
   /** Candidate near-dup pairs from band collisions over a
     * (materialized) signature frame: equi self-join on the band key —
