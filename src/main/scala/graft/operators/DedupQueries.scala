@@ -36,6 +36,16 @@ object DedupQueries {
   private val LanesPerMd5 = 4
   private val NumMd5 = NumHashes / LanesPerMd5
 
+  // ONE definition each for the shingle and band-key expressions — the
+  // batch (shingleSets/bandKeys) and per-row streaming (rowBands)
+  // formulations must stay bit-for-bit aligned, and a string edited in
+  // one copy but not the other would only surface as a runtime parity
+  // failure (DedupStreamSpec), never at compile time.
+  private val shingleExpr =
+    "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+  private val bandExpr =
+    s"transform(sequence(0, ${Bands - 1}), b -> concat(b, ':', md5(concat(sig[2*b], sig[2*b+1]))))"
+
   /** corpus := documents ∪ first-token-dropped variants. */
   private[graft] def variantCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -52,8 +62,7 @@ object DedupQueries {
     Tables.fanOut(variantCorpus(s, d))
       .withColumn("ts", split(col("text"), "\\s+"))
       .filter(size(col("ts")) >= 3)
-      .withColumn("shingles",
-        expr("transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"))
+      .withColumn("shingles", expr(shingleExpr))
       .select(col("doc_id"), array_distinct(col("shingles")).as("sd"))
 
   /** MinHash signatures derived from a shingle-set frame, computed in
@@ -117,8 +126,7 @@ object DedupQueries {
   /** Exploded LSH band keys over the materialized signatures. */
   private[graft] def bandKeys(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
-      explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> concat(b, ':', md5(concat(sig[2*b], sig[2*b+1]))))"))
-        .as("band"))
+      explode(expr(bandExpr)).as("band"))
 
   /** Per-row MinHash band keys for any (doc_id, text) frame — the SAME
     * hash family, lane carving, and banding as [[bandKeys]] over
@@ -134,8 +142,7 @@ object DedupQueries {
     val withSd = docs
       .withColumn("ts", split(trim(col("text")), "\\s+"))
       .filter(size(col("ts")) >= 3)
-      .withColumn("sd", array_distinct(expr(
-        "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))")))
+      .withColumn("sd", array_distinct(expr(shingleExpr)))
     val withDigests = (0 until NumMd5).foldLeft(withSd)((df, j) =>
       df.withColumn(s"H$j", expr(s"transform(sd, s -> md5(concat('mh$j:', s)))")))
     val sigCols = for { j <- 0 until NumMd5; k <- 0 until LanesPerMd5 }
@@ -143,8 +150,7 @@ object DedupQueries {
     withDigests
       .withColumn("sig", array(sigCols: _*))
       .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${Bands - 1}), b -> concat(b, ':', md5(concat(sig[2*b], sig[2*b+1]))))"))
-          .as("band"))
+        explode(expr(bandExpr)).as("band"))
   }
 
   /** Candidate near-dup pairs from band collisions over a

@@ -13,12 +13,13 @@ class DedupStreamSpec extends SparkSpecBase {
   private val sf = "/root/testdata/sf0.001"
 
   test("rowBands equals the batch explode-agg banding bit-for-bit") {
-    val batch = DedupQueries.bandKeys(DedupQueries.sigIndex(spark, sf))
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    val perRow = DedupQueries.rowBands(DedupQueries.variantCorpus(spark, sf))
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(perRow == batch)
-    SparkEntry.releaseCaches(spark)
+    try {
+      val batch = DedupQueries.bandKeys(DedupQueries.sigIndex(spark, sf))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val perRow = DedupQueries.rowBands(DedupQueries.variantCorpus(spark, sf))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(perRow == batch)
+    } finally SparkEntry.releaseCaches(spark)
   }
 
   test("stream-static join flags exactly the batch new-vs-corpus collisions") {

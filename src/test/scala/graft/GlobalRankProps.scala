@@ -43,12 +43,14 @@ object GlobalRankProps extends Properties("global-rank") {
         .toDF("id", "key")
       val order = Seq(col("key").asc, col("id").asc)
       val pinned = df.localCheckpoint() // caller-managed pin
-      val viaPinned = GlobalRank.ntileByRange(pinned, k, order, "bucket",
-        inputPinned = true)
-        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-      val viaDefault = GlobalRank.ntileByRange(df, k, order, "bucket")
-        .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-      viaPinned == viaDefault
+      try {
+        val viaPinned = GlobalRank.ntileByRange(pinned, k, order, "bucket",
+          inputPinned = true)
+          .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val viaDefault = GlobalRank.ntileByRange(df, k, order, "bucket")
+          .select("id", "bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        viaPinned == viaDefault
+      } finally SparkEntry.releaseCaches(spark) // drop the per-iteration pin
     }
 
   property("bucket arithmetic matches SQL ntile sizing exactly") =

@@ -22,8 +22,9 @@ class PlanSnapshotSpec extends SparkSpecBase {
 
   private val sf = "/root/testdata/sf0.001"
 
-  // the 10 most expensive queries of the standing bench (BENCH_r07,
-  // BASELINE.md anchor) — where an unnoticed shape drift costs most
+  // the most expensive queries of the standing bench (the BENCH_r07 /
+  // BASELINE.md anchor top-10, plus q102 which joined the top tier on
+  // arrival) — where an unnoticed shape drift costs most
   private val targets = Seq(
     "q77_dedup_clusters",
     "q102_incremental_dedup",
