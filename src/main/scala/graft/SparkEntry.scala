@@ -39,7 +39,8 @@ object SparkEntry {
       operators.MultimodalQueries.defs ++
       operators.AnalyticsQueries.defs ++
       operators.ConnectorQueries.defs ++
-      operators.CurationQueries.defs
+      operators.CurationQueries.defs ++
+      operators.ZOrder.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -111,6 +111,49 @@ class ScaleLayoutSpec extends SparkSpecBase {
       perPart.mkString(","))
   }
 
+  test("z-order clustering tightens per-file min/max on BOTH dimensions " +
+      "(the footer-stats pruning a single-column sort cannot give)") {
+    import graft.operators.ZOrder
+    val sf = "/root/testdata/sf0.01"
+    val src = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    try {
+      val parts = 4
+      src.repartition(parts).write.parquet(s"$dir/plain")
+      ZOrder.cluster(src, "l_partkey", "l_suppkey", parts)
+        .write.parquet(s"$dir/zorder")
+
+      // per-file normalized (max-min) range, summed over files and both
+      // dimensions: a random layout spans ~the full range of both keys
+      // in every file; a z-ordered layout boxes each file into a
+      // compact 2-D tile, so footer min/max can actually skip
+      def spread(path: String): Double = {
+        val files = new java.io.File(path).listFiles()
+          .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath)
+        val (gMin, gMax) = {
+          val r = src.agg(min("l_partkey"), max("l_partkey"),
+            min("l_suppkey"), max("l_suppkey")).head()
+          ((r.getLong(0), r.getLong(2)), (r.getLong(1), r.getLong(3)))
+        }
+        files.map { f =>
+          val r = spark.read.parquet(f).agg(
+            min("l_partkey"), max("l_partkey"),
+            min("l_suppkey"), max("l_suppkey")).head()
+          (r.getLong(1) - r.getLong(0)).toDouble / math.max(1L, gMax._1 - gMin._1) +
+            (r.getLong(3) - r.getLong(2)).toDouble / math.max(1L, gMax._2 - gMin._2)
+        }.sum
+      }
+      val plain = spread(s"$dir/plain")
+      val z = spread(s"$dir/zorder")
+      assert(z < 0.75 * plain,
+        s"z-ordered layout should tighten per-file ranges: z=$z plain=$plain")
+      // and the clustering is lossless
+      assert(spark.read.parquet(s"$dir/zorder").count() == src.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("orc scans push filters and prune columns like parquet") {
     val sf = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
