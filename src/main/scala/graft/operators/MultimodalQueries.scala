@@ -145,6 +145,11 @@ object MultimodalQueries {
     * that is the bound. */
   private def y4mFrameBytes(w: Int, h: Int, payloadLen: Int): Int = {
     require(w > 0 && h > 0, s"malformed Y4M: dimensions ${w}x$h")
+    // Bound w*h BEFORE scaling by 3/2: w.toLong*h fits a Long, but *3
+    // can wrap it negative (W=H≈2^31), and a negative fb would pass the
+    // `fb <= payloadLen` check below. A valid luma plane alone can
+    // never exceed the payload, so w*h <= payloadLen is a sound gate.
+    require(w.toLong * h <= payloadLen, s"malformed Y4M: ${w}x$h frame exceeds payload")
     val fb = w.toLong * h * 3 / 2
     require(fb <= payloadLen, s"malformed Y4M: ${w}x$h frame exceeds payload")
     fb.toInt
@@ -229,8 +234,12 @@ object MultimodalQueries {
       // row stride in LONG arithmetic: a crafted width overflows w*3 in
       // Int to a negative stride that defeats the overrun check below
       val rowSizeL = (w.toLong * 3 + 3) / 4 * 4
-      require(w > 0 && h > 0 && pix >= 54 &&
-        pix.toLong + rowSizeL * h <= p.length, "malformed BMP: pixel array overruns payload")
+      // Divisional overrun check: `pix + rowSizeL * h` can wrap Long
+      // for crafted w,h near 2^31 (≈6.4e9 × 2.1e9 > Long.Max), slipping
+      // past a direct `<= p.length` compare. Division cannot overflow.
+      require(w > 0 && h > 0 && pix >= 54 && pix < p.length &&
+        rowSizeL <= p.length - pix &&
+        h.toLong <= (p.length - pix) / rowSizeL, "malformed BMP: pixel array overruns payload")
       val rowSize = rowSizeL.toInt // fits: bounded by p.length above
       var lumaPm = 0L
       var y = 0

@@ -30,8 +30,12 @@ object ZOrder {
     2 -> "3689348814741910323", // 0x3333333333333333
     1 -> "6148914691236517205") // 0x5555555555555555
 
+  // The CAST pins the arithmetic to 64-bit: `2147483647` types as INT
+  // in both Spark and DuckDB, so without it an IntegerType input keeps
+  // the whole spread in 32-bit and `<< 16` wraps — silently corrupt
+  // z-keys for any value >= 2^16.
   private def spreadSql(x: String): String =
-    spreadSteps.foldLeft(s"($x & 2147483647)") { case (acc, (shift, mask)) =>
+    spreadSteps.foldLeft(s"(CAST($x AS BIGINT) & 2147483647)") { case (acc, (shift, mask)) =>
       s"((($acc) | (($acc) << $shift)) & $mask)"
     }
 

@@ -108,7 +108,7 @@ object StateStore {
     val dest = new Path(path)
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (recover(fs, dest)) spark.catalog.refreshByPath(path)
-    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val stamp = nextStamp()
     val tmp = new Path(path + s".tmp-$stamp")
     val old = new Path(path + s".old-$stamp")
     val out =
@@ -159,6 +159,21 @@ object StateStore {
     * Returns true when anything under `dest`'s parent changed — the
     * caller must then invalidate Spark's cached file listing for the
     * path (a rename swaps part files a live session may have scanned). */
+  /** Generation stamps must ORDER, not just differ: recover picks the
+    * newest committed generation, and filesystem mtime has 1 s
+    * granularity on some filesystems — rapid crash-retry cycles tie
+    * and `maxBy(mtime)` then resolves arbitrarily. The stamp is
+    * zero-padded wall-clock millis (comparable ACROSS JVM restarts,
+    * unlike nanoTime whose origin is per-JVM) plus a per-JVM counter
+    * (strict order WITHIN a JVM); lexicographic compare == temporal. */
+  private val stampSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextStamp(): String =
+    f"${System.currentTimeMillis()}%013d-${stampSeq.incrementAndGet()}%06d"
+  private def stampOf(p: Path, marker: String): String = {
+    val n = p.getName
+    n.substring(n.indexOf(marker) + marker.length)
+  }
+
   private def recover(
       fs: org.apache.hadoop.fs.FileSystem, dest: Path): Boolean = {
     val parent = dest.getParent
@@ -171,16 +186,16 @@ object StateStore {
     }
     val (tmps, olds) = generations()
     if (tmps.isEmpty && olds.isEmpty) return false
-    def newest(ps: Array[Path]): Option[Path] =
+    def newest(ps: Array[Path], marker: String): Option[Path] =
       if (ps.isEmpty) None
-      else Some(ps.maxBy(p => fs.getFileStatus(p).getModificationTime))
-    newest(tmps.filter(p => fs.exists(new Path(p, "_SUCCESS")))) match {
+      else Some(ps.maxBy(p => stampOf(p, marker)))
+    newest(tmps.filter(p => fs.exists(new Path(p, "_SUCCESS"))), ".tmp-") match {
       case Some(committed) =>
         if (fs.exists(dest))
           require(fs.delete(dest, true), s"could not clear superseded $dest")
         require(fs.rename(committed, dest), s"could not recover $committed -> $dest")
       case None if !fs.exists(dest) =>
-        newest(olds).foreach { g =>
+        newest(olds, ".old-").foreach { g =>
           require(fs.rename(g, dest), s"could not recover $g -> $dest")
         }
       case None => // dest is the live generation; only strays remain
