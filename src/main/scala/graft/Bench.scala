@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   * those amortize across a long-lived app.
   */
 object Bench {
+  /** One query's timing evidence: `passesS` holds EVERY pass (failed
+    * passes included, flagged by `failed`), so a min that disagrees
+    * with a prior round is adjudicable — contention shows as one
+    * outlier pass among stable ones, a plan regression shifts all. */
+  final case class BenchRow(name: String, minS: Double, spread: Double,
+      passesS: Seq[Double], gcMs: Long, failed: Int)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -100,7 +107,7 @@ object Bench {
         f"[bench] $name%-28s min=${best}%8.3f s  spread=${spread * 100}%5.1f%%  " +
           f"passes=[${times.map(t => f"${t._1}%.3f${if (t._3) "" else "!ERR"}").mkString(" ")}]  " +
           f"gc=${times.map(_._2).sum}%5d ms  heap=${usedMb}%6d MB")
-      (name, best, failed)
+      BenchRow(name, best, spread, times.map(_._1), times.map(_._2).sum, failed)
     }
     // The driver keeps only the tail of this process's output, so the
     // one JSON line must stay well under 2000 chars even with sbt's
@@ -112,24 +119,53 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // the qNN prefixes must stay unique or two measurements silently
     // collapse into one JSON key (last wins) — fail loudly instead
-    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
+    require(results.map(_.name.takeWhile(_ != '_')).distinct.size == results.size,
       "duplicate qNN bench key prefix")
+    def key(r: BenchRow): String = r.name.takeWhile(_ != '_')
     val qs = results
-      .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .map(r => "\"" + key(r) + "\":" + fmt(r.minS))
       .mkString("{", ",", "}")
     // only queries with at least one successful pass contribute to the
     // total; failing queries are named in "errors" (qNN -> failed-pass
     // count) instead of polluting the timing
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val errJson = results.collect { case (k, _, e) if e > 0 =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + e
+    val total = results.collect { case r if r.minS >= 0 => r.minS }.sum
+    val errJson = results.collect { case r if r.failed > 0 =>
+      "\"" + key(r) + "\":" + r.failed
     }
     val errField = if (errJson.isEmpty) "" else errJson.mkString(""","errors":{""", ",", "}")
+
+    // Self-adjudication: the driver keeps only a ~2k output tail, so
+    // the full per-pass evidence cannot ride inline for 100+ queries.
+    // Two layers instead:
+    //  - BENCH_DETAIL.json (repo root, committed with the round): every
+    //    query's passes_s / spread_pct / gc_ms — the complete record a
+    //    timing dispute is settled from.
+    //  - "spread_top" inline: the worst-spread queries' full pass lists
+    //    (highest noise → the ones a dispute is ABOUT), budget-capped
+    //    so the one JSON line stays inside the tail window.
+    def passList(r: BenchRow): String =
+      r.passesS.map(fmt).mkString("[", ",", "]")
+    val detail = results.map { r =>
+      s"""{"name":"${r.name}","min_s":${fmt(r.minS)},"passes_s":${passList(r)},""" +
+        s""""spread_pct":${fmt(r.spread * 100)},"gc_ms":${r.gcMs},"failed_passes":${r.failed}}"""
+    }.mkString("[\n", ",\n", "\n]")
+    val warmed = warmDir != "none" && new java.io.File(warmDir).isDirectory
+    val detailFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+    val dw = new java.io.PrintWriter(detailFile, "UTF-8")
+    try dw.println(
+      s"""{"sf":"$sfDir","warm":$warmed,"passes":$passes,"total_min_s":${fmt(total)},""" +
+        s""""rows":$detail}""")
+    finally dw.close()
+    val spreadTop = results.filter(r => r.minS >= 0 && r.spread > 0.25)
+      .sortBy(-_.spread).take(8)
+      .map(r => "\"" + key(r) + "\":" + passList(r))
+    val spreadField =
+      if (spreadTop.isEmpty) "" else spreadTop.mkString(""","spread_top":{""", ",", "}")
     // methodology fields: whether the JIT warm-up pass ran and how many
     // timed passes the per-query min covers — cross-round comparisons
     // must not silently mix cold and steady-state measurements
-    val warmed = warmDir != "none" && new java.io.File(warmDir).isDirectory
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes$errField}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes,"detail":"${detailFile.getName}"$spreadField$errField}""")
     spark.stop()
   }
 }

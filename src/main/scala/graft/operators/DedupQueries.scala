@@ -46,20 +46,33 @@ object DedupQueries {
   private val bandExpr =
     s"transform(sequence(0, ${Bands - 1}), b -> concat(b, ':', md5(concat(sig[2*b], sig[2*b+1]))))"
 
+  /** The original documents, trimmed — the "already-ingested corpus"
+    * side of the incremental flows. */
+  private[graft] def originalDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), trim(col("text")).as("text"))
+
+  /** First-token-dropped variants (doc_id + 1,000,000) — the
+    * deterministic ~0.97-Jaccard "incoming batch". */
+  private[graft] def variantDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select((col("doc_id") + 1000000L).as("doc_id"),
+      trim(expr("substring(text, instr(text, ' ') + 1)")).as("text"))
+
   /** corpus := documents ∪ first-token-dropped variants. */
-  private[graft] def variantCorpus(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    docs.select(col("doc_id"), trim(col("text")).as("text"))
-      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        trim(expr("substring(text, instr(text, ' ') + 1)")).as("text")))
-  }
+  private[graft] def variantCorpus(s: SparkSession, d: String): DataFrame =
+    originalDocs(s, d).unionByName(variantDocs(s, d))
 
   /** Per-doc 3-gram shingle arrays (deduplicated). Fanned out first:
     * the tokenize→shingle→(downstream md5×8) chain is the CPU-dominant
     * stage of the whole dedup family, and input splits alone cap it at
     * the row-group count (1 for the test corpus). */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(variantCorpus(s, d))
+    shingleSetsOf(variantCorpus(s, d))
+
+  /** [[shingleSets]] over an arbitrary (doc_id, text) frame — the
+    * entry point [[DedupIndex]] uses to hash a corpus and an incoming
+    * batch SEPARATELY with the identical expression chain. */
+  private[operators] def shingleSetsOf(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs)
       .withColumn("ts", split(col("text"), "\\s+"))
       .filter(size(col("ts")) >= 3)
       .withColumn("shingles", expr(shingleExpr))
@@ -76,7 +89,7 @@ object DedupQueries {
     * exact: min over the distinct shingle set equals min over the raw
     * shingle sequence, so this matches the oracle's non-distinct
     * formulation bit-for-bit. */
-  private def minhashFrom(sets: DataFrame): DataFrame = {
+  private[operators] def minhashFrom(sets: DataFrame): DataFrame = {
     val hashed = sets.select(col("doc_id"), explode(col("sd")).as("sh"))
     // two-step projection: digests once, then lane substrings. The
     // physical projection collapses both steps and whole-stage codegen's
@@ -301,38 +314,23 @@ object DedupQueries {
     //      corpus match (highest jaccard, min-id tiebreak).
     //
     //      Scale: the corpus signature index is computed ONCE and
-    //      persisted (sigIndex's localCheckpoint stands in for the
-    //      StateStore/parquet persistence a production run would use) —
-    //      an incoming batch hashes only its own documents and joins
-    //      |batch|-sized bands against the stored index; the corpus
-    //      text is never re-tokenized and corpus×corpus pairs are
-    //      never generated. The best-match window partitions by
-    //      new_id — per-doc groups, no global window.
+    //      PERSISTED through StateStore's crash-atomic generation
+    //      protocol ([[DedupIndex.build]]); the batch flow
+    //      ([[DedupIndex.dedupBatch]]) hashes only its own documents
+    //      and joins |batch|-sized bands against the stored ledgers —
+    //      the corpus text is never re-tokenized (DedupIndexSpec pins
+    //      this at plan level across a fresh session) and
+    //      corpus×corpus pairs are never generated. The best-match
+    //      window partitions by new_id — per-doc groups, no global
+    //      window. This query runs the FULL flow (build + batch) so
+    //      the bench prices the real persistence, not a cache hit.
     QueryDef(
       "q102_incremental_dedup",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val sets = shingleSets(s, d).localCheckpoint()
-        val sigs = minhashFrom(sets).localCheckpoint()
-        val newB = bandKeys(sigs.filter(col("doc_id") >= 1000000L))
-          .select(col("doc_id").as("new_id"), col("band"))
-        val corpusB = bandKeys(sigs.filter(col("doc_id") < 1000000L))
-          .select(col("doc_id").as("corpus_id"), col("band"))
-        val cand = newB.join(corpusB, Seq("band"))
-          .select("new_id", "corpus_id").distinct()
-        val inter = size(array_intersect(col("sa"), col("sb")))
-        cand
-          .join(sets.select(col("doc_id").as("new_id"), col("sd").as("sa")), Seq("new_id"))
-          .join(sets.select(col("doc_id").as("corpus_id"), col("sd").as("sb")), Seq("corpus_id"))
-          .withColumn("jaccard",
-            inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
-          .filter(col("jaccard") >= 0.5)
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("new_id")
-              .orderBy(col("jaccard").desc, col("corpus_id").asc)))
-          .filter(col("rn") === 1)
-          .select(col("new_id"), col("corpus_id").as("dup_of"), col("jaccard"))
-          .orderBy("new_id")
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-q102-index-${
+          java.lang.Integer.toHexString(d.hashCode)}"
+        DedupIndex.build(s, originalDocs(s, d), dir)
+        DedupIndex.dedupBatch(s, variantDocs(s, d), dir)
       },
       Some(s"""$oracleBandsCte,
         cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id

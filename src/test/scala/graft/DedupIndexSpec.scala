@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.DedupIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Restart contract of the persisted LSH corpus index: an index built
+  * once serves incoming batches in a BRAND-NEW session with zero
+  * corpus re-tokenization — the dedup plan reads the two StateStore
+  * ledgers, never the corpus source. (The EtlCliSpec resumability
+  * pattern applied to the dedup family.)
+  */
+class DedupIndexSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def originals: DataFrame =
+    Tables.documents(spark, sf).select(col("doc_id"), trim(col("text")).as("text"))
+
+  test("batch dedups against the LOADED index in a fresh session, without touching corpus text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-index").toString
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-dedup-batch").toString
+    try {
+      DedupIndex.build(spark, originals, s"$dir/index")
+
+      // the incoming batch arrives as its OWN parquet drop (a crawl
+      // delivery), not a derivation of the corpus table — so any scan
+      // of the corpus source in the dedup plan is unambiguous
+      Tables.documents(spark, sf)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          trim(expr("substring(text, instr(text, ' ') + 1)")).as("text"))
+        .write.mode("overwrite").parquet(s"$batchDir/batch.parquet")
+
+      // brand-new "process": a fresh session shares no temp views or
+      // cached plans with the builder; everything corpus-side must
+      // come off the persisted ledgers
+      val s2 = spark.newSession()
+      val batch = s2.read.parquet(s"$batchDir/batch.parquet")
+      val result = DedupIndex.dedupBatch(s2, batch, s"$dir/index")
+
+      // zero corpus re-tokenization, pinned at plan level: the
+      // executed plan scans the index ledgers and the batch drop only
+      val plan = result.queryExecution.executedPlan.toString
+      assert(!plan.contains("documents.parquet"),
+        "dedup plan re-read the corpus source:\n" + plan.take(2000))
+      assert(plan.contains("sigs") && plan.contains("shingles"),
+        "dedup plan does not read the persisted ledgers:\n" + plan.take(2000))
+
+      // every eligible variant resolves to its origin doc: the batch
+      // signatures computed NOW must collide band-for-band with corpus
+      // signatures computed BEFORE the restart — any drift in the hash
+      // family, lane carving, or banding breaks this exactness
+      val rows = result.collect()
+      val eligible = batch.filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
+      assert(rows.length == eligible, s"${rows.length} matches for $eligible eligible docs")
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) - 1000000L),
+        rows.filter(r => r.getLong(1) != r.getLong(0) - 1000000L).take(3).mkString(", "))
+      assert(rows.forall(_.getDouble(2) >= 0.8))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(batchDir))
+    }
+  }
+
+  test("build is an atomic refresh: a new corpus generation replaces the old in place") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-refresh").toString
+    try {
+      val p = s"$dir/index"
+      DedupIndex.build(spark, originals.limit(20), p)
+      val before = graft.state.StateStore
+        .load(spark, DedupIndex.sigsPath(p), DedupIndex.sigSchema).count()
+      DedupIndex.build(spark, originals, p) // self-overwrite through the generation swap
+      val after = graft.state.StateStore
+        .load(spark, DedupIndex.sigsPath(p), DedupIndex.sigSchema).count()
+      assert(before <= 20 && after > before)
+      // no stray generations left behind
+      val strays = new java.io.File(p).listFiles()
+        .map(_.getName).filter(n => n.contains(".tmp-") || n.contains(".old-"))
+      assert(strays.isEmpty, strays.mkString(", "))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
