@@ -1,8 +1,10 @@
 package graft.streaming
 
 import graft.operators.DedupQueries
-import org.apache.spark.sql.DataFrame
+import graft.state.StateStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Stream-static incremental dedup — the streaming twin of
   * q102_incremental_dedup: documents arrive as a stream, the corpus
@@ -34,4 +36,74 @@ object DedupStream {
     DedupQueries.rowBands(stream)
       .join(corpusBands.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
       .select(col("doc_id"), col("dup_of"), col("band"))
+
+  // ---- self-maintaining index: within-stream twins ----------------
+
+  /** Probe-index ledger schema: every band of every SURVIVING (non-
+    * duplicate) doc, stamped with the micro-batch that folded it in.
+    * The stamp is what makes replay exact (see [[processBatch]]). */
+  val bandsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("band", StringType),
+    StructField("added_batch", LongType)))
+
+  /** One micro-batch of the SELF-MAINTAINING dedup flow: flag the
+    * arriving docs against the persisted probe index AND against each
+    * other, then fold the survivors' bands into the index — so a twin
+    * arriving in a LATER micro-batch collides with a doc this one
+    * admitted (the gap a static corpus index leaves open).
+    *
+    * Returns the flag rows (doc_id, dup_of, band): band collisions
+    * against earlier-batch survivors, plus within-batch collisions
+    * attributed to the lowest-id colliding doc (deterministic under
+    * replay, no arrival-order dependence inside a batch).
+    *
+    * EXACTLY-ONCE under foreachBatch's at-least-once replay, without a
+    * side channel: rows folded by batch N carry `added_batch = N`, and
+    * both the probe and the fold ignore ledger rows with
+    * `added_batch >= batchId`. A replayed batch therefore probes the
+    * identical pre-fold index (same flags out) and re-derives the
+    * identical fold (no double-add, no lost rows) — the StateStore
+    * generation swap makes each fold crash-atomic in between.
+    *
+    * Scale: the stream side hashes only its own micro-batch; the fold
+    * rewrites the ledger through the generation protocol (atomicity
+    * first). At 100 TB the rewrite amortizes by lowering fold cadence
+    * (fold every K batches) or a base+delta layout compacted offline —
+    * the probe/flag plan is unchanged either way. */
+  def processBatch(spark: SparkSession, batchDocs: DataFrame,
+      indexPath: String, batchId: Long): DataFrame = {
+    val ledger = StateStore.load(spark, indexPath, bandsSchema)
+      .filter(col("added_batch") < batchId)
+    val batchBands = DedupQueries.rowBands(batchDocs).localCheckpoint()
+    val corpusFlags = batchBands
+      .join(ledger.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
+      .select(col("doc_id"), col("dup_of"), col("band"))
+    val withinBatch = batchBands
+      .join(batchBands.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
+      .filter(col("dup_of") < col("doc_id"))
+      .select(col("doc_id"), col("dup_of"), col("band"))
+    val flags = corpusFlags.unionByName(withinBatch).localCheckpoint()
+    val survivorBands = batchBands
+      .join(flags.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    StateStore.save(
+      ledger.unionByName(survivorBands.withColumn("added_batch", lit(batchId))),
+      indexPath, bucketCols = Seq("band"))
+    flags
+  }
+
+  /** Streaming wiring: readStream → foreachBatch([[processBatch]]) →
+    * caller's sink. The sink receives (flags, batchId) and must be
+    * idempotent on batchId (the foreachBatch contract); the index side
+    * needs nothing more — replay regenerates identical flags and an
+    * identical fold. */
+  def startWithIndexMaintenance(stream: DataFrame, indexPath: String,
+      checkpointDir: String, sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(processBatch(batch.sparkSession, batch, indexPath, batchId), batchId)
+      }
+      .start()
 }

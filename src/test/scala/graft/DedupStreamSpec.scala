@@ -62,4 +62,150 @@ class DedupStreamSpec extends SparkSpecBase {
       SparkEntry.releaseCaches(spark)
     }
   }
+
+  // ---- self-maintaining index: within-stream twins ----------------
+
+  /** (originals, variants) — twins split across arrival batches. */
+  private def twinDocs(n: Int): (Seq[(Long, String)], Seq[(Long, String)]) = {
+    val orig = DedupQueries.variantCorpus(spark, sf)
+      .filter(col("doc_id") < 1000000L).orderBy("doc_id").limit(n)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val vars = DedupQueries.variantCorpus(spark, sf)
+      .filter(col("doc_id") >= 1000000L)
+      .filter(col("doc_id") - 1000000L < orig.map(_._1).max + 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    (orig, vars)
+  }
+
+  private def toDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("index maintenance: a twin in a later micro-batch is flagged against the earlier survivor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-idx").toString
+    try {
+      val (orig, vars) = twinDocs(50)
+      val path = s"$dir/bands"
+
+      // ground truth from the band math itself: within-batch original
+      // collisions (the corpus DOES have a few chance band ties, e.g.
+      // docs 8/12 at sf0.001), then variant-vs-survivor collisions
+      val ob = DedupQueries.rowBands(toDf(orig)).localCheckpoint()
+      val expF1 = ob.join(ob.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
+        .filter(col("dup_of") < col("doc_id"))
+        .select("doc_id", "dup_of").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val f1 = DedupStream.processBatch(spark, toDf(orig), path, 0L)
+        .select("doc_id", "dup_of").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(f1 == expF1)
+
+      val survivors = ob.select("doc_id").distinct()
+        .join(toDf(expF1.map(p => (p._1, "")).toSeq).select("doc_id"), Seq("doc_id"), "left_anti")
+      val vb = DedupQueries.rowBands(toDf(vars)).localCheckpoint()
+      val vsCorpus = vb.join(
+          ob.join(survivors, Seq("doc_id"))
+            .select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
+        .select("doc_id", "dup_of").distinct()
+      val vsBatch = vb.join(vb.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
+        .filter(col("dup_of") < col("doc_id"))
+        .select("doc_id", "dup_of").distinct()
+      val expected = vsCorpus.unionByName(vsBatch).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.nonEmpty)
+
+      val f2 = DedupStream.processBatch(spark, toDf(vars), path, 1L)
+        .select("doc_id", "dup_of").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(f2 == expected)
+      // the twins among the flags resolve to their own origin
+      assert(f2.exists { case (v, o) => o == v - 1000000L })
+
+      // flagged docs were NOT folded in: replaying their twins against
+      // the index finds only the SURVIVORS
+      val ledger = graft.state.StateStore.load(spark, path, DedupStream.bandsSchema)
+      assert(ledger.filter(col("doc_id") >= 1000000L)
+        .join(toDf(f2.map(p => (p._1, "")).toSeq).select("doc_id"), Seq("doc_id"))
+        .count() == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
+  test("replaying a micro-batch re-emits identical flags and leaves the index identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-replay").toString
+    try {
+      val (orig, vars) = twinDocs(30)
+      val path = s"$dir/bands"
+      DedupStream.processBatch(spark, toDf(orig), path, 0L).count()
+
+      def ledgerRows() = graft.state.StateStore
+        .load(spark, path, DedupStream.bandsSchema)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val flagsA = DedupStream.processBatch(spark, toDf(vars), path, 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val ledgerA = ledgerRows()
+      // at-least-once replay of the SAME batch id (crash after fold,
+      // before the sink committed): must be byte-identical, not additive
+      val flagsB = DedupStream.processBatch(spark, toDf(vars), path, 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(flagsB == flagsA)
+      assert(ledgerRows() == ledgerA)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
+  test("within-batch twins are flagged against the lowest colliding id, which survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-wb").toString
+    try {
+      val (orig, vars) = twinDocs(30)
+      val path = s"$dir/bands"
+      val flags = DedupStream.processBatch(spark, toDf(orig ++ vars), path, 0L)
+        .select("doc_id", "dup_of").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(flags.nonEmpty)
+      assert(flags.forall { case (d, o) => o < d }) // attribution is to the lower id
+      val ledger = graft.state.StateStore.load(spark, path, DedupStream.bandsSchema)
+      val flaggedIds = flags.map(_._1).toSet
+      assert(ledger.collect().forall(r => !flaggedIds.contains(r.getLong(0))))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
+  test("streaming wiring: foreachBatch maintains the index across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-e2e").toString
+    try {
+      val (orig, vars) = twinDocs(20)
+      val collected = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+      val mem = MemoryStream[(Long, String)]
+      val q = DedupStream.startWithIndexMaintenance(
+        mem.toDF().toDF("doc_id", "text"), s"$dir/bands", s"$dir/ckpt",
+        (flags, batchId) => collected.synchronized {
+          collected(batchId) = flags.select("doc_id", "dup_of").distinct()
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        })
+      try {
+        mem.addData(orig.toIndexedSeq: _*)
+        q.processAllAvailable()
+        mem.addData(vars.toIndexedSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // batch 0 may carry a few chance original-original ties; batch 1
+      // must flag the twins against batch 0's survivors
+      assert(collected(1L).nonEmpty)
+      assert(collected(1L).forall { case (d, o) => o < d })
+      assert(collected(1L).exists { case (v, o) => o == v - 1000000L })
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      SparkEntry.releaseCaches(spark)
+    }
+  }
 }
