@@ -43,6 +43,13 @@ object SimilarityQueries {
     * centroids). */
   private[operators] val IvfCentroids = 64
 
+  /** Cells probed per query in the multi-probe IVF variant (q104): the
+    * classic recall knob — single-probe loses a twin whenever a vector
+    * sits on a cell boundary; probing the query's P nearest cells
+    * recovers it while the candidate fraction stays P/k of the corpus.
+    * AnnRecallSpec pins the bought recall (≥0.95 vs ≥0.8 single-probe). */
+  private[operators] val IvfNprobe = 3
+
   /** Per-bucket row cap for the near-dup pair join (q81): a skewed LSH
     * bucket (anisotropic embeddings pile into few buckets) is quadratic
     * *within* the bucket, so buckets are deterministically truncated to
@@ -326,6 +333,80 @@ object SimilarityQueries {
         WHERE rn <= 5 ORDER BY query_id, rn"""),
       doc = "IVF ANN: deterministic coarse centroids, nearest-cell " +
         "assignment, single-cell probe, exact re-rank (top 5).")
+    ,
+
+    // ---- IVF with MULTI-PROBE: identical index (same centroids, same
+    //      nearest-cell data assignment), but each query probes its
+    //      IvfNprobe nearest cells instead of one. The probe join stays
+    //      EQUI on centroid_id — multi-probe only multiplies the
+    //      (tiny, broadcast) query side by P, never the corpus side —
+    //      and because every corpus vector lives in exactly one cell,
+    //      (query, neighbor) candidate pairs are unique with no dedup
+    //      step. Candidates scale as P/k of the corpus per query: the
+    //      recall/cost dial a production IVF actually ships with.
+    QueryDef(
+      "q104_ann_ivf_multiprobe",
+      (s, d) => {
+        import graft.functions.VectorFunctions._
+        val e = normed(s, d)
+        val centroids = e.orderBy(col("vec_id").asc).limit(IvfCentroids)
+          .select(col("vec_id").as("centroid_id"), col("emb").as("ce"),
+                  col("norm").as("cnorm"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("centroid_id").asc)
+        val assigned = e.crossJoin(broadcast(centroids))
+          .withColumn("c_cos",
+            vector_dot(col("emb"), col("ce")) / (col("norm") * col("cnorm")))
+          .withColumn("crn", row_number().over(wAssign))
+          .filter(col("crn") === 1)
+          .select(col("vec_id"), col("emb"), col("norm"), col("centroid_id"))
+        // the probe list ranks centroids for QUERY vectors only — the
+        // P-per-query window runs over |queries|·k rows, not the corpus
+        val queryProbes = e.filter(col("vec_id") % 100 === 0)
+          .crossJoin(broadcast(centroids))
+          .withColumn("c_cos",
+            vector_dot(col("emb"), col("ce")) / (col("norm") * col("cnorm")))
+          .withColumn("crn", row_number().over(wAssign))
+          .filter(col("crn") <= IvfNprobe)
+          .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+                  col("norm").as("qnorm"), col("centroid_id"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        broadcast(queryProbes).join(assigned, Seq("centroid_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine",
+            vector_dot(col("qe"), col("emb")) / (col("qnorm") * col("norm")))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .orderBy("query_id", "rn")
+      },
+      Some(s"""$oracleNormed,
+        c AS (SELECT vec_id AS centroid_id, emb AS ce, norm AS cnorm
+          FROM n ORDER BY vec_id LIMIT $IvfCentroids),
+        a AS (SELECT vec_id, emb, norm, centroid_id FROM (
+          SELECT n.vec_id, n.emb, n.norm, c.centroid_id,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              list_sum(list_transform(range(len(n.emb)), i -> n.emb[i+1] * c.ce[i+1]))
+                / (n.norm * c.cnorm) DESC, c.centroid_id) AS crn
+          FROM n CROSS JOIN c) t WHERE crn = 1),
+        q AS (SELECT vec_id AS query_id, qe, qnorm, centroid_id FROM (
+          SELECT n.vec_id, n.emb AS qe, n.norm AS qnorm, c.centroid_id,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              list_sum(list_transform(range(len(n.emb)), i -> n.emb[i+1] * c.ce[i+1]))
+                / (n.norm * c.cnorm) DESC, c.centroid_id) AS crn
+          FROM n CROSS JOIN c WHERE n.vec_id % 100 = 0) t WHERE crn <= $IvfNprobe),
+        p AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+            list_sum(list_transform(range(len(q.qe)), i -> q.qe[i+1] * a.emb[i+1]))
+              / (q.qnorm * a.norm) AS cosine
+          FROM q JOIN a USING (centroid_id) WHERE a.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, cosine, rn FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS INT) AS rn FROM p) t
+        WHERE rn <= 5 ORDER BY query_id, rn"""),
+      doc = "IVF ANN with multi-probe: each query probes its " +
+        "IvfNprobe nearest cells (equi join on centroid_id, query side " +
+        "broadcast), exact re-rank (top 5) — the recall/cost dial.")
     ,
 
     // ---- embedding-cosine near-duplicate detection at scale: the

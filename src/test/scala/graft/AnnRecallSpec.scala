@@ -77,6 +77,11 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(r >= 0.8, s"q78 twin recall $r < 0.8")
   }
 
+  test("q104 IVF multi-probe buys back the cell-boundary loss (recall >= 0.95)") {
+    val r = twinRecall("q104_ann_ivf_multiprobe")
+    assert(r >= 0.95, s"q104 twin recall $r < 0.95")
+  }
+
   test("q81 recovers the planted near-dup pair set (recall >= 0.9, exact precision)") {
     val expected = plantedQueries // every %100 id is also %10
     val allPlantedPairs = Tables.embeddings(spark, "/root/testdata/sf0.01")

@@ -109,6 +109,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q104: multi-probe keeps the candidate join equi on centroid_id " +
+      "(P multiplies only the broadcast query side)") {
+    val plan = executed("q104_ann_ivf_multiprobe")
+    // assignment + probe-list ranking: corpus × broadcast(k centroids)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // probe: equi on centroid_id, never a pairwise scan of the corpus
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q82: salted skew join remains an equi shuffle join") {
     val plan = executed("q82_salted_join")
     assert(!plan.contains("CartesianProduct"), plan)
