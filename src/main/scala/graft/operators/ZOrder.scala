@@ -58,6 +58,47 @@ object ZOrder {
       .sortWithinPartitions("__z")
       .drop("__z")
 
+  /** Write a z-clustered layout PLUS its skipping manifest: after the
+    * clustered write, one small job records each output file's
+    * per-dimension min/max into `_zindex/` under the same path (the
+    * underscore prefix keeps it invisible to normal parquet listings,
+    * like `_SUCCESS`). The manifest is the file-level data-skipping
+    * layer Spark's parquet scan doesn't do by itself (footer stats
+    * prune row groups inside a file, never whole files) — the
+    * hand-rolled form of a Delta/Iceberg data-skipping index, which is
+    * exactly what the z-order layout exists to feed. */
+  def writeClustered(df: DataFrame, path: String, a: String, b: String,
+      partitions: Int): Unit = {
+    val spark = df.sparkSession
+    cluster(df, a, b, partitions).write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(a)).as("min_a"), max(col(a)).as("max_a"),
+        min(col(b)).as("min_b"), max(col(b)).as("max_b"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_zindex")
+  }
+
+  /** Read back a [[writeClustered]] layout under a 2-D box predicate
+    * `a ∈ [aLo, aHi] ∧ b ∈ [bLo, bHi]`, scanning ONLY the files whose
+    * manifest ranges intersect the box. The box filter is re-applied to
+    * the surviving files (the manifest can only ever widen the file
+    * set, never substitute for the predicate), so results are exact.
+    * The manifest collect is one row per data file — at 100 TB that is
+    * ~10⁵ rows on the driver, the same order every table format's
+    * planner holds for split generation. */
+  def readBox(spark: org.apache.spark.sql.SparkSession, path: String,
+      a: String, b: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame = {
+    val files = spark.read.parquet(s"$path/_zindex")
+      .filter(col("max_a") >= aLo && col("min_a") <= aHi &&
+        col("max_b") >= bLo && col("min_b") <= bHi)
+      .select("file").collect().map(_.getString(0))
+    val boxed =
+      if (files.isEmpty) spark.read.parquet(path) // empty result; footer-only read
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    boxed.filter(col(a).between(aLo, aHi) && col(b).between(bLo, bHi))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q103_zorder_key",
@@ -68,5 +109,40 @@ object ZOrder {
       Some(s"""SELECT l_orderkey, l_linenumber,
           ${mortonSql("l_partkey", "l_suppkey")} AS z_key
         FROM lineitem ORDER BY l_orderkey, l_linenumber"""),
-      doc = "Morton z-order key: bit-interleaved (l_partkey, l_suppkey) for 2-D data-skipping layout"))
+      doc = "Morton z-order key: bit-interleaved (l_partkey, l_suppkey) for 2-D data-skipping layout"),
+
+    // ---- the layout loop CLOSED: write the z-clustered layout with
+    //      its skipping manifest, read it back under a 2-D box
+    //      predicate through the manifest (only intersecting files are
+    //      scanned — ScaleLayoutSpec pins the pruned file count via
+    //      the scan's own numFiles metric), and aggregate. The oracle
+    //      computes the same aggregate from the raw table: equality
+    //      proves the pruned read is exact, not just fast.
+    QueryDef(
+      "q105_zorder_pruned_scan",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val li = Tables.lineitem(s, d)
+        val mx = li.agg(max("l_partkey"), max("l_suppkey")).head()
+        val (pHi, sHi) = (mx.getLong(0) / 4, mx.getLong(1) / 4)
+        val dir = s"${sys.props("java.io.tmpdir")}/graft-q105-layout-${
+          java.lang.Integer.toHexString(d.hashCode)}"
+        writeClustered(
+          li.select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_returnflag"),
+          dir, "l_partkey", "l_suppkey", 16)
+        readBox(s, dir, "l_partkey", "l_suppkey", 1, pHi, 1, sHi)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double").as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+          CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        FROM lineitem
+        WHERE l_partkey BETWEEN 1 AND (SELECT max(l_partkey) // 4 FROM lineitem)
+          AND l_suppkey BETWEEN 1 AND (SELECT max(l_suppkey) // 4 FROM lineitem)
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "z-order layout round-trip: manifest-pruned 2-D box scan over the clustered layout, exact aggregate"))
 }

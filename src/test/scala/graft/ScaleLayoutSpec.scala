@@ -154,6 +154,47 @@ class ScaleLayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("z-order + manifest closes the loop: a 2-D box scan READS fewer " +
+      "files than the unclustered layout (scan numFiles metric)") {
+    import graft.operators.ZOrder
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val sf = "/root/testdata/sf0.01"
+    val src = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+    try {
+      val parts = 16
+      ZOrder.writeClustered(src, s"$dir/z", "l_partkey", "l_suppkey", parts)
+      src.repartition(parts).write.parquet(s"$dir/plain")
+      val mx = src.agg(max("l_partkey"), max("l_suppkey")).head()
+      val (pHi, sHi) = (mx.getLong(0) / 4, mx.getLong(1) / 4)
+
+      // collect() (not count()) so the metrics read off the SAME
+      // execution: count() plans its own aggregate and the df's scan
+      // node would never run
+      def filesRead(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val n = df.collect().length.toLong
+        val files = df.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f.metrics("numFiles").value
+        }.sum
+        (n, files)
+      }
+      val (prunedRows, prunedFiles) = filesRead(
+        ZOrder.readBox(spark, s"$dir/z", "l_partkey", "l_suppkey", 1, pHi, 1, sHi))
+      val (plainRows, plainFiles) = filesRead(
+        spark.read.parquet(s"$dir/plain")
+          .filter($"l_partkey".between(1, pHi) && $"l_suppkey".between(1, sHi)))
+
+      assert(plainFiles == parts, s"plain layout should read every file, read $plainFiles")
+      // a 1/16-area box over a 16-file z-layout touches a compact tile
+      // set; strictly-fewer is the contract, half is the measured slack
+      assert(prunedFiles <= parts / 2,
+        s"manifest pruning read $prunedFiles of $parts files")
+      assert(prunedRows == plainRows) // pruning is exact, never lossy
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("orc scans push filters and prune columns like parquet") {
     val sf = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
