@@ -40,7 +40,8 @@ object SparkEntry {
       operators.AnalyticsQueries.defs ++
       operators.ConnectorQueries.defs ++
       operators.CurationQueries.defs ++
-      operators.ZOrder.defs
+      operators.ZOrder.defs ++
+      operators.KMeans.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full Lloyd-iteration k-means over the embeddings table — the
+  * T-round extension of q90's single update step, in the shape an
+  * iterative algorithm must take on Spark (the ConnectedComponents
+  * lesson): each round's centroid frame is PINNED (localCheckpoint)
+  * before the next round references it, so round t's plan is the same
+  * fixed-size template as round 1's — a broadcast of k·d doubles into
+  * an O(n·k) assignment — never a t-deep lineage re-executing every
+  * earlier round per action.
+  *
+  * Cross-engine exactness through ALL rounds: each round's component
+  * means use q90's ordered member-id fold (collect → sort by vec_id →
+  * left-fold), so the doubles entering round t+1 are bit-identical in
+  * Spark and DuckDB; the oracle unrolls the same T rounds as nested
+  * CTEs generated from one template.
+  *
+  * Scale: per round, one broadcast cross of k centroids (k fixed),
+  * one per-vector window (partitioned by vec_id), one (cid, dim)-keyed
+  * aggregation with k×d output cells. T rounds = T passes over the
+  * data, the irreducible cost of Lloyd; the centroid frames between
+  * rounds are k×d rows, pennies to pin. Empty clusters drop (standard
+  * Lloyd semantics, mirrored by the oracle).
+  */
+object KMeans {
+
+  private[operators] val Rounds = 3
+
+  private def embeddings(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  private val CentroidIds = Seq(3L, 47L, 111L, 205L, 289L, 333L, 404L, 450L)
+
+  /** One Lloyd round: (assignment frame, per-(cid, dim) update frame).
+    * `cents` must be (cid, ce: array<double>). */
+  private[graft] def lloydRound(e: DataFrame, cents: DataFrame): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sqdist").asc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("sqdist",
+        expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val update = assigned
+      .select(col("cid"), col("vec_id"), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy("cid", "dim")
+      .agg(count(lit(1)).as("n_members"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
+             s -> s.v), 0D, (a, x) -> a + x)""").as("vsum"))
+      .select(col("cid"), col("dim"), col("n_members"),
+        (col("vsum") / col("n_members")).as("c_new"))
+    (assigned, update)
+  }
+
+  /** (cid, dim, c_new) rows → the (cid, ce) centroid frame of the next
+    * round, pinned so the next round's plan starts from stored blocks. */
+  private[graft] def pinCentroids(update: DataFrame): DataFrame =
+    update.groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c_new))), s -> s.c_new)")
+        .as("ce"))
+      .localCheckpoint()
+
+  /** T pinned Lloyd rounds from the deterministic codebook; returns
+    * each round's update frame (the last is the query's output). */
+  private[graft] def iterate(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int): Seq[DataFrame] = {
+    val e = embeddings(s, d).localCheckpoint()
+    var cents = e.filter(col("vec_id").isin(CentroidIds: _*))
+      .select(col("vec_id").as("cid"), col("emb").as("ce"))
+      .localCheckpoint()
+    (1 to rounds).map { _ =>
+      val (_, update) = lloydRound(e, cents)
+      val pinned = update.localCheckpoint()
+      cents = pinCentroids(pinned)
+      pinned
+    }
+  }
+
+  /** The unrolled-T oracle: identical round template, c0 = codebook. */
+  private def oracleSql(rounds: Int): String = {
+    val init = s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, emb AS ce FROM e
+             WHERE vec_id IN (${CentroidIds.mkString(", ")}))"""
+    val roundCtes = (1 to rounds).map { t =>
+      s""",
+      dist$t AS (SELECT e.vec_id, c.cid, e.emb,
+          list_sum(list_transform(range(len(e.emb)),
+            i -> (e.emb[i+1] - c.ce[i+1]) * (e.emb[i+1] - c.ce[i+1]))) AS sqdist
+        FROM e CROSS JOIN c${t - 1} c),
+      a$t AS (SELECT vec_id, cid, emb FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY sqdist, cid) AS rn FROM dist$t) t
+        WHERE rn = 1),
+      x$t AS (SELECT cid, vec_id, unnest(list_transform(range(len(emb)),
+          i -> {'dim': i, 'v': emb[i+1]})) AS u FROM a$t),
+      u$t AS (SELECT cid, CAST(u.dim AS INT) AS dim, count(*) AS n_members,
+          list_sum(list(u.v ORDER BY vec_id)) / count(*) AS c_new
+        FROM x$t GROUP BY cid, u.dim),
+      c$t AS (SELECT cid, list(c_new ORDER BY dim) AS ce FROM u$t GROUP BY cid)"""
+    }.mkString
+    s"""$init$roundCtes
+      SELECT cid, dim, n_members, c_new FROM u$rounds ORDER BY cid, dim"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q106_kmeans_iterated",
+      (s, d) => iterate(s, d, Rounds).last.orderBy("cid", "dim"),
+      Some(oracleSql(Rounds)),
+      doc = s"k-means: $Rounds full Lloyd rounds (pinned centroid generations, " +
+        "ordered-fold means), oracled via an unrolled-CTE twin"))
+}
