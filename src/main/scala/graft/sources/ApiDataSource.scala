@@ -86,9 +86,44 @@ private[sources] final class ApiTable(tableSchema: StructType)
       s"graft-api: pageSize must be >= 1, got ${cfg.pageSize.get}")
     require(cfg.urlTemplate.contains("{page}"),
       "graft-api: urlTemplate must contain a {page} placeholder")
-    val schema = tableSchema
-    new ScanBuilder { override def build(): Scan = new ApiScan(schema, cfg) }
+    new ApiScanBuilder(tableSchema, cfg)
   }
+}
+
+/** Pushdown surface of the scan:
+  *
+  *  - REQUIRED COLUMNS: the page fetch is all-or-nothing at the wire
+  *    (a REST page has no projection), but pruning cuts what gets
+  *    PARSED and what width flows through the scan — under
+  *    `.select("id")` each JSON item materializes one field, not the
+  *    whole schema.
+  *  - LIMIT: the real saver — `.limit(n)` collapses planning to ONE
+  *    sequential partition that stops FETCHING pages as soon as n rows
+  *    are out (ceil(n/pageSize) requests instead of a full walk).
+  *    Declared PARTIALLY pushed, so Spark keeps its own limit on top —
+  *    the source uses the hint to stop early, Spark still enforces the
+  *    exact count; both stay correct if the server misbehaves.
+  */
+private[sources] final class ApiScanBuilder(tableSchema: StructType, cfg: ApiScanConfig)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+  private var required: StructType = tableSchema
+  private var limit: Option[Int] = None
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Spark passes a subset of the declared schema; an empty projection
+    // (e.g. count(*)) still needs row CARDINALITY, which the reader
+    // yields as zero-width rows
+    required = requiredSchema
+  }
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
+  // partial: Spark keeps its own limit on top; the source only uses
+  // the hint to stop fetching early
+  override def isPartiallyPushed(): Boolean = true
+  override def build(): Scan = new ApiScan(required, cfg, limit)
 }
 
 private[sources] final case class ApiScanConfig(
@@ -99,28 +134,41 @@ private[sources] final case class ApiScanConfig(
     stripes: Int,
     pages: Option[Int])
 
-private[sources] final class ApiScan(schema: StructType, cfg: ApiScanConfig)
+private[sources] final class ApiScan(schema: StructType, cfg: ApiScanConfig,
+    limit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-api ${cfg.urlTemplate}"
-  override def planInputPartitions(): Array[InputPartition] = cfg.pages match {
-    // known page count: exactly one partition per page, no probing
-    case Some(n) =>
-      (0 until n).map(p => ApiPagePartition(p, 1, single = true): InputPartition).toArray
-    // unknown: P independent stripes, each walks s, s+P, … to its
-    // first short page — beyond-the-end pages are empty, so every
-    // stripe terminates without coordinating with the others
-    case None =>
-      (0 until cfg.stripes)
-        .map(s => ApiPagePartition(s, cfg.stripes, single = false): InputPartition)
-        .toArray
+  override def description(): String =
+    s"graft-api ${cfg.urlTemplate}" +
+      limit.map(l => s" limit=$l").getOrElse("") +
+      s" cols=[${schema.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] = limit match {
+    // a pushed limit beats parallelism: ONE sequential walk that stops
+    // fetching at ceil(limit/pageSize) pages — P parallel stripes
+    // would each have to fetch their first page just to discover the
+    // limit was already satisfied elsewhere
+    case Some(l) =>
+      Array(ApiPagePartition(0, 1, single = false, limit = Some(l)))
+    case None => cfg.pages match {
+      // known page count: exactly one partition per page, no probing
+      case Some(n) =>
+        (0 until n).map(p => ApiPagePartition(p, 1, single = true): InputPartition).toArray
+      // unknown: P independent stripes, each walks s, s+P, … to its
+      // first short page — beyond-the-end pages are empty, so every
+      // stripe terminates without coordinating with the others
+      case None =>
+        (0 until cfg.stripes)
+          .map(s => ApiPagePartition(s, cfg.stripes, single = false): InputPartition)
+          .toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     ApiReaderFactory(schema.json, cfg)
 }
 
-private[sources] final case class ApiPagePartition(start: Int, stride: Int, single: Boolean)
+private[sources] final case class ApiPagePartition(start: Int, stride: Int,
+    single: Boolean, limit: Option[Int] = None)
     extends InputPartition
 
 private[sources] final case class ApiReaderFactory(schemaJson: String, cfg: ApiScanConfig)
@@ -158,11 +206,13 @@ private[sources] final class ApiPartitionReader(
     page += part.stride
   }
 
+  private var emitted = 0L
   override def next(): Boolean = {
+    if (part.limit.exists(emitted >= _)) return false // stop FETCHING, not just emitting
     while (!iter.hasNext && !exhausted) fetchNextPage()
     iter.hasNext
   }
-  override def get(): InternalRow = iter.next()
+  override def get(): InternalRow = { emitted += 1; iter.next() }
   override def close(): Unit = ()
 
   private def toRow(node: JsonNode): InternalRow = {

@@ -117,6 +117,60 @@ class ApiDataSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("limit pushdown: .limit(n) stops FETCHING pages, not just emitting rows") {
+    withServer { (endpoint, hits, _) =>
+      val df = spark.read.format("graft-api")
+        .schema(schema)
+        .option("endpoint", endpoint)
+        .option("urlTemplate", "/items?page={page}")
+        .option("pageSize", "3")
+        .option("partitions", "2")
+        .load()
+        .limit(2)
+      val rows = df.collect()
+      assert(rows.length == 2)
+      // 2 rows fit in page 0: exactly ONE request goes on the wire (a
+      // full stripe walk would fetch pages 0-3; even "stop emitting"
+      // without fetch-stop would probe one page per stripe)
+      assert(hits.toSeq == Seq(0), s"pages fetched: $hits")
+    }
+    withServer { (endpoint, hits, _) =>
+      val n = spark.read.format("graft-api")
+        .schema(schema)
+        .option("endpoint", endpoint)
+        .option("urlTemplate", "/items?page={page}")
+        .option("pageSize", "3")
+        .load()
+        .limit(5).count()
+      assert(n == 5)
+      assert(hits.toSeq == Seq(0, 1), s"pages fetched: $hits") // ceil(5/3) = 2 pages
+    }
+  }
+
+  test("column pruning reaches the reader: the scan parses only required fields") {
+    withServer { (endpoint, hits, _) =>
+      val df = spark.read.format("graft-api")
+        .schema(schema)
+        .option("endpoint", endpoint)
+        .option("urlTemplate", "/items?page={page}")
+        .option("pages", "3")
+        .load()
+        .select("id")
+      // the v2 scan line advertises the pruned column set
+      val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+        .find(_.contains("graft-api")).getOrElse("")
+      assert(scanLine.contains("cols=[id]"), scanLine)
+      assert(df.collect().map(_.getString(0)).toSet == expectedIds)
+      // row CARDINALITY survives an empty projection (count(*) path)
+      assert(spark.read.format("graft-api")
+        .schema(schema)
+        .option("endpoint", endpoint)
+        .option("urlTemplate", "/items?page={page}")
+        .option("pages", "3")
+        .load().count() == 8)
+    }
+  }
+
   test("header.* options reach the wire; DSv2 output feeds fieldOptions") {
     withServer { (endpoint, _, seenHeaders) =>
       val fields = spark.read.format("graft-api")
