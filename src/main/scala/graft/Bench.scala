@@ -16,7 +16,7 @@ object Bench {
     * with a prior round is adjudicable — contention shows as one
     * outlier pass among stable ones, a plan regression shifts all. */
   final case class BenchRow(name: String, minS: Double, spread: Double,
-      passesS: Seq[Double], gcMs: Long, failed: Int)
+      passesS: Seq[Double], passOk: Seq[Boolean], gcMs: Long, failed: Int)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,7 +107,8 @@ object Bench {
         f"[bench] $name%-28s min=${best}%8.3f s  spread=${spread * 100}%5.1f%%  " +
           f"passes=[${times.map(t => f"${t._1}%.3f${if (t._3) "" else "!ERR"}").mkString(" ")}]  " +
           f"gc=${times.map(_._2).sum}%5d ms  heap=${usedMb}%6d MB")
-      BenchRow(name, best, spread, times.map(_._1), times.map(_._2).sum, failed)
+      BenchRow(name, best, spread, times.map(_._1), times.map(_._3),
+        times.map(_._2).sum, failed)
     }
     // The driver keeps only the tail of this process's output, so the
     // one JSON line must stay well under 2000 chars even with sbt's
@@ -143,8 +144,14 @@ object Bench {
     //  - "spread_top" inline: the worst-spread queries' full pass lists
     //    (highest noise → the ones a dispute is ABOUT), budget-capped
     //    so the one JSON line stays inside the tail window.
+    // failed passes serialize NEGATED (-0.400 = a pass that failed
+    // after 0.4 s): one convention for both the sidecar and the inline
+    // field, so an adjudicator can never mistake a fail-fast pass for
+    // the true minimum (min_s only ranges over positive entries)
     def passList(r: BenchRow): String =
-      r.passesS.map(fmt).mkString("[", ",", "]")
+      r.passesS.zip(r.passOk)
+        .map { case (t, ok) => fmt(if (ok) t else -t) }
+        .mkString("[", ",", "]")
     val detail = results.map { r =>
       s"""{"name":"${r.name}","min_s":${fmt(r.minS)},"passes_s":${passList(r)},""" +
         s""""spread_pct":${fmt(r.spread * 100)},"gc_ms":${r.gcMs},"failed_passes":${r.failed}}"""
@@ -157,9 +164,16 @@ object Bench {
       s"""{"sf":"$sfDir","warm":$warmed,"passes":$passes,"total_min_s":${fmt(total)},""" +
         s""""rows":$detail}""")
     finally dw.close()
-    val spreadTop = results.filter(r => r.minS >= 0 && r.spread > 0.25)
+    // capped by BYTES, not entry count: pass lists scale with
+    // SPARK_GRAFT_PASSES, and the whole line must survive the driver's
+    // ~2k output-tail window — drop entries, never truncate mid-JSON
+    val spreadEntries = results.filter(r => r.minS >= 0 && r.spread > 0.25)
       .sortBy(-_.spread).take(8)
       .map(r => "\"" + key(r) + "\":" + passList(r))
+    val spreadTop = {
+      var budget = 400
+      spreadEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
+    }
     val spreadField =
       if (spreadTop.isEmpty) "" else spreadTop.mkString(""","spread_top":{""", ",", "}")
     // methodology fields: whether the JIT warm-up pass ran and how many

@@ -11,29 +11,27 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   * (reference analogue: the db.json ledger that makes re-runs
   * incremental, etl.js:14-19, applied to the dedup family).
   *
-  * Two ledgers under one index directory, both written through
+  * ONE combined ledger `(doc_id, sd, sig)` written through
   * [[StateStore]]'s crash-atomic generation protocol (tmp write →
-  * `_SUCCESS` commit point → rename swap), so a crash mid-refresh can
-  * never tear the index or roll it back silently:
+  * `_SUCCESS` commit point → rename swap). One ledger — not a
+  * shingles/sigs pair — because atomicity must cover the WHOLE index:
+  * two independent saves leave a crash window where the verify side is
+  * generation N+1 and the candidate side generation N, silently
+  * admitting twins of newly-added docs. Parquet's columnar layout
+  * makes the combination free at read time: the candidate side scans
+  * only `(doc_id, sig)` (band keys re-derived from sig — 4 md5 calls
+  * per doc, pennies next to re-tokenizing), the verify side only
+  * `(doc_id, sd)`; neither read touches the other column's bytes.
   *
-  *  - `shingles/` — (doc_id, sd): the deduplicated 3-gram shingle sets,
-  *    the verification side of the index. Bucketed by doc_id so the
-  *    Jaccard-verify join shuffles only the (small) candidate set.
-  *  - `sigs/` — (doc_id, sig): the 8-lane MinHash signatures, the
-  *    candidate-generation side. Band keys are re-derived from `sig` at
-  *    load time — 4 md5 calls per doc over an 8-element array, pennies
-  *    next to re-tokenizing text — so the index stays narrow on disk.
-  *
-  * Scale: [[build]] tokenizes the corpus ONCE (one job writes the
-  * shingle ledger; the signature job reads those persisted blocks, not
-  * the text). [[dedupBatch]] touches corpus TEXT never and corpus
-  * parquet only through the two ledgers: an incoming batch hashes its
-  * own documents, equi-joins |batch|-sized band lists against the
-  * stored signatures, and Jaccard-verifies only band-collision
-  * candidates — corpus×corpus pairs are never generated, and the
-  * per-new-doc best-match window partitions by new_id (no global
-  * window). At 100 TB the ledgers are the only thing that needs to be
-  * hot; the raw text stays cold.
+  * Scale: [[build]] tokenizes the corpus ONCE (the signature columns
+  * derive from the same materialized shingle sets). [[dedupBatch]]
+  * touches corpus TEXT never and corpus parquet only through the
+  * ledger: an incoming batch hashes its own documents, equi-joins
+  * |batch|-sized band lists against the stored signatures, and
+  * Jaccard-verifies only band-collision candidates — corpus×corpus
+  * pairs are never generated, and the per-new-doc best-match window
+  * partitions by new_id (no global window). At 100 TB the ledger is
+  * the only thing that needs to be hot; the raw text stays cold.
   *
   * DedupIndexSpec proves the restart contract: an index built in one
   * session serves a batch in a brand-new session with ZERO corpus
@@ -42,25 +40,22 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   */
 object DedupIndex {
 
-  val sigSchema: StructType = StructType(Seq(
+  val indexSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
+    StructField("sd", ArrayType(StringType)),
     StructField("sig", ArrayType(StringType))))
-  val setsSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("sd", ArrayType(StringType))))
 
-  def sigsPath(dir: String): String = s"$dir/sigs"
-  def shinglesPath(dir: String): String = s"$dir/shingles"
+  def indexPath(dir: String): String = s"$dir/index"
 
   /** Build (or atomically refresh) the index from a (doc_id, text)
-    * corpus frame. One tokenize pass: the signature job reads the
-    * freshly-persisted shingle ledger, never the text again. */
+    * corpus frame. One tokenize pass (the materialized shingle sets
+    * feed both columns), ONE generation-swapped save — the refresh is
+    * all-or-nothing. */
   def build(spark: SparkSession, corpus: DataFrame, dir: String): Unit = {
-    StateStore.save(DedupQueries.shingleSetsOf(corpus), shinglesPath(dir),
-      bucketCols = Seq("doc_id"))
-    val sets = StateStore.load(spark, shinglesPath(dir), setsSchema)
-    StateStore.save(DedupQueries.minhashFrom(sets), sigsPath(dir),
-      bucketCols = Seq("doc_id"))
+    val sets = DedupQueries.shingleSetsOf(corpus).localCheckpoint()
+    StateStore.save(
+      sets.join(DedupQueries.minhashFrom(sets), Seq("doc_id")),
+      indexPath(dir), bucketCols = Seq("doc_id"))
   }
 
   /** Dedup an incoming (doc_id, text) batch against the persisted
@@ -73,8 +68,9 @@ object DedupIndex {
     * and the corpus side comes exclusively from the two ledgers. */
   def dedupBatch(spark: SparkSession, batch: DataFrame, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val corpusSigs = StateStore.load(spark, sigsPath(dir), sigSchema)
-    val corpusSets = StateStore.load(spark, shinglesPath(dir), setsSchema)
+    val ledger = StateStore.load(spark, indexPath(dir), indexSchema)
+    val corpusSigs = ledger.select("doc_id", "sig") // columnar: sd bytes unread
+    val corpusSets = ledger.select("doc_id", "sd")
     val batchSets = DedupQueries.shingleSetsOf(batch).localCheckpoint()
     val batchSigs = DedupQueries.minhashFrom(batchSets)
     val newB = DedupQueries.bandKeys(batchSigs)

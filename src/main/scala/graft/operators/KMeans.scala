@@ -35,7 +35,7 @@ object KMeans {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
-  private val CentroidIds = Seq(3L, 47L, 111L, 205L, 289L, 333L, 404L, 450L)
+  private[graft] val CentroidIds = Seq(3L, 47L, 111L, 205L, 289L, 333L, 404L, 450L)
 
   /** One Lloyd round: (assignment frame, per-(cid, dim) update frame).
     * `cents` must be (cid, ce: array<double>). */

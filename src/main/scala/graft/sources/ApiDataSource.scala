@@ -147,9 +147,14 @@ private[sources] final class ApiScan(schema: StructType, cfg: ApiScanConfig,
     // a pushed limit beats parallelism: ONE sequential walk that stops
     // fetching at ceil(limit/pageSize) pages — P parallel stripes
     // would each have to fetch their first page just to discover the
-    // limit was already satisfied elsewhere
+    // limit was already satisfied elsewhere. A declared page count
+    // still BOUNDS the walk: `pages` exists for servers whose
+    // beyond-the-end pages error rather than return [], so the limit
+    // walk must never probe past page n-1 (a limit larger than the
+    // dataset would otherwise crash on the first out-of-range fetch)
     case Some(l) =>
-      Array(ApiPagePartition(0, 1, single = false, limit = Some(l)))
+      Array(ApiPagePartition(0, 1, single = false, limit = Some(l),
+        maxPages = cfg.pages))
     case None => cfg.pages match {
       // known page count: exactly one partition per page, no probing
       case Some(n) =>
@@ -168,7 +173,7 @@ private[sources] final class ApiScan(schema: StructType, cfg: ApiScanConfig,
 }
 
 private[sources] final case class ApiPagePartition(start: Int, stride: Int,
-    single: Boolean, limit: Option[Int] = None)
+    single: Boolean, limit: Option[Int] = None, maxPages: Option[Int] = None)
     extends InputPartition
 
 private[sources] final case class ApiReaderFactory(schemaJson: String, cfg: ApiScanConfig)
@@ -190,6 +195,7 @@ private[sources] final class ApiPartitionReader(
   private var iter: Iterator[InternalRow] = Iterator.empty
 
   private def fetchNextPage(): Unit = {
+    if (part.maxPages.exists(page >= _)) { exhausted = true; return }
     val url = cfg.urlTemplate.replace("{page}", page.toString)
     val resp = transport.send(HttpRequest("GET", url, ""))
     require(resp.status >= 200 && resp.status < 300,

@@ -73,8 +73,22 @@ object DedupStream {
     * the probe/flag plan is unchanged either way. */
   def processBatch(spark: SparkSession, batchDocs: DataFrame,
       indexPath: String, batchId: Long): DataFrame = {
-    val ledger = StateStore.load(spark, indexPath, bandsSchema)
-      .filter(col("added_batch") < batchId)
+    val full = StateStore.load(spark, indexPath, bandsSchema)
+    // The replay filter is DESTRUCTIVE by design for rows stamped >=
+    // batchId — correct when the same checkpoint replays its last
+    // batch, catastrophic when an operator restarts the stream with a
+    // FRESH checkpoint (batchId resets to 0) against an accumulated
+    // index: every probe would come up empty and the fold would wipe
+    // the ledger. Structured Streaming ids are sequential, so a
+    // legitimate batchId is never more than one step behind the newest
+    // fold — anything older is a checkpoint/index mismatch; fail loud.
+    val newest = full.agg(max("added_batch")).head()
+    if (!newest.isNullAt(0))
+      require(batchId >= newest.getLong(0),
+        s"dedup index at $indexPath was folded up to batch ${newest.getLong(0)} " +
+          s"but this stream is at batch $batchId — restarted with a fresh " +
+          "checkpoint? Reuse the original checkpoint or rebuild the index.")
+    val ledger = full.filter(col("added_batch") < batchId)
     val batchBands = DedupQueries.rowBands(batchDocs).localCheckpoint()
     val corpusFlags = batchBands
       .join(ledger.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))

@@ -147,6 +147,25 @@ class ApiDataSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("limit pushdown respects a declared page count: the walk never probes " +
+      "past page n-1 (servers whose out-of-range pages error, not [])") {
+    // the stub answers pages 0-2; pages >= 3 don't exist on a server
+    // like this contract's worst case, so the ONLY safe behavior with
+    // pages=3 is to stop at page 2 even when the limit is unsatisfied
+    withServer { (endpoint, hits, _) =>
+      val rows = spark.read.format("graft-api")
+        .schema(schema)
+        .option("endpoint", endpoint)
+        .option("urlTemplate", "/items?page={page}")
+        .option("pages", "3")
+        .load()
+        .limit(100) // larger than the dataset
+        .collect()
+      assert(rows.length == 8)
+      assert(hits.toSet == Set(0, 1, 2), s"probed past the declared range: $hits")
+    }
+  }
+
   test("column pruning reaches the reader: the scan parses only required fields") {
     withServer { (endpoint, hits, _) =>
       val df = spark.read.format("graft-api")

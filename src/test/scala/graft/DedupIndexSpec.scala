@@ -43,8 +43,8 @@ class DedupIndexSpec extends SparkSpecBase {
       val plan = result.queryExecution.executedPlan.toString
       assert(!plan.contains("documents.parquet"),
         "dedup plan re-read the corpus source:\n" + plan.take(2000))
-      assert(plan.contains("sigs") && plan.contains("shingles"),
-        "dedup plan does not read the persisted ledgers:\n" + plan.take(2000))
+      assert(plan.contains("index/index"),
+        "dedup plan does not read the persisted ledger:\n" + plan.take(2000))
 
       // every eligible variant resolves to its origin doc: the batch
       // signatures computed NOW must collide band-for-band with corpus
@@ -68,10 +68,10 @@ class DedupIndexSpec extends SparkSpecBase {
       val p = s"$dir/index"
       DedupIndex.build(spark, originals.limit(20), p)
       val before = graft.state.StateStore
-        .load(spark, DedupIndex.sigsPath(p), DedupIndex.sigSchema).count()
+        .load(spark, DedupIndex.indexPath(p), DedupIndex.indexSchema).count()
       DedupIndex.build(spark, originals, p) // self-overwrite through the generation swap
       val after = graft.state.StateStore
-        .load(spark, DedupIndex.sigsPath(p), DedupIndex.sigSchema).count()
+        .load(spark, DedupIndex.indexPath(p), DedupIndex.indexSchema).count()
       assert(before <= 20 && after > before)
       // no stray generations left behind
       val strays = new java.io.File(p).listFiles()

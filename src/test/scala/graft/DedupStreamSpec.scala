@@ -159,6 +159,31 @@ class DedupStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("a fresh-checkpoint restart against an accumulated index fails loud, not wipes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-guard").toString
+    try {
+      val (orig, _) = twinDocs(20)
+      val path = s"$dir/bands"
+      // two batches of mostly-unique docs, so BOTH fold survivors (the
+      // guard keys off the newest folded batch id)
+      DedupStream.processBatch(spark, toDf(orig.take(10)), path, 0L).count()
+      DedupStream.processBatch(spark, toDf(orig.drop(10)), path, 1L).count()
+      val before = graft.state.StateStore
+        .load(spark, path, DedupStream.bandsSchema).count()
+      // checkpoint cleared → batch ids restart at 0; the old guardless
+      // fold would silently discard every accumulated band
+      val e = intercept[IllegalArgumentException] {
+        DedupStream.processBatch(spark, toDf(orig), path, 0L).count()
+      }
+      assert(e.getMessage.contains("fresh"), e.getMessage)
+      assert(graft.state.StateStore
+        .load(spark, path, DedupStream.bandsSchema).count() == before)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
   test("within-batch twins are flagged against the lowest colliding id, which survives") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-wb").toString
     try {

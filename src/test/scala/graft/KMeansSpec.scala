@@ -18,7 +18,7 @@ class KMeansSpec extends SparkSpecBase {
       val e = Tables.embeddings(spark, sf)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .localCheckpoint()
-      var cents = e.filter(col("vec_id").isin(Seq(3L, 47L, 111L, 205L, 289L, 333L, 404L, 450L): _*))
+      var cents = e.filter(col("vec_id").isin(KMeans.CentroidIds: _*))
         .select(col("vec_id").as("cid"), col("emb").as("ce"))
         .localCheckpoint()
       val inertia = (1 to 4).map { _ =>
