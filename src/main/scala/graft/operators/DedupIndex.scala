@@ -69,20 +69,61 @@ object DedupIndex {
   def dedupBatch(spark: SparkSession, batch: DataFrame, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     val ledger = StateStore.load(spark, indexPath(dir), indexSchema)
-    val corpusSigs = ledger.select("doc_id", "sig") // columnar: sd bytes unread
-    val corpusSets = ledger.select("doc_id", "sd")
     val batchSets = DedupQueries.shingleSetsOf(batch).localCheckpoint()
-    val batchSigs = DedupQueries.minhashFrom(batchSets)
-    val newB = DedupQueries.bandKeys(batchSigs)
+    flagsAgainst(batchSets, ledger, minJaccard, withinBatch = false)
+  }
+
+  /** The full incremental-ingest step a crawl pipeline runs per
+    * delivery: flag the batch against the persisted index AND against
+    * itself (within-batch twins attribute to the lowest-id survivor,
+    * matching [[graft.streaming.DedupStream.processBatch]]), then FOLD
+    * the survivors' (sd, sig) rows into the ledger through one atomic
+    * generation swap. Returns the flags; after the call the index
+    * covers the new docs, so the next delivery's twins collide.
+    *
+    * Scale: the fold rewrites the ledger (atomicity first — the same
+    * trade as the streaming fold); at 100 TB the cadence amortizes it,
+    * or a base+delta layout compacted offline replaces it. The flag
+    * plan is unchanged either way. */
+  def ingest(spark: SparkSession, batch: DataFrame, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val ledger = StateStore.load(spark, indexPath(dir), indexSchema)
+    val batchSets = DedupQueries.shingleSetsOf(batch).localCheckpoint()
+    val flags = flagsAgainst(batchSets, ledger, minJaccard, withinBatch = true)
+      .localCheckpoint() // pin: the fold below must not re-run the joins
+    val survivors = batchSets
+      .join(flags.select(col("new_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    StateStore.save(
+      ledger.unionByName(survivors.join(DedupQueries.minhashFrom(survivors), Seq("doc_id"))),
+      indexPath(dir), bucketCols = Seq("doc_id"))
+    flags
+  }
+
+  /** Shared flag pipeline: band candidates from the ledger (and, for
+    * ingest, from the batch against itself — lower id plays the corpus
+    * role), Jaccard-verified over the shingle sets, best match per new
+    * doc. */
+  private def flagsAgainst(batchSets: DataFrame, ledger: DataFrame,
+      minJaccard: Double, withinBatch: Boolean): DataFrame = {
+    val batchB = DedupQueries.bandKeys(DedupQueries.minhashFrom(batchSets))
       .select(col("doc_id").as("new_id"), col("band"))
-    val corpusB = DedupQueries.bandKeys(corpusSigs)
+    val corpusB = DedupQueries.bandKeys(ledger.select("doc_id", "sig")) // columnar: sd unread
       .select(col("doc_id").as("corpus_id"), col("band"))
-    val cand = newB.join(corpusB, Seq("band"))
-      .select("new_id", "corpus_id").distinct()
+    val candCorpus = batchB.join(corpusB, Seq("band"))
+      .select("new_id", "corpus_id")
+    val cand = (if (!withinBatch) candCorpus else candCorpus.unionByName(
+      batchB.join(batchB.select(col("new_id").as("corpus_id"), col("band")), Seq("band"))
+        .filter(col("corpus_id") < col("new_id"))
+        .select("new_id", "corpus_id"))).distinct()
+    // verify side of the candidates: corpus shingles from the ledger,
+    // plus (for ingest) the batch's own sets for within-batch pairs
+    val verifySets = ledger.select(col("doc_id"), col("sd")).unionByName(
+      if (withinBatch) batchSets.select("doc_id", "sd")
+      else batchSets.select("doc_id", "sd").limit(0))
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand
       .join(batchSets.select(col("doc_id").as("new_id"), col("sd").as("sa")), Seq("new_id"))
-      .join(corpusSets.select(col("doc_id").as("corpus_id"), col("sd").as("sb")), Seq("corpus_id"))
+      .join(verifySets.select(col("doc_id").as("corpus_id"), col("sd").as("sb")), Seq("corpus_id"))
       .withColumn("jaccard",
         inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
       .filter(col("jaccard") >= minJaccard)

@@ -62,6 +62,43 @@ class DedupIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("ingest: flags corpus twins AND within-batch twins, folds survivors " +
+      "so the next delivery collides with them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-ingest").toString
+    try {
+      val p = s"$dir/index"
+      val docs = originals.orderBy("doc_id").limit(40).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      import spark.implicits._
+      def variantOf(id: Long) = {
+        val (_, text) = docs.find(_._1 == id).get
+        (id + 1000000L, text.substring(text.indexOf(' ') + 1).trim)
+      }
+      DedupIndex.build(spark, docs.take(30).toSeq.toDF("doc_id", "text"), p)
+      val sizeBefore = graft.state.StateStore
+        .load(spark, DedupIndex.indexPath(p), DedupIndex.indexSchema).count()
+
+      // delivery 1: 10 genuinely-new docs + a twin of a CORPUS doc + a
+      // twin of a BATCH-MATE (doc 35 arrives alongside its variant)
+      val batch1 = (docs.slice(30, 40).toSeq :+ variantOf(3L) :+ variantOf(35L))
+        .toDF("doc_id", "text")
+      val flags1 = DedupIndex.ingest(spark, batch1, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(flags1(1000003L) == 3L, s"corpus twin: $flags1") // vs the index
+      assert(flags1(1000035L) == 35L, s"within-batch twin: $flags1") // vs a batch-mate
+      val sizeAfter = graft.state.StateStore
+        .load(spark, DedupIndex.indexPath(p), DedupIndex.indexSchema).count()
+      assert(sizeAfter == sizeBefore + 12 - flags1.size) // survivors only
+
+      // delivery 2: a twin of a doc FOLDED by delivery 1 — only the
+      // fold can catch this (doc 36 was never in the built corpus)
+      val flags2 = DedupIndex.ingest(spark,
+        Seq(variantOf(36L)).toDF("doc_id", "text"), p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(flags2 == Map(1000036L -> 36L), s"folded-survivor twin: $flags2")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("build is an atomic refresh: a new corpus generation replaces the old in place") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-refresh").toString
     try {
