@@ -104,6 +104,40 @@ object ConnectorQueries {
       Some("""SELECT o_orderstatus, count(*) AS n,
         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- bloom-pruned semi join (§ scale levers): the dim's KEY SET
+    //      as a compact sketch filters the fact BEFORE its shuffle —
+    //      the user-level form of Spark's runtime bloom filtering, for
+    //      the dim that is too big to broadcast as a hash relation but
+    //      whose keys fit a ~1 MB sketch. The exact semi join after the
+    //      prune removes the fpp false positives, so the oracle is the
+    //      PLAIN semi join — the sketch must be semantically invisible
+    //      (BloomJoinSpec pins the actual pruning ratio and fpp bound).
+    QueryDef(
+      "q107_bloom_prejoin",
+      (s, d) => {
+        import graft.functions.BloomJoin
+        val li = Tables.lineitem(s, d)
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey")
+        BloomJoin.bloomPrune(li, col("l_orderkey"), urgent, "o_orderkey",
+            expectedItems = urgent.count())
+          .join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"),
+            Seq("l_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "bloom-pruned semi join: sketch of the dim keys filters the " +
+        "fact pre-shuffle; exact semi join removes false positives")
   )
 }
