@@ -21,6 +21,11 @@ object EventQueries {
   private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
   private def outD(c: org.apache.spark.sql.Column) = c.cast("double")
 
+  /** Micro-precision 60 s time bin — the equi key that makes the
+    * interval join below shuffle instead of nested-loop. */
+  private def bin60(tsCol: String): org.apache.spark.sql.Column =
+    expr(s"floor(unix_micros($tsCol) / 60000000)")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- tumbling window aggregation
@@ -137,6 +142,45 @@ object EventQueries {
         count(DISTINCT event_type) AS n_types,
         CAST(date_diff('second', CAST(min(ts) AS TIMESTAMP), CAST(max(ts) AS TIMESTAMP)) AS BIGINT) AS span_seconds,
         CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS value_sum
-        FROM events GROUP BY user_id ORDER BY user_id"""))
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- BINNED interval join (§ scale levers): per error event,
+    //      count ALL events in the preceding 60 s — an interval
+    //      overlap with NO equi key, the classic O(n²) nested-loop
+    //      trap (q09's broadcast theta join only works because its
+    //      band table is tiny; here both sides are the event stream).
+    //      Binning converts it to an equi shuffle: every event lives
+    //      in ONE 60 s bin, each probe window [t−60 s, t) spans at
+    //      most two bins, so exploding ≤2 probe bins and equi-joining
+    //      on the bin + residual range predicate yields every pair
+    //      exactly once, shuffling only on the bin key. Cost scales
+    //      with events·density, never n². The oracle is the PLAIN
+    //      range join — binning must be semantically invisible.
+    QueryDef(
+      "q108_interval_join_binned",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val base = ev.select(col("event_id").as("x_id"), col("ts").as("x_ts"))
+          .withColumn("bin", bin60("x_ts"))
+        val probes = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("ts"))
+          .withColumn("bin", explode(array_distinct(array(
+            bin60("ts - INTERVAL 60 SECONDS"), bin60("ts")))))
+        probes.join(base,
+            probes("bin") === base("bin") &&
+              col("x_ts") >= col("ts") - expr("INTERVAL 60 SECONDS") &&
+              col("x_ts") < col("ts"),
+            "left")
+          .groupBy("event_id")
+          .agg(count(col("x_id")).as("n_prior"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, count(x.event_id) AS n_prior
+        FROM events e LEFT JOIN events x
+          ON x.ts >= e.ts - INTERVAL 60 SECOND AND x.ts < e.ts
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id ORDER BY e.event_id"""),
+      doc = "binned interval join: 60s-bin equi shuffle + residual range " +
+        "predicate replaces the O(n^2) nested loop; exact vs the plain range join")
   )
 }

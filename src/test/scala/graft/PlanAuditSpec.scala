@@ -119,6 +119,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q108: the binned interval join is an equi join on the bin key — " +
+      "never the nested loop the raw range predicate would plan") {
+    val plan = executed("q108_interval_join_binned")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q82: salted skew join remains an equi shuffle join") {
     val plan = executed("q82_salted_join")
     assert(!plan.contains("CartesianProduct"), plan)
