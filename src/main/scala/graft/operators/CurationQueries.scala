@@ -465,6 +465,33 @@ object CurationQueries {
           FROM documents) t
         WHERE rn <= 5 ORDER BY lang, rn""")),
 
+    // ---- deterministic train/val/test split: the leakage-safe hash
+    //      assignment every training pipeline needs — a doc's split is
+    //      a pure function of its id (re-runs, backfills, and other
+    //      machines agree; no seed, no state). The 2-hex-digit md5
+    //      prefix IS the bucket: lowercase hex compares
+    //      lexicographically == numerically, so the thresholds are
+    //      plain string comparisons that run identically in Spark and
+    //      DuckDB ('cc' = 204/256 ≈ 80% train, 'e6' = 230 ≈ 10% val,
+    //      rest test). One narrow projection, no shuffle at all until
+    //      the final order.
+    QueryDef(
+      "q109_hash_split",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
+        .select(col("doc_id"),
+          when(col("bucket") < "cc", "train")
+            .when(col("bucket") < "e6", "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id"""),
+      doc = "deterministic hash split: 80/10/10 train/val/test as a pure function of doc_id"),
+
     // ---- unigram-LM log-likelihood quality bucketing (the CCNet
     //      signal with the LM *self-trained* on the corpus — fully
     //      deterministic, no external model): per-term probabilities

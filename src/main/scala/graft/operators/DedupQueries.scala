@@ -349,6 +349,45 @@ object DedupQueries {
         WHERE rn = 1 ORDER BY new_id"""),
       doc = "incremental dedup: new batch LSH-joined against the persisted corpus index, best match per new doc"),
 
+    // ---- split-leakage audit: the reason dedup and splitting must
+    //      COMPOSE — a hash split assigns near-identical docs
+    //      independently, so ~ (1 − 1/k·Σp²) of near-dup pairs straddle
+    //      splits and leak train text into eval. This query surfaces
+    //      exactly those pairs: LSH band candidates (the q36 machinery,
+    //      never all-pairs) × q109's hash-split assignment, keeping
+    //      pairs whose sides land in different splits. The fix in a
+    //      real pipeline is to split by CLUSTER representative (q77's
+    //      CC root) instead of raw id; this audit is what proves the
+    //      need and verifies the fix (rerun on cluster-keyed splits →
+    //      zero rows).
+    QueryDef(
+      "q110_split_leakage_audit",
+      (s, d) => {
+        def splitOf(c: org.apache.spark.sql.Column) = {
+          val b = substring(md5(c.cast("string")), 1, 2)
+          when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
+        }
+        candidatePairsFrom(sigIndex(s, d))
+          .withColumn("split_a", splitOf(col("doc_a")))
+          .withColumn("split_b", splitOf(col("doc_b")))
+          .filter(col("split_a") =!= col("split_b"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$oracleBandsCte,
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        sp AS (SELECT doc_a, doc_b,
+            CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                 WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                 ELSE 'test' END AS split_a,
+            CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                 WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                 ELSE 'test' END AS split_b
+          FROM cand)
+        SELECT doc_a, doc_b, split_a, split_b FROM sp
+        WHERE split_a != split_b ORDER BY doc_a, doc_b"""),
+      doc = "split-leakage audit: near-dup candidate pairs whose sides fall in different hash splits"),
+
     // ---- SimHash: 16-bit signature from per-token md5 nibble high-bits
     QueryDef(
       "q38_dedup_simhash",
