@@ -17,11 +17,26 @@ import org.apache.spark.util.sketch.BloomFilter
   * The serialized sketch travels as part of the expression (a few
   * hundred KB per million keys at 1% fpp — an order of magnitude under
   * the hash relation a broadcast join would ship) and is deserialized
-  * once per executor via a transient lazy; generated code calls
+  * once per TASK via a transient lazy (readFrom over ~1 MB is noise
+  * next to a task's scan work; a per-executor cache would have to key
+  * by content and pay the same O(bytes) hash). Generated code calls
   * [[test]] directly, staying inside whole-stage codegen.
+  *
+  * equals/hashCode are content-based over the sketch bytes — the
+  * case-class default would compare the Array by identity, silently
+  * breaking semanticEquals/canonicalization (two references to the
+  * same pruned column would never dedup).
   */
 case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression {
+
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      child == b.child && java.util.Arrays.equals(bloomBytes, b.bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 
   override def prettyName: String = "bloom_might_contain"
   override def dataType: DataType = BooleanType

@@ -119,9 +119,15 @@ object ConnectorQueries {
       (s, d) => {
         import graft.functions.BloomJoin
         val li = Tables.lineitem(s, d)
+        // pinned: the dim feeds the sketch build AND the exact probe —
+        // without the pin each would re-scan orders (and a count() for
+        // sizing would make it three scans; the sketch only needs an
+        // upper bound, so the pinned frame's count is cheap row-count
+        // metadata, not a third scan of the source)
         val urgent = Tables.orders(s, d)
           .filter(col("o_orderpriority") === "1-URGENT")
           .select("o_orderkey")
+          .localCheckpoint()
         BloomJoin.bloomPrune(li, col("l_orderkey"), urgent, "o_orderkey",
             expectedItems = urgent.count())
           .join(urgent.withColumnRenamed("o_orderkey", "l_orderkey"),

@@ -478,17 +478,9 @@ object CurationQueries {
     QueryDef(
       "q109_hash_split",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"),
-          substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
-        .select(col("doc_id"),
-          when(col("bucket") < "cc", "train")
-            .when(col("bucket") < "e6", "val")
-            .otherwise("test").as("split"))
+        .select(col("doc_id"), Splits.splitCol(col("doc_id")).as("split"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-               WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-               ELSE 'test' END AS split
+      Some(s"""SELECT doc_id, ${Splits.splitSql("doc_id")} AS split
         FROM documents ORDER BY doc_id"""),
       doc = "deterministic hash split: 80/10/10 train/val/test as a pure function of doc_id"),
 

@@ -93,6 +93,12 @@ object DedupIndex {
       .localCheckpoint() // pin: the fold below must not re-run the joins
     val survivors = batchSets
       .join(flags.select(col("new_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      // anti-join against the ledger makes a REDELIVERED ingest
+      // idempotent: docs folded by the crashed first attempt are not
+      // appended twice (the self-pair guard in flagsAgainst keeps them
+      // from being flagged against themselves — together: same flags
+      // out, ledger unchanged)
+      .join(ledger.select("doc_id"), Seq("doc_id"), "left_anti")
     StateStore.save(
       ledger.unionByName(survivors.join(DedupQueries.minhashFrom(survivors), Seq("doc_id"))),
       indexPath(dir), bucketCols = Seq("doc_id"))
@@ -109,7 +115,12 @@ object DedupIndex {
       .select(col("doc_id").as("new_id"), col("band"))
     val corpusB = DedupQueries.bandKeys(ledger.select("doc_id", "sig")) // columnar: sd unread
       .select(col("doc_id").as("corpus_id"), col("band"))
+    // the self-pair guard (new_id != corpus_id) is what makes a
+    // REDELIVERED ingest safe: after a crash-after-fold retry the batch
+    // docs are already in the ledger and would otherwise all match
+    // themselves at jaccard 1.0 — the whole delivery silently dropped
     val candCorpus = batchB.join(corpusB, Seq("band"))
+      .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id")
     val cand = (if (!withinBatch) candCorpus else candCorpus.unionByName(
       batchB.join(batchB.select(col("new_id").as("corpus_id"), col("band")), Seq("band"))
@@ -117,9 +128,10 @@ object DedupIndex {
         .select("new_id", "corpus_id"))).distinct()
     // verify side of the candidates: corpus shingles from the ledger,
     // plus (for ingest) the batch's own sets for within-batch pairs
-    val verifySets = ledger.select(col("doc_id"), col("sd")).unionByName(
-      if (withinBatch) batchSets.select("doc_id", "sd")
-      else batchSets.select("doc_id", "sd").limit(0))
+    val verifySets =
+      if (withinBatch) ledger.select(col("doc_id"), col("sd"))
+        .unionByName(batchSets.select("doc_id", "sd"))
+      else ledger.select(col("doc_id"), col("sd"))
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand
       .join(batchSets.select(col("doc_id").as("new_id"), col("sd").as("sa")), Seq("new_id"))

@@ -362,27 +362,18 @@ object DedupQueries {
     //      zero rows).
     QueryDef(
       "q110_split_leakage_audit",
-      (s, d) => {
-        def splitOf(c: org.apache.spark.sql.Column) = {
-          val b = substring(md5(c.cast("string")), 1, 2)
-          when(b < "cc", "train").when(b < "e6", "val").otherwise("test")
-        }
+      (s, d) =>
         candidatePairsFrom(sigIndex(s, d))
-          .withColumn("split_a", splitOf(col("doc_a")))
-          .withColumn("split_b", splitOf(col("doc_b")))
+          .withColumn("split_a", Splits.splitCol(col("doc_a")))
+          .withColumn("split_b", Splits.splitCol(col("doc_b")))
           .filter(col("split_a") =!= col("split_b"))
-          .orderBy("doc_a", "doc_b")
-      },
+          .orderBy("doc_a", "doc_b"),
       Some(s"""$oracleBandsCte,
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
         sp AS (SELECT doc_a, doc_b,
-            CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-                 WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-                 ELSE 'test' END AS split_a,
-            CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
-                 WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
-                 ELSE 'test' END AS split_b
+            ${Splits.splitSql("doc_a")} AS split_a,
+            ${Splits.splitSql("doc_b")} AS split_b
           FROM cand)
         SELECT doc_a, doc_b, split_a, split_b FROM sp
         WHERE split_a != split_b ORDER BY doc_a, doc_b"""),

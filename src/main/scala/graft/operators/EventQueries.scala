@@ -21,10 +21,11 @@ object EventQueries {
   private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
   private def outD(c: org.apache.spark.sql.Column) = c.cast("double")
 
-  /** Micro-precision 60 s time bin — the equi key that makes the
-    * interval join below shuffle instead of nested-loop. */
+  /** 60 s time bin (shared [[TimeBins]] definition — the streaming
+    * twin must bin identically) — the equi key that makes the interval
+    * join below shuffle instead of nested-loop. */
   private def bin60(tsCol: String): org.apache.spark.sql.Column =
-    expr(s"floor(unix_micros($tsCol) / 60000000)")
+    TimeBins.bin(tsCol, 60L)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -34,8 +34,7 @@ object IntervalJoinStream {
   def clicksBeforeErrors(events: DataFrame, gapSeconds: Long = 60,
       delay: String = "10 minutes"): DataFrame = {
     require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
-    val binMicros = gapSeconds * 1000000L
-    def bin(c: String) = expr(s"floor(unix_micros($c) / ${binMicros}L)")
+    def bin(c: String) = graft.operators.TimeBins.bin(c, gapSeconds)
     val gap = s"INTERVAL $gapSeconds SECONDS"
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("ts").as("click_ts"))

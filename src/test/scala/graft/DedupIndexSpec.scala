@@ -99,6 +99,32 @@ class DedupIndexSpec extends SparkSpecBase {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("a redelivered ingest is idempotent: same flags, ledger unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-redeliver").toString
+    try {
+      val p = s"$dir/index"
+      import spark.implicits._
+      val docs = originals.orderBy("doc_id").limit(25).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      DedupIndex.build(spark, docs.take(15).toSeq.toDF("doc_id", "text"), p)
+      val delivery = docs.drop(15).toSeq.toDF("doc_id", "text")
+
+      def ledgerRows() = graft.state.StateStore
+        .load(spark, DedupIndex.indexPath(p), DedupIndex.indexSchema)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val flagsA = DedupIndex.ingest(spark, delivery, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ledgerA = ledgerRows()
+      // crash-after-fold retry: the upstream redelivers the same batch —
+      // the folded docs must NOT flag as duplicates of themselves, and
+      // the fold must not append their rows twice
+      val flagsB = DedupIndex.ingest(spark, delivery, p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagsB == flagsA)
+      assert(ledgerRows() == ledgerA)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("build is an atomic refresh: a new corpus generation replaces the old in place") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-refresh").toString
     try {
