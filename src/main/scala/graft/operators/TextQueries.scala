@@ -302,6 +302,38 @@ object TextQueries {
       Some("""SELECT doc_id,
         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
         substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 8) AS short_fp
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- boilerplate detection: exact 8-token windows that repeat
+    //      across DISTINCT documents (headers, footers, templates —
+    //      the cross-document twin of q88's within-document repetition
+    //      signal; a curation pass strips or downweights these spans).
+    //      One explode to (doc, window) rows and one shuffle keyed by
+    //      the window text — token-linear, never doc×doc. At 100 TB
+    //      the shuffle key would be the window's hash with the text
+    //      resolved after the HAVING cut; the 8-token key here is
+    //      ~60 bytes, the same order as the hash.
+    QueryDef(
+      "q111_boilerplate_ngrams",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ts) - 8), i -> concat_ws(' ', slice(ts, i + 1, 8)))"))
+          .as("chunk"))
+        .groupBy("chunk")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_total"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_total").desc, col("chunk").asc),
+      Some("""WITH t AS (SELECT doc_id,
+            string_split_regex(trim(text), '\s+') AS ts
+          FROM documents),
+        w AS (SELECT doc_id, list_aggregate(ts[u.i+1:u.i+8], 'string_agg', ' ') AS chunk
+          FROM t, unnest(range(0, greatest(len(ts) - 7, 0))) u(i)
+          WHERE len(ts) >= 8)
+        SELECT chunk, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+        FROM w GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_total DESC, chunk"""),
+      doc = "boilerplate detection: exact 8-token windows repeated across distinct documents")
   )
 }
