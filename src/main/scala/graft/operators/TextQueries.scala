@@ -334,6 +334,63 @@ object TextQueries {
         SELECT chunk, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
         FROM w GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
         ORDER BY n_docs DESC, n_total DESC, chunk"""),
-      doc = "boilerplate detection: exact 8-token windows repeated across distinct documents")
+      doc = "boilerplate detection: exact 8-token windows repeated across distinct documents"),
+
+    // ---- PMI collocations: the statistic BPE-style vocabulary merges
+    //      and phrase mining rank by. Cross-engine exactness WITHOUT a
+    //      logarithm: PMI = ln(c_ab·N1²/(N2·c_a·c_b)) is monotone in
+    //      the ratio, so ranking by the ratio IS ranking by PMI — the
+    //      ratio is one IEEE division of two int64s (int64→double
+    //      conversion and division are both exactly specified, so the
+    //      double is bit-identical in Spark and DuckDB; ln's last ULP
+    //      is not). Counts are one unigram agg + one bigram agg; the
+    //      bigram→unigram joins are vocabulary-sized (broadcast at any
+    //      corpus scale); totals ride a broadcast scalar crossJoin. At
+    //      corpora where c_ab·N1² exceeds int64 (~10 TB of tokens) the
+    //      numerator moves to DECIMAL(38,0) unchanged in shape.
+    QueryDef(
+      "q112_pmi_collocations",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(split(trim(col("text")), "\\s+").as("ts"))
+          .filter(size(col("ts")) >= 2)
+        val uni = toks.select(explode(col("ts")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c_tok"))
+        val totals = uni.agg(sum("c_tok").as("n1")).crossJoin(
+          toks.select((size(col("ts")) - 1).as("nb")).agg(sum("nb").as("n2")))
+        val big = toks.select(explode(expr(
+            "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS a, ts[i+1] AS b))"))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 3)
+        big
+          .join(uni.select(col("tok").as("a"), col("c_tok").as("c_a")), Seq("a"))
+          .join(uni.select(col("tok").as("b"), col("c_tok").as("c_b")), Seq("b"))
+          .crossJoin(broadcast(totals))
+          .withColumn("pmi_ratio",
+            (col("c_ab") * col("n1") * col("n1")).cast("double") /
+              (col("n2") * col("c_a") * col("c_b")).cast("double"))
+          .select("a", "b", "c_ab", "c_a", "c_b", "pmi_ratio")
+          .orderBy(col("pmi_ratio").desc, col("a").asc, col("b").asc)
+          .limit(50)
+      },
+      Some("""WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+        uni AS (SELECT u.tok, count(*) AS c_tok
+          FROM t, unnest(ts) u(tok) GROUP BY u.tok),
+        tot AS (SELECT (SELECT sum(c_tok) FROM uni) AS n1,
+                       (SELECT sum(len(ts) - 1) FROM t) AS n2),
+        big AS (SELECT ts[u.i+1] AS a, ts[u.i+2] AS b, count(*) AS c_ab
+          FROM t, unnest(range(0, len(ts) - 1)) u(i)
+          GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT a, b, c_ab, c_a, c_b,
+          CAST(c_ab * n1 * n1 AS DOUBLE) / CAST(n2 * c_a * c_b AS DOUBLE) AS pmi_ratio
+        FROM big
+        JOIN (SELECT tok AS a, c_tok AS c_a FROM uni) ua USING (a)
+        JOIN (SELECT tok AS b, c_tok AS c_b FROM uni) ub USING (b)
+        CROSS JOIN tot
+        ORDER BY pmi_ratio DESC, a, b LIMIT 50"""),
+      doc = "PMI collocations: top-50 token bigrams by pointwise mutual information, log-free exact ranking")
   )
 }
