@@ -66,14 +66,66 @@ object DedupStream {
     * identical fold (no double-add, no lost rows) — the StateStore
     * generation swap makes each fold crash-atomic in between.
     *
-    * Scale: the stream side hashes only its own micro-batch; the fold
-    * rewrites the ledger through the generation protocol (atomicity
-    * first). At 100 TB the rewrite amortizes by lowering fold cadence
-    * (fold every K batches) or a base+delta layout compacted offline —
-    * the probe/flag plan is unchanged either way. */
+    * Scale: the stream side hashes only its own micro-batch, and the
+    * fold is a BASE+DELTA layout: each batch writes only its own
+    * survivors as `delta-<batchId>` (O(batch) bytes, one atomic
+    * generation swap on its own path), and every `CompactEvery`
+    * deltas the index folds them into `base/` (the only O(index)
+    * write, amortized). Crash consistency is stamp-guarded, not
+    * multi-path-atomic: loads take base plus only the deltas whose
+    * batch id EXCEEDS base's newest `added_batch`, so a crash between
+    * "new base committed" and "old deltas swept" leaves stale deltas
+    * that every subsequent load provably ignores (and the next
+    * compaction sweeps). Replay overwrites its own delta path
+    * atomically — same content, no double-fold. */
+  private[graft] val CompactEvery = 8
+
+  private def basePath(p: String) = s"$p/base"
+  private def deltaPath(p: String, id: Long) = f"$p/delta-$id%012d"
+  private val DeltaName = """^delta-(\d{12})$""".r
+
+  /** (committed delta ids, present on disk) — StateStore's in-flight
+    * `.tmp-*`/`.old-*` generation suffixes are excluded by the exact
+    * name match. */
+  private def deltaIds(spark: SparkSession, p: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case DeltaName(id) => id.toLong
+    }.sorted
+  }
+
+  /** The live index view: base ∪ the deltas newer than base's newest
+    * fold (staleness filter — see the layout note on [[processBatch]]). */
+  def loadIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val base = StateStore.load(spark, basePath(indexPath), bandsSchema)
+    val baseNewest = base.agg(max("added_batch")).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    deltaIds(spark, indexPath).filter(_ > baseNewest)
+      .map(id => StateStore.load(spark, deltaPath(indexPath, id), bandsSchema))
+      .foldLeft(base)(_ unionByName _)
+  }
+
+  /** Fold the deltas into base (the amortized O(index) write), then
+    * sweep the absorbed delta dirs. Safe at any moment: a crash after
+    * the base commit leaves stale deltas that loads ignore by stamp. */
+  def compact(spark: SparkSession, indexPath: String): Unit = {
+    val all = loadIndex(spark, indexPath).localCheckpoint()
+    if (all.isEmpty) return
+    StateStore.save(all, basePath(indexPath), bucketCols = Seq("band"))
+    val baseNewest = all.agg(max("added_batch")).head().getLong(0)
+    val dir = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    deltaIds(spark, indexPath).filter(_ <= baseNewest)
+      .foreach(id => fs.delete(new org.apache.hadoop.fs.Path(deltaPath(indexPath, id)), true))
+  }
+
   def processBatch(spark: SparkSession, batchDocs: DataFrame,
       indexPath: String, batchId: Long): DataFrame = {
-    val full = StateStore.load(spark, indexPath, bandsSchema)
+    val full = loadIndex(spark, indexPath)
     // The replay filter is DESTRUCTIVE by design for rows stamped >=
     // batchId — correct when the same checkpoint replays its last
     // batch, catastrophic when an operator restarts the stream with a
@@ -100,9 +152,13 @@ object DedupStream {
     val flags = corpusFlags.unionByName(withinBatch).localCheckpoint()
     val survivorBands = batchBands
       .join(flags.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    // O(batch) fold: this batch's survivors go to their OWN delta path
+    // (atomic swap; a replay overwrites the same path with the same
+    // content). Earlier-stamped rows are never rewritten here.
     StateStore.save(
-      ledger.unionByName(survivorBands.withColumn("added_batch", lit(batchId))),
-      indexPath, bucketCols = Seq("band"))
+      survivorBands.withColumn("added_batch", lit(batchId)),
+      deltaPath(indexPath, batchId), bucketCols = Seq("band"))
+    if (deltaIds(spark, indexPath).size >= CompactEvery) compact(spark, indexPath)
     flags
   }
 

@@ -124,7 +124,7 @@ class DedupStreamSpec extends SparkSpecBase {
 
       // flagged docs were NOT folded in: replaying their twins against
       // the index finds only the SURVIVORS
-      val ledger = graft.state.StateStore.load(spark, path, DedupStream.bandsSchema)
+      val ledger = DedupStream.loadIndex(spark, path)
       assert(ledger.filter(col("doc_id") >= 1000000L)
         .join(toDf(f2.map(p => (p._1, "")).toSeq).select("doc_id"), Seq("doc_id"))
         .count() == 0)
@@ -141,8 +141,7 @@ class DedupStreamSpec extends SparkSpecBase {
       val path = s"$dir/bands"
       DedupStream.processBatch(spark, toDf(orig), path, 0L).count()
 
-      def ledgerRows() = graft.state.StateStore
-        .load(spark, path, DedupStream.bandsSchema)
+      def ledgerRows() = DedupStream.loadIndex(spark, path)
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       val flagsA = DedupStream.processBatch(spark, toDf(vars), path, 1L)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
@@ -168,16 +167,14 @@ class DedupStreamSpec extends SparkSpecBase {
       // guard keys off the newest folded batch id)
       DedupStream.processBatch(spark, toDf(orig.take(10)), path, 0L).count()
       DedupStream.processBatch(spark, toDf(orig.drop(10)), path, 1L).count()
-      val before = graft.state.StateStore
-        .load(spark, path, DedupStream.bandsSchema).count()
+      val before = DedupStream.loadIndex(spark, path).count()
       // checkpoint cleared → batch ids restart at 0; the old guardless
       // fold would silently discard every accumulated band
       val e = intercept[IllegalArgumentException] {
         DedupStream.processBatch(spark, toDf(orig), path, 0L).count()
       }
       assert(e.getMessage.contains("fresh"), e.getMessage)
-      assert(graft.state.StateStore
-        .load(spark, path, DedupStream.bandsSchema).count() == before)
+      assert(DedupStream.loadIndex(spark, path).count() == before)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       SparkEntry.releaseCaches(spark)
@@ -194,9 +191,45 @@ class DedupStreamSpec extends SparkSpecBase {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(flags.nonEmpty)
       assert(flags.forall { case (d, o) => o < d }) // attribution is to the lower id
-      val ledger = graft.state.StateStore.load(spark, path, DedupStream.bandsSchema)
+      val ledger = DedupStream.loadIndex(spark, path)
       val flaggedIds = flags.map(_._1).toSet
       assert(ledger.collect().forall(r => !flaggedIds.contains(r.getLong(0))))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
+  test("base+delta folds: O(batch) deltas absorb into base at the compaction " +
+      "cadence, and stale deltas from a crashed compaction are ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-compact").toString
+    try {
+      val (orig, _) = twinDocs(40)
+      val path = s"$dir/bands"
+      val batches = orig.grouped(4).toSeq // 10 batches of 4 docs
+      batches.zipWithIndex.foreach { case (g, i) =>
+        DedupStream.processBatch(spark, toDf(g), path, i.toLong)
+      }
+      def deltaDirs() = new java.io.File(path).listFiles()
+        .map(_.getName).filter(_.matches("^delta-\\d{12}$")).sorted.toSeq
+      // 10 folds at CompactEvery=8: a compaction ran, so far fewer than
+      // 10 deltas remain and base holds the absorbed rows
+      assert(deltaDirs().size < batches.size - DedupStream.CompactEvery + 2,
+        deltaDirs().mkString(","))
+      val total = DedupStream.loadIndex(spark, path)
+      val expectedDocs = total.select("doc_id").distinct().count()
+
+      // crashed-compaction simulation: a stale delta whose rows are
+      // already in base (id <= base's newest fold) must not double-count
+      val newest = total.agg(max("added_batch")).head().getLong(0)
+      val staleRows = total.filter(col("added_batch") <= newest).limit(20)
+      graft.state.StateStore.save(staleRows, s"$path/delta-000000000000")
+      assert(DedupStream.loadIndex(spark, path)
+        .select("doc_id").distinct().count() == expectedDocs)
+      DedupStream.compact(spark, path)
+      assert(!deltaDirs().contains("delta-000000000000")) // swept
+      assert(DedupStream.loadIndex(spark, path)
+        .select("doc_id").distinct().count() == expectedDocs)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       SparkEntry.releaseCaches(spark)
