@@ -338,26 +338,32 @@ object TextQueries {
 
     // ---- PMI collocations: the statistic BPE-style vocabulary merges
     //      and phrase mining rank by. Cross-engine exactness WITHOUT a
-    //      logarithm: PMI = ln(c_ab·N1²/(N2·c_a·c_b)) is monotone in
-    //      the ratio, so ranking by the ratio IS ranking by PMI — the
-    //      ratio is one IEEE division of two int64s (int64→double
-    //      conversion and division are both exactly specified, so the
-    //      double is bit-identical in Spark and DuckDB; ln's last ULP
-    //      is not). Counts are one unigram agg + one bigram agg; the
-    //      bigram→unigram joins are vocabulary-sized (broadcast at any
-    //      corpus scale); totals ride a broadcast scalar crossJoin. At
-    //      corpora where c_ab·N1² exceeds int64 (~10 TB of tokens) the
-    //      numerator moves to DECIMAL(38,0) unchanged in shape.
+    //      logarithm: PMI = ln((c_ab/N2)/((c_a/N1)*(c_b/N1))) is
+    //      monotone in the ratio, so ranking by the ratio IS ranking
+    //      by PMI — and the ratio is computed in exactly that DIVISION
+    //      shape, never the cross-multiplied int64 products (which
+    //      wrap at ~10^7 tokens for frequent bigrams): int64→double
+    //      conversion, /, and × are all exactly IEEE-specified, so the
+    //      identical operation sequence yields bit-identical doubles
+    //      in Spark and DuckDB at ANY corpus size; ln's last ULP is
+    //      not specified. The tokenized frame is pinned once
+    //      (localCheckpoint) — unpinned, the scan+regex tokenize runs
+    //      once per downstream reference (~4×); the totals come from
+    //      ONE aggregate over it. The bigram→unigram joins are
+    //      vocabulary-sized (broadcast at any corpus scale); totals
+    //      ride a broadcast scalar crossJoin.
     QueryDef(
       "q112_pmi_collocations",
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(split(trim(col("text")), "\\s+").as("ts"))
           .filter(size(col("ts")) >= 2)
+          .localCheckpoint()
         val uni = toks.select(explode(col("ts")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c_tok"))
-        val totals = uni.agg(sum("c_tok").as("n1")).crossJoin(
-          toks.select((size(col("ts")) - 1).as("nb")).agg(sum("nb").as("n2")))
+        val totals = toks.agg(
+          sum(size(col("ts"))).as("n1"),
+          sum(size(col("ts")) - 1).as("n2"))
         val big = toks.select(explode(expr(
             "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS a, ts[i+1] AS b))"))
             .as("p"))
@@ -369,8 +375,9 @@ object TextQueries {
           .join(uni.select(col("tok").as("b"), col("c_tok").as("c_b")), Seq("b"))
           .crossJoin(broadcast(totals))
           .withColumn("pmi_ratio",
-            (col("c_ab") * col("n1") * col("n1")).cast("double") /
-              (col("n2") * col("c_a") * col("c_b")).cast("double"))
+            (col("c_ab").cast("double") / col("n2").cast("double")) /
+              ((col("c_a").cast("double") / col("n1").cast("double")) *
+                (col("c_b").cast("double") / col("n1").cast("double"))))
           .select("a", "b", "c_ab", "c_a", "c_b", "pmi_ratio")
           .orderBy(col("pmi_ratio").desc, col("a").asc, col("b").asc)
           .limit(50)
@@ -379,13 +386,14 @@ object TextQueries {
           FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
         uni AS (SELECT u.tok, count(*) AS c_tok
           FROM t, unnest(ts) u(tok) GROUP BY u.tok),
-        tot AS (SELECT (SELECT sum(c_tok) FROM uni) AS n1,
-                       (SELECT sum(len(ts) - 1) FROM t) AS n2),
+        tot AS (SELECT sum(len(ts)) AS n1, sum(len(ts) - 1) AS n2 FROM t),
         big AS (SELECT ts[u.i+1] AS a, ts[u.i+2] AS b, count(*) AS c_ab
           FROM t, unnest(range(0, len(ts) - 1)) u(i)
           GROUP BY 1, 2 HAVING count(*) >= 3)
         SELECT a, b, c_ab, c_a, c_b,
-          CAST(c_ab * n1 * n1 AS DOUBLE) / CAST(n2 * c_a * c_b AS DOUBLE) AS pmi_ratio
+          (CAST(c_ab AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+            ((CAST(c_a AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+             (CAST(c_b AS DOUBLE) / CAST(n1 AS DOUBLE))) AS pmi_ratio
         FROM big
         JOIN (SELECT tok AS a, c_tok AS c_a FROM uni) ua USING (a)
         JOIN (SELECT tok AS b, c_tok AS c_b FROM uni) ub USING (b)

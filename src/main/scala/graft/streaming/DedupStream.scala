@@ -96,36 +96,78 @@ object DedupStream {
     }.sorted
   }
 
-  /** The live index view: base ∪ the deltas newer than base's newest
-    * fold (staleness filter — see the layout note on [[processBatch]]). */
-  def loadIndex(spark: SparkSession, indexPath: String): DataFrame = {
+  /** Roll a PRE-base+delta flat ledger (parquet files directly at
+    * `indexPath`) into `base/`. Without this, loadIndex would read an
+    * old-version index as EMPTY and the fresh-checkpoint guard (which
+    * keys off the newest fold) would never fire — the exact silent
+    * re-admission the guard exists to prevent. The two renames are
+    * crash-recoverable: a stranded `.mig-flat` staging dir is rolled
+    * forward before anything reads the index. */
+  private def migrateFlatLayout(spark: SparkSession, indexPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(indexPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(indexPath + ".mig-flat")
+    if (fs.exists(staging)) { // crashed mid-migration: roll forward
+      if (!fs.exists(dir)) require(fs.mkdirs(dir), s"cannot recreate $dir")
+      require(fs.rename(staging, new Path(basePath(indexPath))),
+        s"cannot finish flat-layout migration at $indexPath")
+    } else if (fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("part-") || n == "_SUCCESS"
+    }) {
+      require(fs.rename(dir, staging), s"cannot stage flat layout at $indexPath")
+      require(fs.mkdirs(dir), s"cannot recreate $dir")
+      require(fs.rename(staging, new Path(basePath(indexPath))),
+        s"cannot finish flat-layout migration at $indexPath")
+    }
+  }
+
+  /** (live index view, newest folded batch id or -1). One base scan:
+    * delta rows carry `added_batch == their directory id` by
+    * construction, so the newest fold is max(base's newest, last delta
+    * id) without a second full-index aggregation. */
+  private def loadIndexWithNewest(spark: SparkSession, indexPath: String)
+      : (DataFrame, Long) = {
+    migrateFlatLayout(spark, indexPath)
     val base = StateStore.load(spark, basePath(indexPath), bandsSchema)
     val baseNewest = base.agg(max("added_batch")).head() match {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
     }
-    deltaIds(spark, indexPath).filter(_ > baseNewest)
+    val liveDeltas = deltaIds(spark, indexPath).filter(_ > baseNewest)
+    val view = liveDeltas
       .map(id => StateStore.load(spark, deltaPath(indexPath, id), bandsSchema))
       .foldLeft(base)(_ unionByName _)
+    (view, math.max(baseNewest, liveDeltas.lastOption.getOrElse(-1L)))
   }
 
+  /** The live index view: base ∪ the deltas newer than base's newest
+    * fold (staleness filter — see the layout note on [[processBatch]]). */
+  def loadIndex(spark: SparkSession, indexPath: String): DataFrame =
+    loadIndexWithNewest(spark, indexPath)._1
+
   /** Fold the deltas into base (the amortized O(index) write), then
-    * sweep the absorbed delta dirs. Safe at any moment: a crash after
-    * the base commit leaves stale deltas that loads ignore by stamp. */
+    * sweep the absorbed delta dirs. The sweep set is the DELTA IDS
+    * snapshotted before the fold — not a row-stamp comparison, which
+    * would never sweep an EMPTY delta (a zero-survivor batch) and let
+    * trailing empties pin the compaction cadence at every-batch.
+    * Safe at any moment: a crash after the base commit leaves deltas
+    * whose rows base already holds, which loads ignore by stamp. */
   def compact(spark: SparkSession, indexPath: String): Unit = {
+    val ids = deltaIds(spark, indexPath) // snapshot BEFORE the fold
+    if (ids.isEmpty) return
     val all = loadIndex(spark, indexPath).localCheckpoint()
-    if (all.isEmpty) return
     StateStore.save(all, basePath(indexPath), bucketCols = Seq("band"))
-    val baseNewest = all.agg(max("added_batch")).head().getLong(0)
     val dir = new org.apache.hadoop.fs.Path(indexPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    deltaIds(spark, indexPath).filter(_ <= baseNewest)
-      .foreach(id => fs.delete(new org.apache.hadoop.fs.Path(deltaPath(indexPath, id)), true))
+    ids.foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(deltaPath(indexPath, id)), true))
   }
 
   def processBatch(spark: SparkSession, batchDocs: DataFrame,
       indexPath: String, batchId: Long): DataFrame = {
-    val full = loadIndex(spark, indexPath)
+    val (full, newestFold) = loadIndexWithNewest(spark, indexPath)
     // The replay filter is DESTRUCTIVE by design for rows stamped >=
     // batchId — correct when the same checkpoint replays its last
     // batch, catastrophic when an operator restarts the stream with a
@@ -134,10 +176,9 @@ object DedupStream {
     // the ledger. Structured Streaming ids are sequential, so a
     // legitimate batchId is never more than one step behind the newest
     // fold — anything older is a checkpoint/index mismatch; fail loud.
-    val newest = full.agg(max("added_batch")).head()
-    if (!newest.isNullAt(0))
-      require(batchId >= newest.getLong(0),
-        s"dedup index at $indexPath was folded up to batch ${newest.getLong(0)} " +
+    if (newestFold >= 0)
+      require(batchId >= newestFold,
+        s"dedup index at $indexPath was folded up to batch $newestFold " +
           s"but this stream is at batch $batchId — restarted with a fresh " +
           "checkpoint? Reuse the original checkpoint or rebuild the index.")
     val ledger = full.filter(col("added_batch") < batchId)

@@ -236,6 +236,35 @@ class DedupStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("a pre-base+delta flat ledger migrates into base/ instead of reading as empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-migrate").toString
+    try {
+      val (orig, _) = twinDocs(10)
+      val path = s"$dir/bands"
+      // old-version layout: band rows as a StateStore ledger directly
+      // at the index path
+      val flat = DedupQueries.rowBands(toDf(orig))
+        .withColumn("added_batch", lit(4L))
+      graft.state.StateStore.save(flat, path)
+      val expected = flat.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+      val got = DedupStream.loadIndex(spark, path)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected) // nothing silently dropped
+      assert(new java.io.File(s"$path/base").isDirectory) // physically migrated
+      // and the guard still sees the migrated folds: a fresh-checkpoint
+      // batch id below the newest migrated fold fails loud
+      val e = intercept[IllegalArgumentException] {
+        DedupStream.processBatch(spark, toDf(orig), path, 0L).count()
+      }
+      assert(e.getMessage.contains("fresh"), e.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
   test("streaming wiring: foreachBatch maintains the index across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
