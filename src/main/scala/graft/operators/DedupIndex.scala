@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField,
   *
   * DedupIndexSpec proves the restart contract: an index built in one
   * session serves a batch in a brand-new session with ZERO corpus
-  * re-tokenization (the executed plan scans the index ledgers, not the
+  * re-tokenization (the executed plan scans the index ledger, not the
   * corpus source).
   */
 object DedupIndex {
@@ -65,7 +65,7 @@ object DedupIndex {
     *
     * The batch side is materialized once (localCheckpoint): its shingle
     * sets feed both the signature/band derivation and the verify join,
-    * and the corpus side comes exclusively from the two ledgers. */
+    * and the corpus side comes exclusively from the ledger. */
   def dedupBatch(spark: SparkSession, batch: DataFrame, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     val ledger = StateStore.load(spark, indexPath(dir), indexSchema)
