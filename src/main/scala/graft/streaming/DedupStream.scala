@@ -112,14 +112,26 @@ object DedupStream {
       if (!fs.exists(dir)) require(fs.mkdirs(dir), s"cannot recreate $dir")
       require(fs.rename(staging, new Path(basePath(indexPath))),
         s"cannot finish flat-layout migration at $indexPath")
-    } else if (fs.exists(dir) && fs.listStatus(dir).exists { st =>
-      val n = st.getPath.getName
-      n.startsWith("part-") || n == "_SUCCESS"
-    }) {
-      require(fs.rename(dir, staging), s"cannot stage flat layout at $indexPath")
-      require(fs.mkdirs(dir), s"cannot recreate $dir")
-      require(fs.rename(staging, new Path(basePath(indexPath))),
-        s"cannot finish flat-layout migration at $indexPath")
+      return
+    }
+    def entries: Seq[String] =
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq.map(_.getPath.getName) else Seq.empty
+    val hasNewLayout = entries.exists(n => n == "base" || DeltaName.matches(n))
+    if (!hasNewLayout) {
+      // A flat-era ledger may be settled at `dir` — or stranded
+      // MID-SWAP by the old code's save() crash: `dir` absent, the
+      // committed generation sitting in a `.tmp-*`/`.old-*` SIBLING.
+      // StateStore.load runs that generation recovery as its side
+      // effect (roll forward a committed tmp, restore the newest old)
+      // and tolerates a truly-absent path — after it, `dir` holds the
+      // settled flat ledger iff one ever existed.
+      StateStore.load(spark, indexPath, bandsSchema)
+      if (entries.exists(n => n.startsWith("part-") || n == "_SUCCESS")) {
+        require(fs.rename(dir, staging), s"cannot stage flat layout at $indexPath")
+        require(fs.mkdirs(dir), s"cannot recreate $dir")
+        require(fs.rename(staging, new Path(basePath(indexPath))),
+          s"cannot finish flat-layout migration at $indexPath")
+      }
     }
   }
 

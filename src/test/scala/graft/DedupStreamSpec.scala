@@ -265,6 +265,38 @@ class DedupStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("a flat-era index stranded MID-SWAP (committed .tmp-*, dest absent) " +
+      "is recovered then migrated, not read as empty") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-mig2").toString
+    try {
+      val (orig, _) = twinDocs(10)
+      val path = s"$dir/bands"
+      val flat = DedupQueries.rowBands(toDf(orig))
+        .withColumn("added_batch", lit(2L))
+      val expected = flat.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // old save() crashed between stage-out and commit: the committed
+      // generation (with _SUCCESS) sits in a .tmp-* sibling, dest absent
+      flat.write.parquet(s"$path.tmp-g1")
+      assert(new java.io.File(s"$path.tmp-g1/_SUCCESS").exists())
+      assert(!new java.io.File(path).exists())
+
+      val got = DedupStream.loadIndex(spark, path)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected) // recovered AND migrated, nothing lost
+      assert(new java.io.File(s"$path/base").isDirectory)
+      assert(!new java.io.File(s"$path.tmp-g1").exists()) // sibling swept
+      // guard keys off the migrated folds
+      val e = intercept[IllegalArgumentException] {
+        DedupStream.processBatch(spark, toDf(orig), path, 0L).count()
+      }
+      assert(e.getMessage.contains("fresh"), e.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
   test("streaming wiring: foreachBatch maintains the index across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
