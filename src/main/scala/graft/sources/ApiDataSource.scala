@@ -204,11 +204,18 @@ private[sources] final class ApiPartitionReader(
     require(root != null && root.isArray, s"graft-api: expected a JSON array from $url")
     val n = root.size()
     iter = (0 until n).iterator.map(i => toRow(root.get(i)))
-    // an empty page always ends the stripe; a SHORT page ends it only
-    // when the caller declared the server's page size — a guessed-at
-    // default here would silently truncate a dataset whose server pages
-    // smaller than the guess (the gh.js:271 bug in a new costume)
-    exhausted = part.single || n == 0 || cfg.pageSize.exists(n < _)
+    // With a DECLARED page count the count is the only terminator: the
+    // non-limit declared-pages plan fetches every page independently
+    // and tolerates empty or short pages mid-range, so the limit walk
+    // must too — stopping at the first empty page would make .limit(n)
+    // return fewer rows than the unlimited scan of the same endpoint.
+    // In the UNBOUNDED walk an empty page always ends the stripe; a
+    // SHORT page ends it only when the caller declared the server's
+    // page size — a guessed-at default here would silently truncate a
+    // dataset whose server pages smaller than the guess (the
+    // gh.js:271 bug in a new costume)
+    exhausted = part.single ||
+      (part.maxPages.isEmpty && (n == 0 || cfg.pageSize.exists(n < _)))
     page += part.stride
   }
 

@@ -173,6 +173,20 @@ object StateStore {
     val n = p.getName
     n.substring(n.indexOf(marker) + marker.length)
   }
+  /** Pre-millis-stamp generations carry random 8-hex-char stamps; a
+    * hex LETTER sorts above every digit, so during an upgrade window a
+    * stranded legacy generation would lexicographically outrank every
+    * new wall-clock stamp and recovery would prefer stale state. Rank:
+    * wall-clock-format stamps order among themselves lexicographically
+    * (== temporally) and ALWAYS beat legacy stamps; legacy stamps fall
+    * back to mtime order among themselves (the best signal they have). */
+  private val WallClockStamp = """\d{13}-\d{6}""".r
+  private def stampKey(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path, marker: String): (Int, String) =
+    stampOf(p, marker) match {
+      case s @ WallClockStamp() => (1, s)
+      case _ => (0, f"${fs.getFileStatus(p).getModificationTime}%020d")
+    }
 
   private def recover(
       fs: org.apache.hadoop.fs.FileSystem, dest: Path): Boolean = {
@@ -188,7 +202,7 @@ object StateStore {
     if (tmps.isEmpty && olds.isEmpty) return false
     def newest(ps: Array[Path], marker: String): Option[Path] =
       if (ps.isEmpty) None
-      else Some(ps.maxBy(p => stampOf(p, marker)))
+      else Some(ps.maxBy(p => stampKey(fs, p, marker)))
     newest(tmps.filter(p => fs.exists(new Path(p, "_SUCCESS"))), ".tmp-") match {
       case Some(committed) =>
         if (fs.exists(dest))

@@ -166,6 +166,44 @@ class ApiDataSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("limit walk with declared pages tolerates an empty MID-RANGE page: " +
+      ".limit(n) sees the same rows the unlimited partition-per-page scan does") {
+    // declared-pages semantics are positional, not sequential: page 1
+    // being empty says nothing about page 2. The unlimited plan reads
+    // pages independently and returns 5 rows; a limit walk that
+    // terminated on the first [] would return only page 0's 3 rows.
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sparse", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        val page = x.getRequestURI.getQuery.split('&')
+          .collectFirst { case q if q.startsWith("page=") => q.drop(5).toInt }.get
+        val items = page match {
+          case 0 => Seq("""{"id":"s0","name":"a","n":0}""",
+            """{"id":"s1","name":"b","n":1}""", """{"id":"s2","name":"c","n":2}""")
+          case 2 => Seq("""{"id":"s3","name":"d","n":3}""", """{"id":"s4","name":"e","n":4}""")
+          case _ => Seq.empty // page 1 empty mid-range; pages >= 3 out of range
+        }
+        val body = items.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8)
+        x.sendResponseHeaders(200, body.length)
+        x.getResponseBody.write(body); x.close()
+      }
+    })
+    server.start()
+    try {
+      def scan = spark.read.format("graft-api")
+        .schema(schema)
+        .option("endpoint", s"http://127.0.0.1:${server.getAddress.getPort}")
+        .option("urlTemplate", "/sparse?page={page}")
+        .option("pages", "3")
+        .load()
+      val unlimited = scan.collect().map(_.getString(0)).toSet
+      assert(unlimited == Set("s0", "s1", "s2", "s3", "s4"))
+      val limited = scan.limit(5).collect().map(_.getString(0)).toSet
+      assert(limited == unlimited,
+        s"limit walk truncated at the empty mid-range page: $limited")
+    } finally server.stop(0)
+  }
+
   test("column pruning reaches the reader: the scan parses only required fields") {
     withServer { (endpoint, hits, _) =>
       val df = spark.read.format("graft-api")

@@ -155,6 +155,37 @@ class StateStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("mixed stamp formats: a stranded legacy hex-stamped generation " +
+      "never outranks a wall-clock-stamped one (hex letters sort above digits)") {
+    withLedgerDir { dir =>
+      val path = s"$dir/ledger"
+      // stale pre-upgrade generation, committed, with a random-hex stamp
+      // whose leading letter lexicographically beats any digit
+      bigLedger.filter($"id".isin("c7")).write.parquet(s"$path.tmp-fa1b2c3d")
+      assert(new java.io.File(s"$path.tmp-fa1b2c3d/_SUCCESS").exists())
+      // newer generation committed under the current millis-counter format
+      bigLedger.filter($"id".isin("c150", "c151"))
+        .write.parquet(s"$path.tmp-0001755086400000-000001")
+      assert(idsAt(path) == Seq("c150", "c151"),
+        "recovery preferred a stale legacy-stamped generation")
+      assert(new java.io.File(dir).listFiles().map(_.getName).toSeq == Seq("ledger"))
+    }
+  }
+
+  test("legacy-only stamps fall back to mtime order among themselves") {
+    withLedgerDir { dir =>
+      val path = s"$dir/ledger"
+      bigLedger.filter($"id".isin("c1")).write.parquet(s"$path.tmp-deadbeef")
+      bigLedger.filter($"id".isin("c2", "c3")).write.parquet(s"$path.tmp-0badcafe")
+      // make the lexicographically SMALLER stamp the newer write
+      val older = new java.io.File(s"$path.tmp-deadbeef")
+      val newer = new java.io.File(s"$path.tmp-0badcafe")
+      assert(older.setLastModified(newer.lastModified() - 10000))
+      assert(idsAt(path) == Seq("c2", "c3"),
+        "legacy recovery ordered by stamp string instead of mtime")
+    }
+  }
+
   test("save after an interrupted save recovers first, then commits " +
       "its own generation; load sees only the newest") {
     withLedgerDir { dir =>
