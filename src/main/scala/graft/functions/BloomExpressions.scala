@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter membership as a codegen'd Catalyst expression — the
@@ -44,9 +44,9 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case LongType => TypeCheckResult.TypeCheckSuccess
+    case LongType | StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a BIGINT key, got ${t.sql}")
+      s"$prettyName requires a BIGINT or STRING key, got ${t.sql}")
   }
 
   @transient private lazy val filter: BloomFilter =
@@ -54,8 +54,16 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
 
   /** Called from both eval and the generated code. */
   def test(v: Long): Boolean = filter.mightContainLong(v)
+  /** String keys probe as their UTF-8 bytes — the exact representation
+    * `DataFrameStatFunctions.bloomFilter` inserts for string columns
+    * (putString == putBinary(utf8 bytes)), so build and probe agree. */
+  def test(v: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    filter.mightContainBinary(v.getBytes)
 
-  override def nullSafeEval(v: Any): Any = test(v.asInstanceOf[Long])
+  override def nullSafeEval(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => test(s)
+    case l => test(l.asInstanceOf[Long])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomExpr", this, classOf[BloomMightContain].getName)

@@ -141,6 +141,54 @@ object CurationQueries {
         FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
         ORDER BY tot.doc_id""")),
 
+    // ---- decontamination, the HUGE-BENCHMARK path: q87 broadcasts the
+    //      benchmark's distinct n-gram set as a hash relation — right
+    //      while that set is driver-broadcastable, wrong once the held-
+    //      out suite is itself corpus-sized (decontaminating against
+    //      every eval set + their paraphrases runs to billions of
+    //      n-grams). Here the benchmark keys travel as a ~MB bloom
+    //      sketch instead: the corpus shingle stream is pruned at the
+    //      scan by a codegen'd bloom probe (no shuffle, no broadcast
+    //      hash relation), and only the surviving ~overlap-sized
+    //      trickle pays the exact verify join — a sort-merge keyed on
+    //      the shingle, BOTH sides post-prune tiny. False positives
+    //      pass the sketch at ~fpp and die in the exact join, so the
+    //      result is identical to q87's broadcast plan and the oracle
+    //      is the PLAIN exact join (the sketch must be semantically
+    //      invisible — same contract BloomJoinSpec pins for q107).
+    QueryDef(
+      "q114_decontam_bloom",
+      (s, d) => {
+        import graft.functions.BloomJoin
+        val sh = shingles(s, d).localCheckpoint()
+        val bench = sh.filter(col("doc_id") % 50 === 0).select("sh").distinct()
+          .localCheckpoint()
+        val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+        val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+        val overlaps = BloomJoin
+          .bloomPrune(corpus, col("sh"), bench, "sh", expectedItems = bench.count())
+          .join(bench.hint("merge"), Seq("sh")) // exact verify, NO broadcast
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        totals.join(overlaps, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_overlap"))
+          .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+            (col("n_overlap") > 0).cast("int").as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$oracleShinglesCte,
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        tot AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        ov AS (SELECT doc_id, count(*) AS n_overlap FROM corpus JOIN bench USING (sh)
+               GROUP BY doc_id)
+        SELECT tot.doc_id, tot.n_shingles, coalesce(ov.n_overlap, 0) AS n_overlap,
+          CAST(coalesce(ov.n_overlap, 0) > 0 AS INT) AS contaminated
+        FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
+        ORDER BY tot.doc_id"""),
+      doc = "decontamination via bloom sketch: benchmark n-gram keys as a ~MB " +
+        "sketch prune the corpus pre-shuffle; exact merge join verifies — " +
+        "the non-broadcastable-benchmark scale path of q87"),
+
     // ---- repetition quality (Gopher-style): duplicate-n-gram
     //      fractions per document, computed entirely per-row (array
     //      exprs inside whole-stage codegen — no shuffle, no UDF).

@@ -177,6 +177,39 @@ object DedupQueries {
       .select("doc_a", "doc_b").distinct()
   }
 
+  // -- q113 simhash-pair geometry: 64 signature bits carved from the
+  //    first 16 hex chars of each token's md5 (4 bits per char), carried
+  //    as 4 × 16-bit block ints. HammingMax = SimhashBlocks - 1 is the
+  //    pigeonhole-complete regime: every qualifying pair shares a block.
+  private[operators] val SimhashBits = 64
+  private[operators] val SimhashBlocks = 4
+  private[operators] val SimhashHammingMax = SimhashBlocks - 1
+
+  /** Hex chars whose nibble has bit `j` set — ONE definition feeding
+    * both the Spark when() chains and the oracle's CASE lists, so the
+    * two engines' bit tables cannot drift. */
+  private def nibbleCharsWithBit(j: Int): Seq[String] =
+    (0 until 16).filter(v => ((v >> j) & 1) == 1).map(v => Integer.toHexString(v))
+
+  /** (doc_id, sim0..sim3) 64-bit simhash signature frame: one
+    * token-explode aggregation (64 conditional sums fused in one
+    * partial-agg pass), then each 16-bit block folded into an INT. */
+  private def simhashBlockFrame(docs: DataFrame): DataFrame = {
+    val bitSums = (0 until SimhashBits).map { i =>
+      val hexPos = i / 4 + 1
+      sum(when(substring(col("h"), hexPos, 1).isin(nibbleCharsWithBit(i % 4): _*), 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val blockCols = (0 until SimhashBlocks).map { k =>
+      (0 until 16).map(p => when(col(s"b${16 * k + p}") > 0, lit(1 << p)).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as(s"sim$k")
+    }
+    docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+      .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: blockCols: _*)
+  }
+
   /** Shared oracle CTE prefix mirroring [[bandedCorpus]]. */
   private val oracleBandsCte: String = {
     val sig = (for { j <- 0 until NumMd5; k <- 0 until LanesPerMd5 }
@@ -378,6 +411,74 @@ object DedupQueries {
         SELECT doc_a, doc_b, split_a, split_b FROM sp
         WHERE split_a != split_b ORDER BY doc_a, doc_b"""),
       doc = "split-leakage audit: near-dup candidate pairs whose sides fall in different hash splits"),
+
+    // ---- SimHash near-dup PAIR MINING: the Manku/Charikar pigeonhole
+    //      scheme that turns "all pairs within Hamming distance d" into
+    //      equi-joins. A 64-bit simhash (from per-token md5 nibbles) is
+    //      carried as 4 × 16-bit block ints; any pair differing in
+    //      ≤ 3 bits must agree on ≥ 1 whole block (4 blocks, 3 flips —
+    //      pigeonhole), so block-value equi self-joins generate a
+    //      candidate set that PROVABLY contains every qualifying pair,
+    //      and the exact bit_count(xor) verify makes the output exactly
+    //      "all pairs with hamming ≤ 3" — complete, not approximate.
+    //      Scale: one token-explode aggregation builds the signature
+    //      index (materialized once, both join sides + verify read the
+    //      stored blocks); the candidate join shuffles on the block key
+    //      (65,536 values per block — at web scale the standard remedy
+    //      for hot blocks is more/permuted blocks, same plan shape).
+    //      Blocks stay SEPARATE int columns end-to-end: composing a
+    //      signed 64-bit value would put bit 63 through engine-specific
+    //      overflow behavior, while per-block xor/bit_count is exact
+    //      and identical everywhere.
+    QueryDef(
+      "q113_simhash_hamming_pairs",
+      (s, d) => {
+        val sims = simhashBlockFrame(variantCorpus(s, d)).localCheckpoint()
+        val blocks = sims.select(col("doc_id"), explode(array((0 until SimhashBlocks).map(k =>
+          concat(lit(s"$k:"), col(s"sim$k"))): _*)).as("bk"))
+        val cand = blocks.select(col("doc_id").as("doc_a"), col("bk"))
+          .join(blocks.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val aCols = sims.columns.map(c => col(c).as(if (c == "doc_id") "doc_a" else s"a_$c"))
+        val bCols = sims.columns.map(c => col(c).as(if (c == "doc_id") "doc_b" else s"b_$c"))
+        cand
+          .join(sims.select(aCols.toIndexedSeq: _*), Seq("doc_a"))
+          .join(sims.select(bCols.toIndexedSeq: _*), Seq("doc_b"))
+          .withColumn("hamming", expr((0 until SimhashBlocks)
+            .map(k => s"bit_count(a_sim$k ^ b_sim$k)").mkString(" + ")).cast("int"))
+          .filter(col("hamming") <= SimhashHammingMax)
+          .select("doc_a", "doc_b", "hamming")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val sums = (0 until SimhashBits).map(i =>
+          s"sum(CASE WHEN substr(h, ${i / 4 + 1}, 1) IN (${
+            nibbleCharsWithBit(i % 4).map(c => s"'$c'").mkString(",")}) THEN 1 ELSE -1 END) AS b$i")
+          .mkString(", ")
+        val blocks = (0 until SimhashBlocks).map(k =>
+          "CAST(" + (0 until 16).map(p =>
+            s"(CASE WHEN b${16 * k + p} > 0 THEN ${1 << p} ELSE 0 END)").mkString(" + ") +
+            s" AS INT) AS sim$k").mkString(", ")
+        val blockList = (0 until SimhashBlocks).map(k => s"$k || ':' || sim$k").mkString("[", ", ", "]")
+        val ham = (0 until SimhashBlocks)
+          .map(k => s"bit_count(xor(sa.sim$k, sb.sim$k))").mkString(" + ")
+        s"""WITH corpus AS (
+          SELECT doc_id, trim(text) AS text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents),
+        tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM corpus),
+        bs AS (SELECT doc_id, $sums FROM (SELECT doc_id, md5(tok) AS h FROM tk) GROUP BY doc_id),
+        sim AS (SELECT doc_id, $blocks FROM bs),
+        blocks AS (SELECT doc_id, unnest($blockList) AS bk FROM sim),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM blocks a JOIN blocks b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        ham AS (SELECT doc_a, doc_b, CAST($ham AS INT) AS hamming
+          FROM cand JOIN sim sa ON doc_a = sa.doc_id JOIN sim sb ON doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, hamming FROM ham
+        WHERE hamming <= $SimhashHammingMax ORDER BY doc_a, doc_b"""
+      },
+      doc = "complete simhash Hamming<=3 pair mining: pigeonhole block equi-joins + exact bit_count(xor) verify"),
 
     // ---- SimHash: 16-bit signature from per-token md5 nibble high-bits
     QueryDef(

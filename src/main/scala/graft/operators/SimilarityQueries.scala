@@ -466,5 +466,93 @@ object SimilarityQueries {
         "self-join per table, never all-pairs, deterministic per-bucket " +
         "size cap against skew) + exact cosine verify at the 0.8 " +
         "threshold.")
+    ,
+
+    // ---- semantic dedup (SemDeDup shape): cluster the corpus with a
+    //      FIXED codebook, then search near-duplicates only WITHIN each
+    //      cell — candidate generation is an equi self-join on the cell
+    //      id, O(Σ cellᵢ²) instead of O(n²); with k ≈ √n cells that is
+    //      O(n^1.5) and each cell's work is one shuffle partition. The
+    //      documented blind spot (pairs straddling a cell boundary) is
+    //      the accepted trade the original SemDeDup makes; q81's LSH
+    //      buckets are the OR-ed multi-table remedy when recall matters
+    //      more than cost. Candidate cells carry the same deterministic
+    //      per-cell cap as q81's buckets (skew-bounded re-rank).
+    //      The synthetic corpus has no semantic twins, so — exactly like
+    //      the text dedup family's variant corpus — the query unions a
+    //      deterministic perturbed twin per vector (vec_id + 10000,
+    //      first component × 1.25: one exactly-representable IEEE
+    //      multiply, cosine ≈ 0.9995 to its source, while unrelated
+    //      64-dim pairs sit near 0). Output: each flagged vector with
+    //      its best keeper (highest cosine, min-id tiebreak) — the q102
+    //      attribution convention.
+    QueryDef(
+      "q116_semantic_dedup",
+      (s, d) => {
+        import graft.functions.VectorFunctions.vector_dot
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        val twins = e.select((col("vec_id") + 10000L).as("vec_id"),
+          expr("transform(emb, (x, i) -> CASE WHEN i = 0 THEN x * 1.25D ELSE x END)").as("emb"))
+        val all = e.unionByName(twins)
+          .withColumn("norm",
+            expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
+        val cents = e.filter(col("vec_id").isin(KMeans.CentroidIds: _*))
+          .select(col("vec_id").as("cid"), col("emb").as("ce"))
+        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("sqdist").asc, col("cid").asc)
+        val wCap = Window.partitionBy(col("cid")).orderBy(col("vec_id").asc)
+        val cells = all.crossJoin(broadcast(cents))
+          .withColumn("sqdist",
+            expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .withColumn("brn", row_number().over(wCap))
+          .filter(col("brn") <= NearDupBucketCap)
+          .select("vec_id", "cid", "emb", "norm")
+          .localCheckpoint() // both self-join sides read the stored cells
+        val wBest = Window.partitionBy(col("vec_b")).orderBy(col("cosine").desc, col("vec_a").asc)
+        cells.select(col("cid"), col("vec_id").as("vec_a"), col("emb").as("ea"), col("norm").as("na"))
+          .join(cells.select(col("cid"), col("vec_id").as("vec_b"), col("emb").as("eb"),
+            col("norm").as("nb")), Seq("cid"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("cosine", vector_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .filter(col("cosine") >= 0.99)
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("vec_b").as("vec_id"), col("vec_a").as("dup_of"), col("cosine"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+        tw AS (SELECT vec_id + 10000 AS vec_id,
+            list_transform(range(len(emb)),
+              i -> CASE WHEN i = 0 THEN emb[1] * 1.25 ELSE emb[i+1] END) AS emb
+          FROM e),
+        allv AS (SELECT vec_id, emb FROM e UNION ALL SELECT vec_id, emb FROM tw),
+        n AS (SELECT vec_id, emb,
+            sqrt(list_sum(list_transform(range(len(emb)), i -> emb[i+1] * emb[i+1]))) AS norm
+          FROM allv),
+        c AS (SELECT vec_id AS cid, emb AS ce FROM e
+              WHERE vec_id IN (${KMeans.CentroidIds.mkString(", ")})),
+        dist AS (SELECT n.vec_id, c.cid, n.emb, n.norm,
+            list_sum(list_transform(range(len(n.emb)),
+              i -> (n.emb[i+1] - c.ce[i+1]) * (n.emb[i+1] - c.ce[i+1]))) AS sqdist
+          FROM n CROSS JOIN c),
+        cells AS (SELECT vec_id, cid, emb, norm FROM (
+            SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS brn FROM (
+              SELECT vec_id, cid, emb, norm FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sqdist, cid) AS rn
+                FROM dist) t WHERE rn = 1) a) b
+          WHERE brn <= $NearDupBucketCap),
+        p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            list_sum(list_transform(range(len(a.emb)), i -> a.emb[i+1] * b.emb[i+1]))
+              / (a.norm * b.norm) AS cosine
+          FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        SELECT vec_b AS vec_id, vec_a AS dup_of, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_b ORDER BY cosine DESC, vec_a) AS rn
+          FROM p WHERE cosine >= 0.99) t
+        WHERE rn = 1 ORDER BY vec_id"""),
+      doc = "semantic dedup: fixed-codebook cells, within-cell cosine >= 0.99, best-keeper attribution per flagged vector")
   )
 }

@@ -17,6 +17,11 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** q115's span-length cap: bounds the per-row O(L²·n) repeated-span
+    * search so one pathological document cannot go quadratic in its
+    * own length. */
+  private val MaxRepeatedSpan = 20
+
   /** lang → distinctive marker words for the n-gram/stopword heuristic. */
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "is", "and", "of", "to"),
@@ -399,6 +404,60 @@ object TextQueries {
         JOIN (SELECT tok AS b, c_tok AS c_b FROM uni) ub USING (b)
         CROSS JOIN tot
         ORDER BY pmi_ratio DESC, a, b LIMIT 50"""),
-      doc = "PMI collocations: top-50 token bigrams by pointwise mutual information, log-free exact ranking")
+      doc = "PMI collocations: top-50 token bigrams by pointwise mutual information, log-free exact ranking"),
+
+    // ---- longest repeated n-gram span per document: the exact-
+    //      substring repetition signal (q88 measures duplicate-n-gram
+    //      FRACTIONS at fixed n; this finds the LONGEST span that
+    //      repeats — the statistic substring-dedup pipelines threshold
+    //      on before cutting). Entirely per-row higher-order array
+    //      exprs inside whole-stage codegen: no shuffle, no UDF —
+    //      at 100 TB this is a pure map over the corpus. Per-row cost
+    //      is O(L² · MaxRepeatedSpan) token copies, BOUNDED by the
+    //      span cap (a doc-length-driven n would make one pathological
+    //      document quadratic in its own size); spans longer than the
+    //      cap still report max_rep = cap, the standard "at least this
+    //      long" truncation, mirrored exactly by the oracle.
+    QueryDef(
+      "q115_repeated_span",
+      (s, d) => {
+        def grams(n: String) =
+          s"transform(sequence(0, size(ts) - ($n)), i -> concat_ws(' ', slice(ts, i + 1, $n)))"
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .withColumn("rep_ns", expr(
+            s"""filter(sequence(1, least(size(ts) - 1, $MaxRepeatedSpan)),
+                n -> size(${grams("n")}) != size(array_distinct(${grams("n")})))"""))
+          .withColumn("max_rep", coalesce(expr("array_max(rep_ns)"), lit(0)).cast("int"))
+          // the span itself: lexicographically-smallest n-gram that
+          // occurs >= 2 times at n = max_rep (deterministic tie-break
+          // both engines agree on — binary string order over ASCII)
+          .withColumn("span", expr(
+            s"""CASE WHEN max_rep = 0 THEN NULL ELSE
+                array_min(filter(${grams("max_rep")},
+                  g -> size(filter(${grams("max_rep")}, h -> h = g)) >= 2)) END"""))
+          .select("doc_id", "max_rep", "span")
+          .orderBy("doc_id")
+      },
+      Some {
+        def grams(n: String) =
+          s"list_transform(range(L - ($n) + 1), i -> array_to_string(list_slice(ts, i+1, i+($n)), ' '))"
+        s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents),
+        t AS (SELECT doc_id, ts, len(ts) AS L FROM tok WHERE len(ts) >= 2),
+        reps AS (SELECT doc_id, ts, L,
+            list_filter(range(1, least(L - 1, $MaxRepeatedSpan) + 1),
+              n -> len(${grams("n")}) != len(list_distinct(${grams("n")}))) AS rep_ns
+          FROM t),
+        mx AS (SELECT doc_id, ts, L,
+            CAST(coalesce(list_max(rep_ns), 0) AS INT) AS max_rep FROM reps)
+        SELECT doc_id, max_rep,
+          CASE WHEN max_rep = 0 THEN NULL ELSE
+            list_min(list_filter(${grams("max_rep")},
+              g -> len(list_filter(${grams("max_rep")}, h -> h = g)) >= 2))
+          END AS span
+        FROM mx ORDER BY doc_id"""
+      },
+      doc = "longest repeated n-gram span per document (capped), per-row — the exact-substring repetition statistic")
   )
 }

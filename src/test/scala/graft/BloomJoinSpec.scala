@@ -42,6 +42,30 @@ class BloomJoinSpec extends SparkSpecBase {
     assert(exact == trueMatches)
   }
 
+  test("STRING keys: build and probe agree on the UTF-8 representation " +
+      "(no false negatives, real pruning) — the q114 shingle-key path") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    // benchmark side: tokens of every 50th doc (q87/q114's convention)
+    val bench = docs.filter(col("doc_id") % 50 === 0).select("tok").distinct()
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val trueMatches = corpus.join(bench, Seq("tok"), "left_semi").count()
+    val pruned = BloomJoin.bloomPrune(corpus, col("tok"), bench, "tok",
+      expectedItems = bench.count())
+    val survived = pruned.count()
+    assert(survived >= trueMatches, s"string sketch dropped matches: $survived < $trueMatches")
+    val exact = pruned.join(bench, Seq("tok"), "left_semi").count()
+    assert(exact == trueMatches)
+    // genuinely prunes: a probe key OUTSIDE the benchmark vocabulary is
+    // (almost surely) rejected — the corpus side here shares the full
+    // vocabulary, so synthesize disjoint keys to see rejection
+    val alien = spark.range(0, 1000)
+      .select(concat(lit("alien-token-"), col("id")).as("tok"))
+    val alienSurvived = BloomJoin.bloomPrune(alien, col("tok"), bench, "tok",
+      expectedItems = bench.count()).count()
+    assert(alienSurvived <= 50, s"string sketch passed $alienSurvived of 1000 alien keys")
+  }
+
   test("the membership test stays inside whole-stage codegen") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey")
     val urgent = Tables.orders(spark, sf)
