@@ -192,13 +192,24 @@ object DedupQueries {
     (0 until 16).filter(v => ((v >> j) & 1) == 1).map(v => Integer.toHexString(v))
 
   /** (doc_id, sim0..sim3) 64-bit simhash signature frame: one
-    * token-explode aggregation (64 conditional sums fused in one
-    * partial-agg pass), then each 16-bit block folded into an INT. */
+    * token-explode aggregation (64 sums fused in one partial-agg pass),
+    * then each 16-bit block folded into an INT.
+    *
+    * The per-token bit extraction parses the digest's two 8-hex-char
+    * halves into longs ONCE (`conv`) and reads each signature bit with
+    * a shift-and-mask — pure integer arithmetic in codegen, vs the
+    * naive per-bit `substring(h, c, 1) IN (8 one-char strings)` chain
+    * (512 string compares per token). Bit i lives at hex char
+    * c = i/4+1 (nibble bit i%4), i.e. long position (8-c)·4 + i%4 of
+    * the half the char falls in — the identical bit the oracle's
+    * readable CASE-list formulation tests, so the engines agree
+    * bit-for-bit while compiling to different instruction mixes. */
   private def simhashBlockFrame(docs: DataFrame): DataFrame = {
     val bitSums = (0 until SimhashBits).map { i =>
-      val hexPos = i / 4 + 1
-      sum(when(substring(col("h"), hexPos, 1).isin(nibbleCharsWithBit(i % 4): _*), 1)
-        .otherwise(-1)).as(s"b$i")
+      val hexChar = i / 4 + 1 // 1-based position in the 16-hex-char prefix
+      val (half, charInHalf) = if (hexChar <= 8) ("u", hexChar) else ("v", hexChar - 8)
+      val pos = (8 - charInHalf) * 4 + i % 4
+      sum(expr(s"cast(($half >> $pos) & 1L as int) * 2 - 1").cast("long")).as(s"b$i")
     }
     val blockCols = (0 until SimhashBlocks).map { k =>
       (0 until 16).map(p => when(col(s"b${16 * k + p}") > 0, lit(1 << p)).otherwise(lit(0)))
@@ -206,6 +217,8 @@ object DedupQueries {
     }
     docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("h", md5(col("tok")))
+      .withColumn("u", expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"))
+      .withColumn("v", expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)"))
       .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id") +: blockCols: _*)
   }
@@ -433,22 +446,26 @@ object DedupQueries {
     QueryDef(
       "q113_simhash_hamming_pairs",
       (s, d) => {
+        // The signature rides ALONG the exploded block rows (4 extra
+        // ints ≈ the block key's own width), so the verify runs inline
+        // on the join output — no join-back to the signature index, and
+        // the dedup DISTINCT only sees hamming-qualified pairs instead
+        // of every block collision (~1% of collisions at sf0.1).
         val sims = simhashBlockFrame(variantCorpus(s, d)).localCheckpoint()
-        val blocks = sims.select(col("doc_id"), explode(array((0 until SimhashBlocks).map(k =>
-          concat(lit(s"$k:"), col(s"sim$k"))): _*)).as("bk"))
-        val cand = blocks.select(col("doc_id").as("doc_a"), col("bk"))
-          .join(blocks.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
+        val simCols = (0 until SimhashBlocks).map(k => col(s"sim$k"))
+        val blocks = sims.select(col("doc_id") +: simCols :+
+          explode(array((0 until SimhashBlocks).map(k =>
+            concat(lit(s"$k:"), col(s"sim$k"))): _*)).as("bk"): _*)
+        def side(tag: String) = blocks.select(col("bk") +:
+          (col("doc_id").as(s"doc_$tag") +:
+            (0 until SimhashBlocks).map(k => col(s"sim$k").as(s"${tag}_sim$k"))): _*)
+        side("a").join(side("b"), Seq("bk"))
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val aCols = sims.columns.map(c => col(c).as(if (c == "doc_id") "doc_a" else s"a_$c"))
-        val bCols = sims.columns.map(c => col(c).as(if (c == "doc_id") "doc_b" else s"b_$c"))
-        cand
-          .join(sims.select(aCols.toIndexedSeq: _*), Seq("doc_a"))
-          .join(sims.select(bCols.toIndexedSeq: _*), Seq("doc_b"))
           .withColumn("hamming", expr((0 until SimhashBlocks)
             .map(k => s"bit_count(a_sim$k ^ b_sim$k)").mkString(" + ")).cast("int"))
           .filter(col("hamming") <= SimhashHammingMax)
           .select("doc_a", "doc_b", "hamming")
+          .distinct()
           .orderBy("doc_a", "doc_b")
       },
       Some {

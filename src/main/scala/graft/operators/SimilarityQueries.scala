@@ -125,6 +125,34 @@ object SimilarityQueries {
   private val oracleDot =
     "list_sum(list_transform(range(len(q.emb)), i -> q.emb[i+1] * c.emb[i+1]))"
 
+  /** q116's cell-assignment pipeline WITHOUT the materializing
+    * checkpoint: corpus ∪ deterministic perturbed twins, assigned to
+    * the fixed codebook cell by squared distance (broadcast O(n·k)
+    * loop), per-cell skew cap applied. Exposed un-checkpointed so
+    * PlanAuditSpec can pin the assignment job's shape (the final
+    * query's executed plan only scans the checkpointed blocks). */
+  private[graft] def semanticCells(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val twins = e.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(emb, (x, i) -> CASE WHEN i = 0 THEN x * 1.25D ELSE x END)").as("emb"))
+    val all = e.unionByName(twins)
+      .withColumn("norm",
+        expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
+    val cents = e.filter(col("vec_id").isin(KMeans.CentroidIds: _*))
+      .select(col("vec_id").as("cid"), col("emb").as("ce"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("sqdist").asc, col("cid").asc)
+    val wCap = Window.partitionBy(col("cid")).orderBy(col("vec_id").asc)
+    all.crossJoin(broadcast(cents))
+      .withColumn("sqdist",
+        expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .withColumn("brn", row_number().over(wCap))
+      .filter(col("brn") <= NearDupBucketCap)
+      .select("vec_id", "cid", "emb", "norm")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force cosine top-k for a query subset (ANN baseline)
@@ -490,26 +518,8 @@ object SimilarityQueries {
       "q116_semantic_dedup",
       (s, d) => {
         import graft.functions.VectorFunctions.vector_dot
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        val twins = e.select((col("vec_id") + 10000L).as("vec_id"),
-          expr("transform(emb, (x, i) -> CASE WHEN i = 0 THEN x * 1.25D ELSE x END)").as("emb"))
-        val all = e.unionByName(twins)
-          .withColumn("norm",
-            expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
-        val cents = e.filter(col("vec_id").isin(KMeans.CentroidIds: _*))
-          .select(col("vec_id").as("cid"), col("emb").as("ce"))
-        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("sqdist").asc, col("cid").asc)
-        val wCap = Window.partitionBy(col("cid")).orderBy(col("vec_id").asc)
-        val cells = all.crossJoin(broadcast(cents))
-          .withColumn("sqdist",
-            expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .withColumn("brn", row_number().over(wCap))
-          .filter(col("brn") <= NearDupBucketCap)
-          .select("vec_id", "cid", "emb", "norm")
-          .localCheckpoint() // both self-join sides read the stored cells
+        // both self-join sides read the stored cell assignments
+        val cells = semanticCells(s, d).localCheckpoint()
         val wBest = Window.partitionBy(col("vec_b")).orderBy(col("cosine").desc, col("vec_a").asc)
         cells.select(col("cid"), col("vec_id").as("vec_a"), col("emb").as("ea"), col("norm").as("na"))
           .join(cells.select(col("cid"), col("vec_id").as("vec_b"), col("emb").as("eb"),

@@ -255,6 +255,56 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!full.contains("Window"), full)
   }
 
+  test("q113: simhash candidates come from an equi join on the block " +
+      "key, signatures ride the block rows (no join-back), verify " +
+      "precedes the distinct") {
+    val plan = executed("q113_simhash_hamming_pairs")
+    // one equi self-join on bk — never a cartesian over signatures
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("bk#"), plan)
+    // exactly ONE join: the hamming verify reads the block-row payload
+    // instead of joining back to the signature index twice
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins <= 2, s"expected a single self-join (+exchange mentions), got:\n$plan")
+    assert(plan.contains("bit_count"), plan)
+  }
+
+  test("q114: the bloom probe prunes the corpus shingles pre-shuffle " +
+      "and the exact verify is a merge join, never a broadcast hash " +
+      "relation of the benchmark") {
+    val plan = executed("q114_decontam_bloom")
+    assert(plan.contains("bloom_might_contain"), plan)
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the overlap verify must not rebuild q87's broadcast: the whole
+    // point is the benchmark side being too big to ship as a hash
+    // relation. (The final per-doc totals join MAY also merge-join on
+    // doc_id — assert the shingle-keyed merge join specifically.)
+    val smjLines = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smjLines.exists(_.contains("sh#")), smjLines.mkString("\n"))
+  }
+
+  test("q116: semantic dedup assigns cells via a broadcast codebook " +
+      "loop and pairs via an equi join on the cell id — never " +
+      "all-pairs; the keeper window is per flagged vector") {
+    // the cell assignment checkpoints, so its O(n·k) broadcast shape
+    // is audited on the un-checkpointed pipeline (the q36 pattern)
+    val cellsPlan = graft.operators.SimilarityQueries.semanticCells(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(cellsPlan.contains("BroadcastNestedLoopJoin"), cellsPlan)
+    assert(!cellsPlan.contains("CartesianProduct"), cellsPlan)
+    val df = SparkEntry.queries("q116_semantic_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // within-cell candidate join is EQUI on cid (AQE may pick broadcast
+    // hash at toy scale; what matters is the equi key, not the strategy)
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) && l.contains("cid#")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // no global single-partition window anywhere
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("no query in the battery plans a non-broadcast cartesian product") {
     // the blanket 100 TB invariant: a CartesianProduct materializes
     // |L|×|R| with NO bounded build side — at scale that's a dead job

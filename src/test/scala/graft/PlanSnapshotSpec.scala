@@ -36,7 +36,10 @@ class PlanSnapshotSpec extends SparkSpecBase {
     "q36_dedup_minhash_lsh",
     "q82_salted_join",
     "q70_winnowing",
-    "q87_decontamination")
+    "q87_decontamination",
+    // round-10 arrivals in the expensive tier
+    "q113_simhash_hamming_pairs",
+    "q116_semantic_dedup")
 
   private val snapDir: Path = Paths.get("src", "test", "resources", "plans")
   private def bless: Boolean = sys.env.contains("SPARK_GRAFT_BLESS_PLANS")
