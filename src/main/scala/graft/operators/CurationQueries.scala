@@ -85,6 +85,10 @@ object CurationQueries {
   private val shingle3 =
     "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
 
+  /** The shingle at window start `i` — the same 3-gram [[shingle3]]
+    * builds, for contexts that also need the start position (q117). */
+  private val shingle3At = "concat_ws(' ', ts[i], ts[i+1], ts[i+2])"
+
   /** (doc_id, sh) distinct 3-gram shingles, exploded. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     tokenized(s, d)
@@ -188,6 +192,62 @@ object CurationQueries {
       doc = "decontamination via bloom sketch: benchmark n-gram keys as a ~MB " +
         "sketch prune the corpus pre-shuffle; exact merge join verifies — " +
         "the non-broadcastable-benchmark scale path of q87"),
+
+    // ---- SURGICAL decontamination: q87 flags whole documents; real
+    //      pipelines usually EXCISE the contaminated spans and keep the
+    //      rest (dropping a 50k-token doc over one leaked test question
+    //      wastes data; GPT-3-style pipelines cut the overlapping
+    //      window ± context). A token is excised when ANY overlapping
+    //      benchmark 3-gram window covers it. Scale shape: the window
+    //      join is q87's broadcast overlap join, but carrying the
+    //      window START position; the per-doc mark list comes back as
+    //      one collect_set (marks are BOUNDED by the doc's own window
+    //      count, and only contaminated docs produce any), and the
+    //      excision itself is a per-row array rewrite inside codegen —
+    //      the corpus text never shuffles, only (doc_id, marks) does.
+    QueryDef(
+      "q117_decontam_excise",
+      (s, d) => {
+        val toks = tokenized(s, d).localCheckpoint()
+        val windows = toks.filter(size(col("ts")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, size(ts) - 3), i -> struct(i AS start, $shingle3At AS sh))"))
+            .as("w"))
+          .select(col("doc_id"), col("w.start").as("start"), col("w.sh").as("sh"))
+        val bench = windows.filter(col("doc_id") % 50 === 0).select("sh").distinct()
+        val marks = windows.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(bench), Seq("sh"))
+          .groupBy("doc_id").agg(collect_set(col("start")).as("marks"))
+        toks.filter(col("doc_id") % 50 =!= 0)
+          .join(marks, Seq("doc_id"), "left")
+          .withColumn("marks", coalesce(col("marks"), expr("array()")))
+          .withColumn("kept", expr(
+            "filter(sequence(0, size(ts) - 1), p -> NOT exists(marks, m -> p >= m AND p <= m + 2))"))
+          .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+            (size(col("ts")) - size(col("kept"))).as("n_excised"),
+            expr("concat_ws(' ', transform(kept, p -> ts[p]))").as("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+          FROM documents),
+        shp AS (SELECT doc_id, u.i AS start, ts[u.i+1] || ' ' || ts[u.i+2] || ' ' || ts[u.i+3] AS sh
+                FROM toks, unnest(range(0, greatest(len(ts) - 2, 0))) u(i) WHERE len(ts) >= 3),
+        bench AS (SELECT DISTINCT sh FROM shp WHERE doc_id % 50 = 0),
+        mk AS (SELECT s.doc_id, list(DISTINCT s.start) AS marks
+               FROM shp s JOIN bench b USING (sh) WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id),
+        base AS (SELECT t.doc_id, t.ts, len(t.ts) AS L, coalesce(mk.marks, []) AS marks
+                 FROM toks t LEFT JOIN mk USING (doc_id) WHERE t.doc_id % 50 <> 0),
+        o AS (SELECT doc_id, L AS n_tokens,
+            list_filter(range(0, L), p -> len(list_filter(marks, m -> p >= m AND p <= m + 2)) = 0) AS kept,
+            ts FROM base)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+          CAST(n_tokens - len(kept) AS INT) AS n_excised,
+          -- a FULLY-excised doc: array_to_string([]) is NULL in DuckDB
+          -- but Spark's concat_ws over an empty array is '' — pin ''
+          coalesce(array_to_string(list_transform(kept, p -> ts[p+1]), ' '), '') AS clean_text
+        FROM o ORDER BY doc_id"""),
+      doc = "surgical decontamination: excise every token covered by a benchmark " +
+        "3-gram window, keep the rest of the document"),
 
     // ---- repetition quality (Gopher-style): duplicate-n-gram
     //      fractions per document, computed entirely per-row (array
