@@ -107,6 +107,51 @@ object CurationQueries {
     * ids < 500 so they exist at every test scale factor. */
   private val CentroidIds = Seq(3L, 47L, 111L, 205L, 289L, 333L, 404L, 450L)
 
+  /** The positioned benchmark windows (doc_id, start, sh) feeding both
+    * excision variants — ONE definition so q117 (broadcast) and q120
+    * (bloom-pruned) can only differ in JOIN STRATEGY, never semantics. */
+  private def excisionWindows(toks: DataFrame): DataFrame =
+    toks.filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ts) - 3), i -> struct(i AS start, $shingle3At AS sh))"))
+        .as("w"))
+      .select(col("doc_id"), col("w.start").as("start"), col("w.sh").as("sh"))
+
+  /** Per-row span excision from a (doc_id, marks) frame — the shared
+    * tail of q117/q120: corpus text never shuffles, only marks do. */
+  private def exciseByMarks(toks: DataFrame, marks: DataFrame): DataFrame =
+    toks.filter(col("doc_id") % 50 =!= 0)
+      .join(marks, Seq("doc_id"), "left")
+      .withColumn("marks", coalesce(col("marks"), expr("array()")))
+      .withColumn("kept", expr(
+        "filter(sequence(0, size(ts) - 1), p -> NOT exists(marks, m -> p >= m AND p <= m + 2))"))
+      .select(col("doc_id"), size(col("ts")).as("n_tokens"),
+        (size(col("ts")) - size(col("kept"))).as("n_excised"),
+        expr("concat_ws(' ', transform(kept, p -> ts[p]))").as("clean_text"))
+      .orderBy("doc_id")
+
+  /** One oracle for both excision variants (a sketch must be
+    * semantically invisible — the q114/q107 contract). */
+  private val excisionOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+          FROM documents),
+        shp AS (SELECT doc_id, u.i AS start, ts[u.i+1] || ' ' || ts[u.i+2] || ' ' || ts[u.i+3] AS sh
+                FROM toks, unnest(range(0, greatest(len(ts) - 2, 0))) u(i) WHERE len(ts) >= 3),
+        bench AS (SELECT DISTINCT sh FROM shp WHERE doc_id % 50 = 0),
+        mk AS (SELECT s.doc_id, list(DISTINCT s.start) AS marks
+               FROM shp s JOIN bench b USING (sh) WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id),
+        base AS (SELECT t.doc_id, t.ts, len(t.ts) AS L, coalesce(mk.marks, []) AS marks
+                 FROM toks t LEFT JOIN mk USING (doc_id) WHERE t.doc_id % 50 <> 0),
+        o AS (SELECT doc_id, L AS n_tokens,
+            list_filter(range(0, L), p -> len(list_filter(marks, m -> p >= m AND p <= m + 2)) = 0) AS kept,
+            ts FROM base)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+          CAST(n_tokens - len(kept) AS INT) AS n_excised,
+          -- a FULLY-excised doc: array_to_string([]) is NULL in DuckDB
+          -- but Spark's concat_ws over an empty array is '' — pin ''
+          coalesce(array_to_string(list_transform(kept, p -> ts[p+1]), ' '), '') AS clean_text
+        FROM o ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- benchmark decontamination: flag training docs sharing any
@@ -209,45 +254,49 @@ object CurationQueries {
       "q117_decontam_excise",
       (s, d) => {
         val toks = tokenized(s, d).localCheckpoint()
-        val windows = toks.filter(size(col("ts")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            s"transform(sequence(0, size(ts) - 3), i -> struct(i AS start, $shingle3At AS sh))"))
-            .as("w"))
-          .select(col("doc_id"), col("w.start").as("start"), col("w.sh").as("sh"))
+        val windows = excisionWindows(toks)
         val bench = windows.filter(col("doc_id") % 50 === 0).select("sh").distinct()
         val marks = windows.filter(col("doc_id") % 50 =!= 0)
           .join(broadcast(bench), Seq("sh"))
           .groupBy("doc_id").agg(collect_set(col("start")).as("marks"))
-        toks.filter(col("doc_id") % 50 =!= 0)
-          .join(marks, Seq("doc_id"), "left")
-          .withColumn("marks", coalesce(col("marks"), expr("array()")))
-          .withColumn("kept", expr(
-            "filter(sequence(0, size(ts) - 1), p -> NOT exists(marks, m -> p >= m AND p <= m + 2))"))
-          .select(col("doc_id"), size(col("ts")).as("n_tokens"),
-            (size(col("ts")) - size(col("kept"))).as("n_excised"),
-            expr("concat_ws(' ', transform(kept, p -> ts[p]))").as("clean_text"))
-          .orderBy("doc_id")
+        exciseByMarks(toks, marks)
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
-          FROM documents),
-        shp AS (SELECT doc_id, u.i AS start, ts[u.i+1] || ' ' || ts[u.i+2] || ' ' || ts[u.i+3] AS sh
-                FROM toks, unnest(range(0, greatest(len(ts) - 2, 0))) u(i) WHERE len(ts) >= 3),
-        bench AS (SELECT DISTINCT sh FROM shp WHERE doc_id % 50 = 0),
-        mk AS (SELECT s.doc_id, list(DISTINCT s.start) AS marks
-               FROM shp s JOIN bench b USING (sh) WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id),
-        base AS (SELECT t.doc_id, t.ts, len(t.ts) AS L, coalesce(mk.marks, []) AS marks
-                 FROM toks t LEFT JOIN mk USING (doc_id) WHERE t.doc_id % 50 <> 0),
-        o AS (SELECT doc_id, L AS n_tokens,
-            list_filter(range(0, L), p -> len(list_filter(marks, m -> p >= m AND p <= m + 2)) = 0) AS kept,
-            ts FROM base)
-        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-          CAST(n_tokens - len(kept) AS INT) AS n_excised,
-          -- a FULLY-excised doc: array_to_string([]) is NULL in DuckDB
-          -- but Spark's concat_ws over an empty array is '' — pin ''
-          coalesce(array_to_string(list_transform(kept, p -> ts[p+1]), ' '), '') AS clean_text
-        FROM o ORDER BY doc_id"""),
+      Some(excisionOracle),
       doc = "surgical decontamination: excise every token covered by a benchmark " +
         "3-gram window, keep the rest of the document"),
+
+    // ---- surgical decontamination, the HUGE-BENCHMARK path: q117
+    //      broadcasts the benchmark window set — the same
+    //      non-broadcastable-benchmark scale gap q114 closed for q87,
+    //      now for the EXCISION flow. The benchmark 3-gram keys travel
+    //      as a ~MB bloom sketch that prunes the corpus window stream
+    //      at the scan (the `start` position rides the surviving rows);
+    //      the exact verify is a sort-merge join on the shingle, both
+    //      sides post-prune tiny, and the per-doc marks join back to
+    //      the corpus with a merge join too — NO broadcast hash
+    //      relation anywhere in the plan (PlanAuditSpec pins this).
+    //      False positives pass the sketch at ~fpp and die in the exact
+    //      join, so the output is identical to q117's and the oracle is
+    //      the SAME plain exact-join SQL.
+    QueryDef(
+      "q120_decontam_excise_bloom",
+      (s, d) => {
+        import graft.functions.BloomJoin
+        val toks = tokenized(s, d).localCheckpoint()
+        val windows = excisionWindows(toks)
+        val bench = windows.filter(col("doc_id") % 50 === 0).select("sh").distinct()
+          .localCheckpoint()
+        val corpusW = windows.filter(col("doc_id") % 50 =!= 0)
+        val marks = BloomJoin
+          .bloomPrune(corpusW, col("sh"), bench, "sh", expectedItems = bench.count())
+          .join(bench.hint("merge"), Seq("sh")) // exact verify, NO broadcast
+          .groupBy("doc_id").agg(collect_set(col("start")).as("marks"))
+        exciseByMarks(toks, marks.hint("merge"))
+      },
+      Some(excisionOracle),
+      doc = "surgical decontamination via bloom sketch: benchmark window keys " +
+        "prune the corpus stream pre-shuffle; exact merge-join verify carries " +
+        "the span starts — the non-broadcastable-benchmark path of q117"),
 
     // ---- repetition quality (Gopher-style): duplicate-n-gram
     //      fractions per document, computed entirely per-row (array

@@ -166,6 +166,34 @@ object DedupQueries {
         explode(expr(bandExpr)).as("band"))
   }
 
+  /** q118's assignment: every corpus doc keyed to its near-dup cluster
+    * ROOT (q77's CC label for docs in any candidate pair, the doc's own
+    * id for singletons), split by the SAME hash function as q109 —
+    * exposed so SplitsAndBinsSpec audits the exact frame the query
+    * emits. */
+  private[graft] def clusterSplitAssignment(s: SparkSession, d: String): DataFrame = {
+    val edges = candidatePairsFrom(sigIndex(s, d))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cc = ConnectedComponents.run(edges)
+    variantCorpus(s, d).select("doc_id")
+      .join(cc.select(col("node").as("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("cluster"), col("doc_id")))
+      .select(col("doc_id"), col("root"), Splits.splitCol(col("root")).as("split"))
+  }
+
+  /** The q110 audit re-expressed over an ARBITRARY (doc_id, split)
+    * assignment: candidate pairs whose sides straddle splits. ONE
+    * definition serves the q110 oracle check (hash assignment, >0
+    * rows) and the q118 remedy pin (cluster assignment, == 0 rows). */
+  private[graft] def splitLeakage(s: SparkSession, d: String,
+      assignment: DataFrame): DataFrame =
+    candidatePairsFrom(sigIndex(s, d))
+      .join(assignment.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(assignment.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+
   /** Candidate near-dup pairs from band collisions over a
     * (materialized) signature frame: equi self-join on the band key —
     * the classic shuffle-once LSH plan. */
@@ -181,15 +209,45 @@ object DedupQueries {
   //    first 16 hex chars of each token's md5 (4 bits per char), carried
   //    as 4 × 16-bit block ints. HammingMax = SimhashBlocks - 1 is the
   //    pigeonhole-complete regime: every qualifying pair shares a block.
-  private[operators] val SimhashBits = 64
-  private[operators] val SimhashBlocks = 4
-  private[operators] val SimhashHammingMax = SimhashBlocks - 1
+  private[graft] val SimhashBits = 64
+  private[graft] val SimhashBlocks = 4
+  private[graft] val SimhashHammingMax = SimhashBlocks - 1
 
   /** Hex chars whose nibble has bit `j` set — ONE definition feeding
     * both the Spark when() chains and the oracle's CASE lists, so the
     * two engines' bit tables cannot drift. */
   private def nibbleCharsWithBit(j: Int): Seq[String] =
     (0 until 16).filter(v => ((v >> j) & 1) == 1).map(v => Integer.toHexString(v))
+
+  /** (digest half "u"/"v", shift) locating signature bit `i` inside the
+    * two conv-parsed 8-hex-char halves — ONE definition for the batch
+    * aggregation ([[simhashBlockFrame]]) and the per-row streaming
+    * formulation ([[rowBlocks]]); a bit table edited in one copy but
+    * not the other would only surface as a runtime parity failure. Bit
+    * i lives at hex char c = i/4+1 (nibble bit i%4), i.e. long position
+    * (8-c)·4 + i%4 of the half the char falls in. */
+  private def simhashBitPos(i: Int): (String, Int) = {
+    val hexChar = i / 4 + 1 // 1-based position in the 16-hex-char prefix
+    val (half, charInHalf) = if (hexChar <= 8) ("u", hexChar) else ("v", hexChar - 8)
+    (half, (8 - charInHalf) * 4 + i % 4)
+  }
+
+  /** sim0..sim3 INT block columns folded from per-bit sign columns
+    * b0..b63 — shared by both signature formulations. */
+  private def simhashBlockCols: Seq[org.apache.spark.sql.Column] =
+    (0 until SimhashBlocks).map { k =>
+      (0 until 16).map(p => when(col(s"b${16 * k + p}") > 0, lit(1 << p)).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as(s"sim$k")
+    }
+
+  /** Explode a (doc_id, sim0..sim3) signature frame into block-key rows
+    * `(doc_id, sim0..sim3, bk)` — the signature rides the exploded rows
+    * so the Hamming verify never joins back to the index. */
+  private[graft] def withBlockKeys(sims: DataFrame): DataFrame =
+    sims.select(col("doc_id") +:
+      (0 until SimhashBlocks).map(k => col(s"sim$k")) :+
+      explode(array((0 until SimhashBlocks).map(k =>
+        concat(lit(s"$k:"), col(s"sim$k"))): _*)).as("bk"): _*)
 
   /** (doc_id, sim0..sim3) 64-bit simhash signature frame: one
     * token-explode aggregation (64 sums fused in one partial-agg pass),
@@ -199,28 +257,51 @@ object DedupQueries {
     * halves into longs ONCE (`conv`) and reads each signature bit with
     * a shift-and-mask — pure integer arithmetic in codegen, vs the
     * naive per-bit `substring(h, c, 1) IN (8 one-char strings)` chain
-    * (512 string compares per token). Bit i lives at hex char
-    * c = i/4+1 (nibble bit i%4), i.e. long position (8-c)·4 + i%4 of
-    * the half the char falls in — the identical bit the oracle's
-    * readable CASE-list formulation tests, so the engines agree
-    * bit-for-bit while compiling to different instruction mixes. */
-  private def simhashBlockFrame(docs: DataFrame): DataFrame = {
+    * (512 string compares per token). The bit table is [[simhashBitPos]]
+    * — the identical bit the oracle's readable CASE-list formulation
+    * tests, so the engines agree bit-for-bit while compiling to
+    * different instruction mixes. */
+  private[graft] def simhashBlockFrame(docs: DataFrame): DataFrame = {
     val bitSums = (0 until SimhashBits).map { i =>
-      val hexChar = i / 4 + 1 // 1-based position in the 16-hex-char prefix
-      val (half, charInHalf) = if (hexChar <= 8) ("u", hexChar) else ("v", hexChar - 8)
-      val pos = (8 - charInHalf) * 4 + i % 4
+      val (half, pos) = simhashBitPos(i)
       sum(expr(s"cast(($half >> $pos) & 1L as int) * 2 - 1").cast("long")).as(s"b$i")
-    }
-    val blockCols = (0 until SimhashBlocks).map { k =>
-      (0 until 16).map(p => when(col(s"b${16 * k + p}") > 0, lit(1 << p)).otherwise(lit(0)))
-        .reduce(_ + _).cast("int").as(s"sim$k")
     }
     docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("h", md5(col("tok")))
       .withColumn("u", expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"))
       .withColumn("v", expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)"))
       .groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id") +: blockCols: _*)
+      .select(col("doc_id") +: simhashBlockCols: _*)
+  }
+
+  /** Per-row SimHash block keys for any (doc_id, text) frame — the SAME
+    * 64-bit signature family as [[simhashBlockFrame]] (identical
+    * [[simhashBitPos]] bit table, identical block fold), but expressed
+    * as stateless per-row columns: the token digests become in-row
+    * arrays and each bit's ±1 sum is an in-row `aggregate` fold, so a
+    * STRUCTURED STREAMING frame can evaluate it without state or
+    * watermarks — the simhash twin of [[rowBands]], keeping ingest-time
+    * and backfill near-dup detection on ONE hash family for both
+    * detectors. The batch path keeps the explode-aggregate formulation
+    * (spill-safe for giant documents at corpus scale); per-row here
+    * each doc folds only its own tokens — the right trade for
+    * per-batch streaming rows. DedupStreamSpec proves the two
+    * formulations signature-identical. */
+  private[graft] def rowBlocks(docs: DataFrame): DataFrame = {
+    val bitCols = (0 until SimhashBits).map { i =>
+      val (half, pos) = simhashBitPos(i)
+      expr(s"aggregate(${half}s, 0L, (a, x) -> a + cast((x >> $pos) & 1L as int) * 2 - 1)")
+        .as(s"b$i")
+    }
+    val sigs = docs
+      .withColumn("hs", expr("transform(split(trim(text), '\\\\s+'), t -> md5(t))"))
+      .withColumn("us",
+        expr("transform(hs, h -> cast(conv(substring(h, 1, 8), 16, 10) as bigint))"))
+      .withColumn("vs",
+        expr("transform(hs, h -> cast(conv(substring(h, 9, 8), 16, 10) as bigint))"))
+      .select(col("doc_id") +: bitCols: _*)
+      .select(col("doc_id") +: simhashBlockCols: _*)
+    withBlockKeys(sigs)
   }
 
   /** Shared oracle CTE prefix mirroring [[bandedCorpus]]. */
@@ -425,6 +506,44 @@ object DedupQueries {
         WHERE split_a != split_b ORDER BY doc_a, doc_b"""),
       doc = "split-leakage audit: near-dup candidate pairs whose sides fall in different hash splits"),
 
+    // ---- cluster-representative splitting: the REMEDY q110's audit
+    //      proves necessary. q109's hash split keys each doc by its own
+    //      id, so near-identical docs land in different splits and
+    //      train text leaks into eval; here the split key is the doc's
+    //      near-dup CLUSTER ROOT (q77's connected-component label;
+    //      singletons — the overwhelming majority — key by their own
+    //      id), so every member of a cluster shares a split BY
+    //      CONSTRUCTION: a candidate pair is an edge, an edge means one
+    //      component, one component means one root, one root means one
+    //      split. SplitsAndBinsSpec re-runs the q110 audit over this
+    //      assignment and pins ZERO leaked pairs (with the hash split
+    //      as the >0 positive control).
+    //      Scale: the CC runs over the candidate EDGE list only (LSH
+    //      pairs, never all-pairs); the per-doc assignment is one left
+    //      join of the corpus ids against the component labels (nodes
+    //      that appear in any edge — a small fraction of the corpus),
+    //      and the split itself stays the same pure hash function, now
+    //      of the root. Rerun-stable end to end: roots are min-ids,
+    //      so backfills and other machines agree with no coordination.
+    QueryDef(
+      "q118_cluster_split",
+      (s, d) => clusterSplitAssignment(s, d).orderBy("doc_id"),
+      Some(s"""${oracleBandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                  UNION ALL SELECT doc_b, doc_a FROM cand),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach AS (SELECT node, node AS lbl FROM nodes
+                  UNION
+                  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+        cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+        rooted AS (SELECT c.doc_id, coalesce(cc.cluster, c.doc_id) AS root
+          FROM corpus c LEFT JOIN cc ON c.doc_id = cc.node)
+        SELECT doc_id, root, ${Splits.splitSql("root")} AS split
+        FROM rooted ORDER BY doc_id"""),
+      doc = "leakage-safe split: q109's hash split keyed by the q77 CC cluster root, so near-dup clusters never straddle splits"),
+
     // ---- SimHash near-dup PAIR MINING: the Manku/Charikar pigeonhole
     //      scheme that turns "all pairs within Hamming distance d" into
     //      equi-joins. A 64-bit simhash (from per-token md5 nibbles) is
@@ -452,10 +571,7 @@ object DedupQueries {
         // the dedup DISTINCT only sees hamming-qualified pairs instead
         // of every block collision (~1% of collisions at sf0.1).
         val sims = simhashBlockFrame(variantCorpus(s, d)).localCheckpoint()
-        val simCols = (0 until SimhashBlocks).map(k => col(s"sim$k"))
-        val blocks = sims.select(col("doc_id") +: simCols :+
-          explode(array((0 until SimhashBlocks).map(k =>
-            concat(lit(s"$k:"), col(s"sim$k"))): _*)).as("bk"): _*)
+        val blocks = withBlockKeys(sims)
         def side(tag: String) = blocks.select(col("bk") +:
           (col("doc_id").as(s"doc_$tag") +:
             (0 until SimhashBlocks).map(k => col(s"sim$k").as(s"${tag}_sim$k"))): _*)

@@ -125,16 +125,24 @@ object SimilarityQueries {
   private val oracleDot =
     "list_sum(list_transform(range(len(q.emb)), i -> q.emb[i+1] * c.emb[i+1]))"
 
-  /** q116's cell-assignment pipeline WITHOUT the materializing
-    * checkpoint: corpus ∪ deterministic perturbed twins, assigned to
-    * the fixed codebook cell by squared distance (broadcast O(n·k)
-    * loop), per-cell skew cap applied. Exposed un-checkpointed so
-    * PlanAuditSpec can pin the assignment job's shape (the final
-    * query's executed plan only scans the checkpointed blocks). */
-  private[graft] def semanticCells(s: SparkSession, d: String): DataFrame = {
+  /** Cells each vector joins for candidate generation in the
+    * MULTI-CELL semantic dedup (q119): the q104 multi-probe remedy
+    * applied to pair mining — a boundary-straddling twin pair shares a
+    * cell once BOTH sides sit in their 2 nearest cells. */
+  private[operators] val SemDedupProbes = 2
+
+  /** q116/q119's cell-assignment pipeline WITHOUT the materializing
+    * checkpoint: corpus ∪ deterministic perturbed twins, each vector
+    * assigned to its `probes` nearest fixed-codebook cells by squared
+    * distance (broadcast O(n·k) loop — multi-assignment multiplies only
+    * the assignment OUTPUT by p, never the n·k distance work), per-cell
+    * skew cap applied after. Exposed un-checkpointed so PlanAuditSpec
+    * can pin the assignment job's shape (the final query's executed
+    * plan only scans the checkpointed blocks). */
+  private[graft] def semanticCells(s: SparkSession, d: String, probes: Int = 1): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val twins = e.select((col("vec_id") + 10000L).as("vec_id"),
+    val twins = e.select((col("vec_id") + 1000000L).as("vec_id"),
       expr("transform(emb, (x, i) -> CASE WHEN i = 0 THEN x * 1.25D ELSE x END)").as("emb"))
     val all = e.unionByName(twins)
       .withColumn("norm",
@@ -147,7 +155,7 @@ object SimilarityQueries {
       .withColumn("sqdist",
         expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
       .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= probes)
       .withColumn("brn", row_number().over(wCap))
       .filter(col("brn") <= NearDupBucketCap)
       .select("vec_id", "cid", "emb", "norm")
@@ -508,7 +516,9 @@ object SimilarityQueries {
     //      per-cell cap as q81's buckets (skew-bounded re-rank).
     //      The synthetic corpus has no semantic twins, so — exactly like
     //      the text dedup family's variant corpus — the query unions a
-    //      deterministic perturbed twin per vector (vec_id + 10000,
+    //      deterministic perturbed twin per vector (vec_id + 1,000,000
+    //      — the dedup family's shared twin offset, collision-safe
+    //      against any realistic embeddings fixture growth;
     //      first component × 1.25: one exactly-representable IEEE
     //      multiply, cosine ≈ 0.9995 to its source, while unrelated
     //      64-dim pairs sit near 0). Output: each flagged vector with
@@ -535,7 +545,7 @@ object SimilarityQueries {
       Some(s"""WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
           FROM embeddings),
-        tw AS (SELECT vec_id + 10000 AS vec_id,
+        tw AS (SELECT vec_id + 1000000 AS vec_id,
             list_transform(range(len(emb)),
               i -> CASE WHEN i = 0 THEN emb[1] * 1.25 ELSE emb[i+1] END) AS emb
           FROM e),
@@ -563,6 +573,74 @@ object SimilarityQueries {
           SELECT *, row_number() OVER (PARTITION BY vec_b ORDER BY cosine DESC, vec_a) AS rn
           FROM p WHERE cosine >= 0.99) t
         WHERE rn = 1 ORDER BY vec_id"""),
-      doc = "semantic dedup: fixed-codebook cells, within-cell cosine >= 0.99, best-keeper attribution per flagged vector")
+      doc = "semantic dedup: fixed-codebook cells, within-cell cosine >= 0.99, best-keeper attribution per flagged vector"),
+
+    // ---- MULTI-CELL semantic dedup: q116's documented blind spot is
+    //      the pair straddling a cell boundary (8 planted twins missed
+    //      at sf0.01 — source lands in cell A, its twin a hair's
+    //      breadth into cell B). The remedy is the SAME one q104
+    //      applied to IVF search: assign each vector to its p=2
+    //      nearest cells for CANDIDATE GENERATION, so a boundary pair
+    //      shares a cell as soon as each side's top-2 cells overlap —
+    //      near-certain for near-identical vectors, whose centroid
+    //      distance rankings agree. The candidate join stays EQUI on
+    //      the cell id (multi-probe multiplies rows by p, never the
+    //      join shape), duplicate pair hits (a pair colliding in both
+    //      shared cells) collapse in one scalar-column DISTINCT after
+    //      the cosine verify, and cost rises by ~p² within cells —
+    //      the recall/cost dial, with q116 as the single-cell cost
+    //      baseline. AnnRecallSpec pins planted-twin recall ≥ 0.99.
+    QueryDef(
+      "q119_semantic_dedup_multicell",
+      (s, d) => {
+        import graft.functions.VectorFunctions.vector_dot
+        val cells = semanticCells(s, d, probes = SemDedupProbes).localCheckpoint()
+        val wBest = Window.partitionBy(col("vec_b")).orderBy(col("cosine").desc, col("vec_a").asc)
+        cells.select(col("cid"), col("vec_id").as("vec_a"), col("emb").as("ea"), col("norm").as("na"))
+          .join(cells.select(col("cid"), col("vec_id").as("vec_b"), col("emb").as("eb"),
+            col("norm").as("nb")), Seq("cid"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("cosine", vector_dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+          .filter(col("cosine") >= 0.99)
+          .select("vec_a", "vec_b", "cosine")
+          .distinct()
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select(col("vec_b").as("vec_id"), col("vec_a").as("dup_of"), col("cosine"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings),
+        tw AS (SELECT vec_id + 1000000 AS vec_id,
+            list_transform(range(len(emb)),
+              i -> CASE WHEN i = 0 THEN emb[1] * 1.25 ELSE emb[i+1] END) AS emb
+          FROM e),
+        allv AS (SELECT vec_id, emb FROM e UNION ALL SELECT vec_id, emb FROM tw),
+        n AS (SELECT vec_id, emb,
+            sqrt(list_sum(list_transform(range(len(emb)), i -> emb[i+1] * emb[i+1]))) AS norm
+          FROM allv),
+        c AS (SELECT vec_id AS cid, emb AS ce FROM e
+              WHERE vec_id IN (${KMeans.CentroidIds.mkString(", ")})),
+        dist AS (SELECT n.vec_id, c.cid, n.emb, n.norm,
+            list_sum(list_transform(range(len(n.emb)),
+              i -> (n.emb[i+1] - c.ce[i+1]) * (n.emb[i+1] - c.ce[i+1]))) AS sqdist
+          FROM n CROSS JOIN c),
+        cells AS (SELECT vec_id, cid, emb, norm FROM (
+            SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS brn FROM (
+              SELECT vec_id, cid, emb, norm FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sqdist, cid) AS rn
+                FROM dist) t WHERE rn <= $SemDedupProbes) a) b
+          WHERE brn <= $NearDupBucketCap),
+        p0 AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            list_sum(list_transform(range(len(a.emb)), i -> a.emb[i+1] * b.emb[i+1]))
+              / (a.norm * b.norm) AS cosine
+          FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        p AS (SELECT DISTINCT vec_a, vec_b, cosine FROM p0 WHERE cosine >= 0.99)
+        SELECT vec_b AS vec_id, vec_a AS dup_of, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_b ORDER BY cosine DESC, vec_a) AS rn
+          FROM p) t
+        WHERE rn = 1 ORDER BY vec_id"""),
+      doc = "multi-cell semantic dedup: each vector in its 2 nearest cells for candidate generation — closes q116's cell-boundary blind spot, same equi-join shape")
   )
 }

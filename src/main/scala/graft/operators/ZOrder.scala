@@ -86,17 +86,39 @@ object ZOrder {
     * set, never substitute for the predicate), so results are exact.
     * The manifest collect is one row per data file — at 100 TB that is
     * ~10⁵ rows on the driver, the same order every table format's
-    * planner holds for split generation. */
+    * planner holds for split generation.
+    *
+    * No-intersection fast path: when the manifest is FRESH — it names
+    * exactly the data files currently under `path`, which is what
+    * [[writeClustered]] leaves behind — an empty intersection PROVES
+    * the box matches nothing, so the read is an empty relation
+    * (`limit 0` folds to a LocalRelation: zero files opened,
+    * ScaleLayoutSpec pins numFiles == 0). A STALE manifest (files
+    * added/rewritten since) fails the name-set check and falls back to
+    * scanning the full path with the predicate — correctness is never
+    * entrusted to a manifest that disagrees with the directory. The
+    * freshness probe is a driver-side file LISTING (the same listing
+    * any scan plans from), never a footer read — at 100 TB the stale
+    * fallback's full-footer pass is the thing this path avoids. */
   def readBox(spark: org.apache.spark.sql.SparkSession, path: String,
       a: String, b: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame = {
-    val files = spark.read.parquet(s"$path/_zindex")
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val manifest = spark.read.parquet(s"$path/_zindex")
+    val files = manifest
       .filter(col("max_a") >= aLo && col("min_a") <= aHi &&
         col("max_b") >= bLo && col("min_b") <= bHi)
       .select("file").collect().map(_.getString(0))
-    val boxed =
-      if (files.isEmpty) spark.read.parquet(path) // empty result; footer-only read
-      else spark.read.parquet(files.toIndexedSeq: _*)
-    boxed.filter(col(a).between(aLo, aHi) && col(b).between(bLo, bHi))
+    val base = spark.read.parquet(path)
+    def pred(df: DataFrame): DataFrame =
+      df.filter(col(a).between(aLo, aHi) && col(b).between(bLo, bHi))
+    if (files.nonEmpty) pred(spark.read.parquet(files.toIndexedSeq: _*))
+    else {
+      val manifested = manifest.select("file").collect().map(r => norm(r.getString(0))).toSet
+      val live = base.inputFiles.map(norm).toSet
+      if (manifested == live) pred(base).limit(0) // proven empty: zero files read
+      else pred(base) // stale manifest: trust only the predicate
+    }
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -37,6 +37,30 @@ object DedupStream {
       .join(corpusBands.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
       .select(col("doc_id"), col("dup_of"), col("band"))
 
+  /** The SIMHASH twin of [[flagAgainstCorpus]] — q113's pigeonhole
+    * block family at ingest time: arriving docs derive per-row block
+    * signatures ([[DedupQueries.rowBlocks]], bit-for-bit the batch
+    * [[DedupQueries.simhashBlockFrame]] family), probe the static
+    * corpus block index on the block key, and the exact
+    * bit_count(xor) Hamming verify runs INLINE on the join output
+    * (signatures ride both sides — no state, no join-back, no
+    * watermark), so a flag is emitted exactly for Hamming ≤
+    * [[DedupQueries.SimhashHammingMax]] pairs. Keeps BOTH near-dup
+    * detectors (MinHash bands + SimHash blocks) on one hash family
+    * across ingest and backfill. Output may repeat a pair once per
+    * colliding block; consumers dedup as their sink requires (the
+    * [[flagAgainstCorpus]] convention). */
+  def flagSimhashAgainstCorpus(stream: DataFrame, corpusBlocks: DataFrame): DataFrame = {
+    val k = DedupQueries.SimhashBlocks
+    DedupQueries.rowBlocks(stream)
+      .join(corpusBlocks.select(col("bk") +: (col("doc_id").as("dup_of") +:
+        (0 until k).map(j => col(s"sim$j").as(s"c_sim$j"))): _*), Seq("bk"))
+      .withColumn("hamming", expr((0 until k)
+        .map(j => s"bit_count(sim$j ^ c_sim$j)").mkString(" + ")).cast("int"))
+      .filter(col("hamming") <= DedupQueries.SimhashHammingMax)
+      .select(col("doc_id"), col("dup_of"), col("hamming"))
+  }
+
   // ---- self-maintaining index: within-stream twins ----------------
 
   /** Probe-index ledger schema: every band of every SURVIVING (non-

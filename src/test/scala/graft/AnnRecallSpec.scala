@@ -82,6 +82,29 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(r >= 0.95, s"q104 twin recall $r < 0.95")
   }
 
+  test("q119 multi-cell semantic dedup closes the cell-boundary blind spot " +
+      "(planted-twin recall >= 0.99; q116 single-cell is the cost baseline)") {
+    // q116/q119 plant their own twins (vec_id + 1,000,000, first
+    // component × 1.25 → cosine ≈ 0.9995 to the source): every twin
+    // should be flagged with its source as the keeper. q116's
+    // single-cell assignment loses exactly the boundary-straddling
+    // pairs; q119's p=2 cells must recover them.
+    val dir = "/root/testdata/sf0.01"
+    val ids = Tables.embeddings(spark, dir).collect().map(_.getLong(0)).toSet
+    def twinRecallOf(name: String): Double = {
+      val flagged = SparkEntry.queries(name)(spark, dir)
+        .select("vec_id", "dup_of").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      SparkEntry.releaseCaches(spark)
+      ids.count(id => flagged.get(id + 1000000L).contains(id)).toDouble / ids.size
+    }
+    val single = twinRecallOf("q116_semantic_dedup")
+    val multi = twinRecallOf("q119_semantic_dedup_multicell")
+    assert(multi >= 0.99, s"q119 twin recall $multi < 0.99")
+    assert(multi >= single,
+      s"multi-cell recall $multi fell below the single-cell baseline $single")
+  }
+
   test("q81 recovers the planted near-dup pair set (recall >= 0.9, exact precision)") {
     val expected = plantedQueries // every %100 id is also %10
     val allPlantedPairs = Tables.embeddings(spark, "/root/testdata/sf0.01")

@@ -22,6 +22,59 @@ class DedupStreamSpec extends SparkSpecBase {
     } finally SparkEntry.releaseCaches(spark)
   }
 
+  test("rowBlocks equals the batch explode-agg simhash signatures bit-for-bit") {
+    try {
+      val corpus = DedupQueries.variantCorpus(spark, sf)
+      val batch = DedupQueries.withBlockKeys(DedupQueries.simhashBlockFrame(corpus))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getString(5))).toSet
+      val perRow = DedupQueries.rowBlocks(corpus)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getString(5))).toSet
+      assert(perRow == batch)
+    } finally SparkEntry.releaseCaches(spark)
+  }
+
+  test("stream-static simhash flags equal the batch q113 cross pairs " +
+      "across micro-batches (hamming values included)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the originals' block signatures are the static index; variants
+    // arrive as the stream — the cross slice of q113's pair set is the
+    // ground truth the stream must reproduce exactly
+    val corpus = DedupQueries.variantCorpus(spark, sf)
+      .filter(col("doc_id") < 1000000L)
+    val corpusBlocks = DedupQueries.withBlockKeys(
+      DedupQueries.simhashBlockFrame(corpus)).localCheckpoint()
+    val arriving = DedupQueries.variantCorpus(spark, sf)
+      .filter(col("doc_id") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = SparkEntry.queries("q113_simhash_hamming_pairs")(spark, sf)
+      .filter(col("doc_a") < 1000000L && col("doc_b") >= 1000000L)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2))).toSet
+    assert(expected.nonEmpty) // the variant corpus guarantees near-dups
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = DedupStream.flagSimhashAgainstCorpus(stream, corpusBlocks)
+      .writeStream.format("memory").queryName("simhash_flags")
+      .outputMode("append").start()
+    try {
+      val (first, second) = arriving.splitAt(arriving.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("simhash_flags")
+        .select("doc_id", "dup_of", "hamming").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expected)
+    } finally {
+      q.stop()
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
   test("stream-static join flags exactly the batch new-vs-corpus collisions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -230,6 +283,51 @@ class DedupStreamSpec extends SparkSpecBase {
       assert(!deltaDirs().contains("delta-000000000000")) // swept
       assert(DedupStream.loadIndex(spark, path)
         .select("doc_id").distinct().count() == expectedDocs)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
+  test("non-compaction folds write O(batch) bytes: delta sizes stay flat " +
+      "while the index grows, and only the compaction round rewrites O(index)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-cost").toString
+    def dirBytes(f: java.io.File): Long =
+      if (!f.exists()) 0L
+      else if (f.isFile) f.length()
+      else f.listFiles().map(dirBytes).sum
+    try {
+      val (orig, _) = twinDocs(35)
+      val path = s"$dir/bands"
+      // 7 equal-size batches — below CompactEvery=8, so every fold is a
+      // pure delta write and each delta's ledger is measurable on disk
+      val batches = orig.grouped(5).toSeq
+      assert(batches.size == 7 && batches.forall(_.size == 5))
+      val deltaSizes = batches.zipWithIndex.map { case (g, i) =>
+        DedupStream.processBatch(spark, toDf(g), path, i.toLong).count()
+        dirBytes(new java.io.File(f"$path/delta-${i.toLong}%012d"))
+      }
+      assert(deltaSizes.forall(_ > 0), deltaSizes.mkString(","))
+      // O(batch), not O(accumulated index): were each fold rewriting the
+      // whole index, the 7th delta would be ~7× the 1st; equal batches
+      // must produce near-equal deltas (3× covers parquet footer/encoding
+      // variance across survivor mixes)
+      assert(deltaSizes.max <= 3 * deltaSizes.min,
+        s"delta sizes grow with the index: ${deltaSizes.mkString(",")}")
+      // the index itself HAS grown ~7×, so flat deltas are meaningful
+      val indexed = DedupStream.loadIndex(spark, path).count()
+      val firstDelta = graft.state.StateStore.load(spark, f"$path/delta-${0L}%012d",
+        DedupStream.bandsSchema).count()
+      assert(indexed >= 5 * firstDelta, s"index $indexed vs first delta $firstDelta")
+      // the 8th fold trips compaction: base absorbs everything (the one
+      // amortized O(index) write), deltas are swept
+      DedupStream.processBatch(spark,
+        toDf(Seq((9999999L, "wholly unique compaction trigger document"))), path, 7L).count()
+      val baseBytes = dirBytes(new java.io.File(s"$path/base"))
+      assert(baseBytes > deltaSizes.max,
+        s"base $baseBytes not the O(index) write vs deltas ${deltaSizes.mkString(",")}")
+      assert(new java.io.File(path).listFiles()
+        .map(_.getName).count(_.matches("^delta-\\d{12}$")) <= 1)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       SparkEntry.releaseCaches(spark)

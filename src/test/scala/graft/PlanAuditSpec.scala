@@ -305,6 +305,45 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("q118: the cluster-split assignment is one left join of corpus ids " +
+      "against CC labels — no cartesian, no global window") {
+    val df = SparkEntry.queries("q118_cluster_split")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    SparkEntry.releaseCaches(spark)
+  }
+
+  test("q119: multi-cell candidates stay an equi join on the cell id " +
+      "with a scalar-column distinct — never all-pairs") {
+    val df = SparkEntry.queries("q119_semantic_dedup_multicell")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("HashJoin")) && l.contains("cid#")), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    SparkEntry.releaseCaches(spark)
+  }
+
+  test("q120: the excision window join probes a bloom sketch and verifies " +
+      "by merge join — NO broadcast hash relation anywhere in the plan") {
+    val df = SparkEntry.queries("q120_decontam_excise_bloom")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"), plan)
+    // the shingle-keyed exact verify is a merge join
+    val smjLines = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smjLines.exists(_.contains("sh#")), smjLines.mkString("\n"))
+    // the whole point: the benchmark is NOT broadcastable — no broadcast
+    // hash relation may appear anywhere (the marks join merges too)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    SparkEntry.releaseCaches(spark)
+  }
+
   test("no query in the battery plans a non-broadcast cartesian product") {
     // the blanket 100 TB invariant: a CartesianProduct materializes
     // |L|×|R| with NO bounded build side — at scale that's a dead job

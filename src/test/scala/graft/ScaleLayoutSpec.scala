@@ -195,6 +195,43 @@ class ScaleLayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("readBox on a FRESH layout returns a proven-empty relation for a " +
+      "disjoint box (numFiles == 0), and still scans when the manifest is stale") {
+    import graft.operators.ZOrder
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val sf = "/root/testdata/sf0.001"
+    val src = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zfresh").toString
+    try {
+      ZOrder.writeClustered(src, s"$dir/z", "l_partkey", "l_suppkey", 4)
+      val mx = src.agg(max("l_partkey"), max("l_suppkey")).head()
+      // a box strictly beyond both key ranges: intersects nothing
+      def disjointBox() = ZOrder.readBox(spark, s"$dir/z",
+        "l_partkey", "l_suppkey", mx.getLong(0) + 10, mx.getLong(0) + 20,
+        mx.getLong(1) + 10, mx.getLong(1) + 20)
+      val fresh = disjointBox()
+      assert(fresh.count() == 0)
+      val freshFiles = fresh.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.metrics("numFiles").value
+      }.sum
+      assert(freshFiles == 0,
+        s"fresh-manifest empty box opened $freshFiles files instead of 0")
+
+      // staleness guard: a data file the manifest doesn't know about
+      // forces the full-path fallback — rows appear even though the
+      // manifest says the box is empty
+      src.limit(50)
+        .withColumn("l_partkey", lit(mx.getLong(0) + 15))
+        .withColumn("l_suppkey", lit(mx.getLong(1) + 15))
+        .write.mode("append").parquet(s"$dir/z")
+      spark.catalog.refreshByPath(s"$dir/z")
+      val stale = disjointBox()
+      assert(stale.count() > 0, "stale manifest hid freshly-appended rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("orc scans push filters and prune columns like parquet") {
     val sf = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString

@@ -1,12 +1,33 @@
 package graft
 
-import graft.operators.{Splits, TimeBins}
+import graft.operators.{DedupQueries, Splits, TimeBins}
 import org.apache.spark.sql.functions._
 
 /** Property pins for the shared split/bin primitives — the invariants
   * the oracled queries rely on but don't themselves state. */
 class SplitsAndBinsSpec extends SparkSpecBase {
   import spark.implicits._
+
+  test("q118 cluster-keyed splits close q110's leakage: zero cross-split " +
+      "candidate pairs (hash split as the >0 positive control)") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      // positive control: the raw hash split DOES leak on this corpus —
+      // otherwise a broken audit that always returns 0 would pass
+      val hashAssign = DedupQueries.variantCorpus(spark, sf)
+        .select(col("doc_id"), Splits.splitCol(col("doc_id")).as("split"))
+      assert(DedupQueries.splitLeakage(spark, sf, hashAssign).count() > 0,
+        "q110's premise vanished: the hash split no longer leaks at sf0.001")
+      // the remedy: cluster-root-keyed assignment leaks NOTHING
+      val clustered = DedupQueries.clusterSplitAssignment(spark, sf).localCheckpoint()
+      assert(DedupQueries.splitLeakage(spark, sf, clustered).count() == 0,
+        "cluster-representative split leaked a candidate pair across splits")
+      // and it is a total assignment: every corpus doc got exactly one split
+      assert(clustered.count() ==
+        DedupQueries.variantCorpus(spark, sf).count())
+      assert(clustered.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    } finally SparkEntry.releaseCaches(spark)
+  }
 
   test("hash split hits its 80/10/10 design ratios (md5 uniformity)") {
     val n = 20000L

@@ -163,9 +163,17 @@ class StateStoreSpec extends SparkSpecBase {
       // whose leading letter lexicographically beats any digit
       bigLedger.filter($"id".isin("c7")).write.parquet(s"$path.tmp-fa1b2c3d")
       assert(new java.io.File(s"$path.tmp-fa1b2c3d/_SUCCESS").exists())
-      // newer generation committed under the current millis-counter format
+      // newer generation committed under the current millis-counter
+      // format — EXACTLY nextStamp()'s \d{13}-\d{6} shape (a stray
+      // extra digit would classify as legacy and this test would pass
+      // through the mtime fallback instead of the format rank)
       bigLedger.filter($"id".isin("c150", "c151"))
-        .write.parquet(s"$path.tmp-0001755086400000-000001")
+        .write.parquet(s"$path.tmp-1755086400000-000001")
+      // make the LEGACY dir the newer write by mtime, so only the
+      // wall-clock-beats-legacy rank (not mtime order) can pick right
+      val legacyDir = new java.io.File(s"$path.tmp-fa1b2c3d")
+      val wallDir = new java.io.File(s"$path.tmp-1755086400000-000001")
+      assert(legacyDir.setLastModified(wallDir.lastModified() + 10000))
       assert(idsAt(path) == Seq("c150", "c151"),
         "recovery preferred a stale legacy-stamped generation")
       assert(new java.io.File(dir).listFiles().map(_.getName).toSeq == Seq("ledger"))
