@@ -80,8 +80,10 @@ object SpillProbe {
       val md = MessageDigest.getInstance("MD5")
       rows.map(_.toString).sorted.foreach(s => md.update(s.getBytes("UTF-8")))
       val hash = md.digest().map(b => f"$b%02x").mkString
-      // wait for straggler task-end events before reading the counters
-      Thread.sleep(200)
+      // drain straggler task-end events before reading the counters —
+      // deterministic, unlike a fixed sleep
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
       println(f"SPILL $name%-28s sec=$sec%7.2f rows=${rows.length}%7d " +
         f"spillMemMB=${memSpilled.get / (1024 * 1024)}%6d " +
         f"spillDiskMB=${diskSpilled.get / (1024 * 1024)}%6d hash=$hash")

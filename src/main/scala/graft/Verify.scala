@@ -15,6 +15,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Schema pin: name the drifted column up front instead of letting N
+    // queries fail with opaque analysis errors (round-11 incident). Warn
+    // loudly but keep going — adaptive readers may still be green.
+    Tables.schemaDrift(spark, sfDir).foreach { d =>
+      System.err.println(s"[verify] TESTDATA SCHEMA DRIFT — $d")
+    }
     new java.io.File(outDir).mkdirs()
     // Optional local-iteration filter (the driver never sets this).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

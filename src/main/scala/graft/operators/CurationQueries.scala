@@ -82,6 +82,28 @@ object CurationQueries {
         col("doc_id") === min(when(col("qual_ok"), col("doc_id")))
           .over(Window.partitionBy(col("fp"))))
 
+  /** q100's content-addressed chunk manifest, unordered: funnel
+    * survivors (lang→quality→exact-dedup) split to the 32-token budget,
+    * each chunk hashed over its own token slice. Shared by q100 (plain
+    * manifest) and q121 (the manifest joined to the leakage-safe
+    * cluster-root split). One scan + one dedup window + one explode;
+    * chunk hashing is per-row. */
+  private[graft] def chunkManifest(s: SparkSession, d: String): DataFrame =
+    funnelFlags(tokenized(s, d))
+      .filter(col("keep_ok"))
+      .select(col("doc_id"), col("lang"), col("ts"),
+        size(col("ts")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("ts"), col("n_tokens"),
+        explode(expr("sequence(0, CAST(ceil(n_tokens / 32.0) AS INT) - 1)"))
+          .as("chunk_idx"))
+      .withColumn("chunk_tokens",
+        least(lit(32L), col("n_tokens") - col("chunk_idx") * 32L))
+      .withColumn("chunk_hash",
+        md5(concat_ws(" ",
+          expr("slice(ts, chunk_idx * 32 + 1, CAST(chunk_tokens AS INT))"))))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        col("lang"), col("chunk_hash"))
+
   private val shingle3 =
     "transform(sequence(0, size(ts) - 3), i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
 
@@ -757,6 +779,8 @@ object CurationQueries {
         GROUP BY 1 ORDER BY bucket""")),
 
     // ---- the capstone: a content-addressed training-set manifest.
+    //      Body shared with q121 (the split-keyed manifest) via
+    //      [[chunkManifest]].
     //      Funnel survivors (q91's lang→quality→dedup ladder) are
     //      chunked to the token budget (q98's split) and each chunk
     //      emits its token slice's md5 — the manifest a 100 TB run
@@ -764,24 +788,7 @@ object CurationQueries {
     //      window + one explode; chunk hashing is per-row.
     QueryDef(
       "q100_training_manifest",
-      (s, d) => {
-        val flagged = funnelFlags(tokenized(s, d))
-          .filter(col("keep_ok"))
-        flagged
-          .select(col("doc_id"), col("lang"), col("ts"),
-            size(col("ts")).cast("long").as("n_tokens"))
-          .select(col("doc_id"), col("lang"), col("ts"), col("n_tokens"),
-            explode(expr("sequence(0, CAST(ceil(n_tokens / 32.0) AS INT) - 1)"))
-              .as("chunk_idx"))
-          .withColumn("chunk_tokens",
-            least(lit(32L), col("n_tokens") - col("chunk_idx") * 32L))
-          .withColumn("chunk_hash",
-            md5(concat_ws(" ",
-              expr("slice(ts, chunk_idx * 32 + 1, CAST(chunk_tokens AS INT))"))))
-          .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
-            col("lang"), col("chunk_hash"))
-          .orderBy("doc_id", "chunk_idx")
-      },
+      (s, d) => chunkManifest(s, d).orderBy("doc_id", "chunk_idx"),
       Some("""WITH base AS (SELECT doc_id, lang,
             string_split_regex(lower(trim(text)), '\s+') AS ts,
             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp

@@ -544,6 +544,62 @@ object DedupQueries {
         FROM rooted ORDER BY doc_id"""),
       doc = "leakage-safe split: q109's hash split keyed by the q77 CC cluster root, so near-dup clusters never straddle splits"),
 
+    // ---- the end-to-end capstone: q100's content-addressed chunk
+    //      manifest KEYED BY q118's cluster-root split — the artifact a
+    //      training run actually consumes. q109 defines a split, q110
+    //      proves the naive one leaks, q118 fixes the assignment; this
+    //      query ships the fix into the manifest: every chunk carries
+    //      its doc's cluster root and the root's split, so near-dup
+    //      docs' chunks land in the same split BY CONSTRUCTION
+    //      (SplitsAndBinsSpec pins zero cross-split candidate pairs
+    //      over exactly this frame).
+    //      Scale: the manifest side is the q100 plan unchanged; the
+    //      assignment side is CC over the LSH edge list only; the glue
+    //      is ONE equi-join on doc_id — both sides shuffle-partition on
+    //      the same key, no broadcast needed, no new scan of the text.
+    QueryDef(
+      "q121_split_manifest",
+      (s, d) => CurationQueries.chunkManifest(s, d)
+        .join(clusterSplitAssignment(s, d)
+          .filter(col("doc_id") < 1000000L) // manifest docs are originals
+          .select(col("doc_id"), col("root"), col("split")),
+          Seq("doc_id"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""${oracleBandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                  UNION ALL SELECT doc_b, doc_a FROM cand),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach AS (SELECT node, node AS lbl FROM nodes
+                  UNION
+                  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+        cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+        rooted AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS root
+          FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+        mbase AS (SELECT doc_id, lang,
+            string_split_regex(lower(trim(text)), '\\s+') AS mts,
+            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        mf AS (SELECT doc_id, lang, mts, fp,
+            (lang IN ('en','es','fr','de') AND len(mts) >= 20
+              AND CAST(len(list_distinct(mts)) AS DOUBLE) / len(mts) >= 0.3) AS qual_ok
+          FROM mbase),
+        mk AS (SELECT doc_id, lang, mts, CAST(len(mts) AS BIGINT) AS n_tokens
+          FROM (SELECT *, (qual_ok AND doc_id = min(CASE WHEN qual_ok THEN doc_id END)
+              OVER (PARTITION BY fp)) AS keep_ok FROM mf) t
+          WHERE keep_ok)
+        SELECT mk.doc_id, CAST(u AS INT) AS chunk_idx,
+          least(32, n_tokens - u * 32) AS chunk_tokens, lang,
+          md5(array_to_string(mts[u * 32 + 1 : u * 32 + least(32, n_tokens - u * 32)], ' '))
+            AS chunk_hash,
+          r.root AS root, ${Splits.splitSql("r.root")} AS split
+        FROM mk
+        JOIN rooted r ON mk.doc_id = r.doc_id,
+        unnest(range(CAST(ceil(n_tokens / 32.0) AS BIGINT))) AS s(u)
+        ORDER BY mk.doc_id, chunk_idx"""),
+      doc = "leakage-safe training manifest: q100's chunk manifest joined to q118's cluster-root split assignment"),
+
     // ---- SimHash near-dup PAIR MINING: the Manku/Charikar pigeonhole
     //      scheme that turns "all pairs within Hamming distance d" into
     //      equi-joins. A 64-bit simhash (from per-token md5 nibbles) is

@@ -18,14 +18,21 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** Raw parquet schema: ts is INT64 TIMESTAMP(NANOS), read as long. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Raw parquet schema with `ts` as whatever physical type the files
+    * landed with. FileStreamSource needs an explicit schema, so probe
+    * the directory with a one-off batch footer read (cheap: no data
+    * scan) instead of hard-coding the generator's encoding — the
+    * testdata has shipped both INT64 TIMESTAMP(NANOS) and plain
+    * micro-precision TIMESTAMP across rounds. */
+  private def probeSchema(spark: SparkSession, path: String): StructType =
+    try spark.read.parquet(path).schema
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        // TIMESTAMP(NANOS) footer: the batch probe itself needs the
+        // legacy conf; after it, ts lands as LongType
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path).schema
+    }
 
   final case class Event(
       event_id: Long,
@@ -36,11 +43,14 @@ object EventsStreaming {
 
   final case class UserRunning(user_id: Long, n_events: Long, value_sum: Double)
 
-  /** Streaming source over an events parquet directory/file. */
+  /** Streaming source over an events parquet directory/file. The
+    * probed schema keeps the stream's physical read faithful to the
+    * files; [[graft.Tables.normalizeEventsTs]] then gives the exact
+    * batch-twin `ts` column regardless of encoding. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = probeSchema(spark, path)
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(path))
   }
 
   /** Tumbling 5-minute counts with a 10-minute watermark (late data

@@ -29,6 +29,30 @@ class ContractSpec extends SparkSpecBase {
     }
   }
 
+  test("testdata schemas match the pinned contract (drift names the column)") {
+    // Round-11 incident: the driver regenerated events.parquet with ts as
+    // TIMESTAMP(micros) instead of INT64 TIMESTAMP(NANOS) and 8 queries +
+    // 9 suites went red with one opaque analysis error. This pin makes
+    // the NEXT drift a single named diff.
+    Tables.assertSchemas(spark, "/root/testdata/sf0.001")
+  }
+
+  test("events reader normalizes both physical ts encodings identically") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_enc")
+    val micros = Tables.events(spark, "/root/testdata/sf0.001")
+    // re-encode ts as epoch *nanos* in a plain int64 column — the exact
+    // shape the nanosAsLong legacy path lands TIMESTAMP(NANOS) data in
+    micros.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val viaNanos = Tables.events(spark, dir.toString)
+    assert(viaNanos.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val a = micros.orderBy("event_id").collect()
+    val b = viaNanos.orderBy("event_id").collect()
+    assert(a.sameElements(b), "nanos-encoded ts must round-trip to identical rows")
+  }
+
   test("no oracle casts a decimal sum straight to double (1-ulp hazard)") {
     // DuckDB's decimal→double cast is off by 1 ulp past 2^53 unscaled;
     // the QueryDef rule is a VARCHAR round-trip — keep it machine-checked

@@ -29,6 +29,27 @@ class SplitsAndBinsSpec extends SparkSpecBase {
     } finally SparkEntry.releaseCaches(spark)
   }
 
+  test("q121 manifest is leakage-safe end-to-end: zero cross-split " +
+      "candidate pairs among manifest docs; one split per doc") {
+    val sf = "/root/testdata/sf0.001"
+    try {
+      val manifest = SparkEntry.queries("q121_split_manifest")(spark, sf)
+        .localCheckpoint()
+      // doc-level assignment as the manifest ships it
+      val docSplit = manifest.select("doc_id", "split").distinct()
+      // a doc's chunks all carry the same split
+      assert(docSplit.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+      // no candidate near-dup pair with both sides in the manifest
+      // straddles splits — the end-to-end leakage guarantee
+      assert(DedupQueries.splitLeakage(spark, sf, docSplit).count() == 0,
+        "q121 manifest leaked a candidate pair across splits")
+      // the manifest is exactly q100's chunk set (the split join drops
+      // and duplicates nothing)
+      val q100 = SparkEntry.queries("q100_training_manifest")(spark, sf)
+      assert(manifest.count() == q100.count())
+    } finally SparkEntry.releaseCaches(spark)
+  }
+
   test("hash split hits its 80/10/10 design ratios (md5 uniformity)") {
     val n = 20000L
     val dist = spark.range(n)
