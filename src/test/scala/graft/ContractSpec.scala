@@ -53,6 +53,21 @@ class ContractSpec extends SparkSpecBase {
     assert(a.sameElements(b), "nanos-encoded ts must round-trip to identical rows")
   }
 
+  test("releaseCaches frees localCheckpoint blocks (per-query sweep hygiene)") {
+    // the battery's q36/q77/q118/q121 family materializes indexes via
+    // localCheckpoint inside the query closure; Bench/Verify call
+    // releaseCaches between queries, and those blocks MUST actually go,
+    // or storage memory starves later queries across a 121-query sweep
+    val df = spark.range(1000).toDF("id").localCheckpoint(true)
+    df.count()
+    val ids = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.nonEmpty, "localCheckpoint did not register a persistent RDD")
+    SparkEntry.releaseCaches(spark)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.intersect(after).isEmpty,
+      s"releaseCaches left localCheckpoint blocks behind: ${ids.intersect(after)}")
+  }
+
   test("no oracle casts a decimal sum straight to double (1-ulp hazard)") {
     // DuckDB's decimal→double cast is off by 1 ulp past 2^53 unscaled;
     // the QueryDef rule is a VARCHAR round-trip — keep it machine-checked

@@ -75,6 +75,30 @@ class EventsStreamingSpec extends SparkSpecBase {
       .filter(col("n_events") =!= col("n")).count() == 0)
   }
 
+  test("streaming reader is encoding-adaptive: int64-nanos fixture " +
+      "streams identically to the micro-TIMESTAMP fixture") {
+    // stage a nanos-encoded twin of the same events (the shape the
+    // legacy nanosAsLong path lands TIMESTAMP(NANOS) data in) — both
+    // encodings must stream to the same rows through readEvents
+    val nanosDir = java.nio.file.Files.createTempDirectory("graft_events_nanos")
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .coalesce(1).write.parquet(s"$nanosDir/events.parquet")
+    // compare via the order-independent aggregate (window, type, n) —
+    // dedupFirstEvents keeps an arbitrary row per key, so its pick
+    // legitimately varies with file partitioning
+    val a = EventsStreaming.readEvents(spark, path)
+    EventsStreaming.runToMemory(
+      EventsStreaming.tumblingCounts(a), "enc_micros_out", "append")
+    val b = EventsStreaming.readEvents(spark, s"$nanosDir/events.parquet")
+    EventsStreaming.runToMemory(
+      EventsStreaming.tumblingCounts(b), "enc_nanos_out", "append")
+    val xa = spark.table("enc_micros_out").select("window", "event_type", "n")
+    val xb = spark.table("enc_nanos_out").select("window", "event_type", "n")
+    assert(xa.exceptAll(xb).count() == 0 && xb.exceptAll(xa).count() == 0,
+      "nanos-encoded stream diverged from the micro-TIMESTAMP stream")
+  }
+
   test("session window stream runs with watermark (append mode)") {
     val stream = EventsStreaming.readEvents(spark, path)
     EventsStreaming.runToMemory(
