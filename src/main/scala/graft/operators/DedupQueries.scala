@@ -171,11 +171,22 @@ object DedupQueries {
     * id for singletons), split by the SAME hash function as q109 —
     * exposed so SplitsAndBinsSpec audits the exact frame the query
     * emits. */
-  private[graft] def clusterSplitAssignment(s: SparkSession, d: String): DataFrame = {
+  private[graft] def clusterSplitAssignment(s: SparkSession, d: String): DataFrame =
+    clusterSplitAssignmentOf(s, d, variantCorpus(s, d))
+
+  /** [[clusterSplitAssignment]] restricted to an arbitrary subset of
+    * the corpus. Cluster labels are still computed over the FULL
+    * variant-corpus edge graph (a doc's root must not depend on which
+    * subset asks), but only `docs` is scanned for the assignment join —
+    * q121 passes the originals so the variant arm never reaches its
+    * scan (at 100 TB a `filter`-after-union formulation would dead-scan
+    * the whole variant side's id column before dropping every row). */
+  private[graft] def clusterSplitAssignmentOf(
+      s: SparkSession, d: String, docs: DataFrame): DataFrame = {
     val edges = candidatePairsFrom(sigIndex(s, d))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val cc = ConnectedComponents.run(edges)
-    variantCorpus(s, d).select("doc_id")
+    docs.select("doc_id")
       .join(cc.select(col("node").as("doc_id"), col("cluster")), Seq("doc_id"), "left")
       .withColumn("root", coalesce(col("cluster"), col("doc_id")))
       .select(col("doc_id"), col("root"), Splits.splitCol(col("root")).as("split"))
@@ -560,10 +571,9 @@ object DedupQueries {
     QueryDef(
       "q121_split_manifest",
       (s, d) => CurationQueries.chunkManifest(s, d)
-        .join(clusterSplitAssignment(s, d)
-          .filter(col("doc_id") < 1000000L) // manifest docs are originals
-          .select(col("doc_id"), col("root"), col("split")),
-          Seq("doc_id"))
+        // assignment over the originals only (manifest docs) — cluster
+        // roots still come from the full variant-corpus edge graph
+        .join(clusterSplitAssignmentOf(s, d, originalDocs(s, d)), Seq("doc_id"))
         .orderBy("doc_id", "chunk_idx"),
       Some(s"""${oracleBandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

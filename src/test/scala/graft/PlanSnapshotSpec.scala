@@ -39,7 +39,15 @@ class PlanSnapshotSpec extends SparkSpecBase {
     "q87_decontamination",
     // round-10 arrivals in the expensive tier
     "q113_simhash_hamming_pairs",
-    "q116_semantic_dedup")
+    "q116_semantic_dedup",
+    // round-11/12 arrivals in the expensive tier (q118/q121), plus the
+    // three r11-flagged queries that had no snapshot when their timing
+    // was disputed — shape pins make the next adjudication one diff
+    "q118_cluster_split",
+    "q121_split_manifest",
+    "q105_zorder_pruned_scan",
+    "q111_boilerplate_ngrams",
+    "q112_pmi_collocations")
 
   private val snapDir: Path = Paths.get("src", "test", "resources", "plans")
   private def bless: Boolean = sys.env.contains("SPARK_GRAFT_BLESS_PLANS")
