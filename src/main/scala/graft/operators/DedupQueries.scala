@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over `documents` (north-star LLM-pipeline
@@ -609,6 +610,70 @@ object DedupQueries {
         unnest(range(CAST(ceil(n_tokens / 32.0) AS BIGINT))) AS s(u)
         ORDER BY mk.doc_id, chunk_idx"""),
       doc = "leakage-safe training manifest: q100's chunk manifest joined to q118's cluster-root split assignment"),
+
+    // ---- cross-doc EXACT shared-span mining: the substring-dedup
+    //      primitive (Lee et al., "Deduplicating Training Data Makes
+    //      Language Models Better") — for every doc pair, the longest
+    //      run of tokens they share VERBATIM. q115 finds repeats within
+    //      a doc and q36/q113 score whole-doc similarity; this is the
+    //      span-level cross-doc statistic a substring-dedup pass
+    //      thresholds on. Mechanics: 8-token grams with positions form
+    //      an inverted index; the gram equi self-join yields (pair,
+    //      pos_a, pos_b) matches; a shared span of m tokens is exactly
+    //      m−7 consecutive matches at one offset (pos_a − pos_b), so a
+    //      row_number run-length collapse per (pair, offset) recovers
+    //      the exact span: span = run + 7.
+    //      Scale: inverted-index equi-join — never all-pairs; the
+    //      run-length window partitions by (pair, offset), bounded by
+    //      doc length, never global. At web scale the standard remedy
+    //      for hot grams (boilerplate) is a document-frequency cap on
+    //      the gram index before the join — same plan, one extra
+    //      semi-join prune.
+    QueryDef(
+      "q122_shared_span_pairs",
+      (s, d) => {
+        val grams = Tables.fanOut(variantCorpus(s, d))
+          .withColumn("ts", split(col("text"), "\\s+"))
+          .filter(size(col("ts")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(ts) - 8), i -> struct(i AS pos, concat_ws(' ', slice(ts, i + 1, 8)) AS gram))")).as("g"))
+          .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+          .localCheckpoint()
+        val matches = grams.select(col("gram"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+          .join(grams.select(col("gram"), col("doc_id").as("doc_b"), col("pos").as("pb")),
+            Seq("gram"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("diff", col("pa") - col("pb"))
+        val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diff"))
+          .orderBy(col("pa"))
+        matches
+          .withColumn("runkey", col("pa") - row_number().over(w))
+          .groupBy("doc_a", "doc_b", "diff", "runkey")
+          .agg((count(lit(1)) + 7).as("span"))
+          .groupBy("doc_a", "doc_b")
+          .agg(max(col("span")).as("max_shared_span"))
+          .filter(col("max_shared_span") >= 12)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id, trim(text) AS text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents),
+        tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM corpus),
+        grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+            array_to_string(ts[i + 1 : i + 8], ' ') AS gram
+          FROM tok, unnest(range(len(ts) - 7)) AS s(i) WHERE len(ts) >= 8),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        runs AS (SELECT doc_a, doc_b, pa - pb AS diff, pa,
+            pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS runkey
+          FROM m),
+        spans AS (SELECT doc_a, doc_b, CAST(count(*) + 7 AS BIGINT) AS span
+          FROM runs GROUP BY doc_a, doc_b, diff, runkey)
+        SELECT doc_a, doc_b, max(span) AS max_shared_span
+        FROM spans GROUP BY doc_a, doc_b
+        HAVING max(span) >= 12 ORDER BY doc_a, doc_b"""),
+      doc = "cross-doc exact shared-span mining: longest verbatim token run per pair via k-gram inverted-index join + run-length collapse"),
 
     // ---- SimHash near-dup PAIR MINING: the Manku/Charikar pigeonhole
     //      scheme that turns "all pairs within Hamming distance d" into
