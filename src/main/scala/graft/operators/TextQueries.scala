@@ -177,6 +177,36 @@ object TextQueries {
           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens
           FROM documents) t ORDER BY doc_id""")),
 
+    // ---- BPE tokenizer TRAINING primitive: one merge round's
+    //      weighted adjacent-pair count (Sennrich et al.) — the op a
+    //      distributed tokenizer-training job iterates: count every
+    //      adjacent symbol pair across the corpus weighted by word
+    //      frequency, take the top merge candidates. q69 measures
+    //      tokenization; this trains it. Scale: the word-frequency agg
+    //      collapses the corpus to vocabulary size FIRST, so the pair
+    //      explode runs over distinct words × word length, not corpus
+    //      tokens; the top-50 is a parallel TakeOrderedAndProject,
+    //      never a global sort of the pair table.
+    QueryDef(
+      "q123_bpe_merge_pairs",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wf"))
+        .filter(length(col("word")) >= 2)
+        .select(col("wf"), explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))")).as("pair"))
+        .groupBy("pair").agg(sum(col("wf")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(50),
+      Some("""WITH words AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents),
+        wf AS (SELECT word, count(*) AS wf FROM words GROUP BY word),
+        pairs AS (SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair, wf
+          FROM wf, unnest(range(1, length(word))) AS s(i) WHERE length(word) >= 2)
+        SELECT pair, CAST(sum(wf) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 50"""),
+      doc = "BPE training primitive: corpus-weighted adjacent-pair counts over the word-frequency table, top-50 merge candidates"),
+
     // ---- winnowing fingerprints (k-gram window-min — the standard
     //      rolling-hash document fingerprint). Shaped as
     //      posexplode → window-min → distinct agg so each k-gram hashes
