@@ -212,6 +212,53 @@ object CurationQueries {
         FROM tot LEFT JOIN ov ON tot.doc_id = ov.doc_id
         ORDER BY tot.doc_id""")),
 
+    // ---- the decontamination REPORT: the per-BENCHMARK-item leakage
+    //      summary an eval-integrity review actually reads (q87 flags
+    //      corpus docs; this answers "which benchmark items leaked,
+    //      how far"): per benchmark doc, its shingle count, how many
+    //      of its shingles appear anywhere in the corpus, how many
+    //      distinct corpus docs it touches, and total hit occurrences.
+    //      Completes the decontam family: flag (q87/q114) → excise
+    //      (q117/q120) → report (q124).
+    //      Scale: same broadcast-overlap join as q87 (benchmark side
+    //      small); once the held-out suite is corpus-sized the q120
+    //      bloom-prune path substitutes, same aggregation. Group-by is
+    //      benchmark-sized — trivially small output.
+    QueryDef(
+      "q124_contamination_report",
+      (s, d) => {
+        val sh = shingles(s, d).localCheckpoint()
+        val bench = sh.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"), col("sh"))
+        val corpus = sh.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id").as("corpus_id"), col("sh"))
+        val totals = bench.groupBy("bench_id")
+          .agg(count(lit(1)).as("n_bench_shingles"))
+        val hits = corpus.join(broadcast(bench), Seq("sh"))
+          .groupBy("bench_id")
+          .agg(countDistinct(col("sh")).as("n_leaked_shingles"),
+            countDistinct(col("corpus_id")).as("n_corpus_docs"),
+            count(lit(1)).as("n_hits"))
+        totals.join(hits, Seq("bench_id"), "left")
+          .na.fill(0L, Seq("n_leaked_shingles", "n_corpus_docs", "n_hits"))
+          .orderBy("bench_id")
+      },
+      Some(s"""$oracleShinglesCte,
+        bench AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 50 = 0),
+        corpus AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id % 50 <> 0),
+        tot AS (SELECT bench_id, count(*) AS n_bench_shingles FROM bench GROUP BY bench_id),
+        ov AS (SELECT bench_id, CAST(count(DISTINCT sh) AS BIGINT) AS n_leaked_shingles,
+            CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_corpus_docs,
+            count(*) AS n_hits
+          FROM corpus JOIN bench USING (sh) GROUP BY bench_id)
+        SELECT tot.bench_id, tot.n_bench_shingles,
+          coalesce(ov.n_leaked_shingles, 0) AS n_leaked_shingles,
+          coalesce(ov.n_corpus_docs, 0) AS n_corpus_docs,
+          coalesce(ov.n_hits, 0) AS n_hits
+        FROM tot LEFT JOIN ov ON tot.bench_id = ov.bench_id
+        ORDER BY tot.bench_id"""),
+      doc = "decontamination report: per-benchmark-item leakage summary — leaked shingles, touched corpus docs, hit totals"),
+
     // ---- decontamination, the HUGE-BENCHMARK path: q87 broadcasts the
     //      benchmark's distinct n-gram set as a hash relation — right
     //      while that set is driver-broadcastable, wrong once the held-
