@@ -81,9 +81,13 @@ object SpillProbe {
       rows.map(_.toString).sorted.foreach(s => md.update(s.getBytes("UTF-8")))
       val hash = md.digest().map(b => f"$b%02x").mkString
       // drain straggler task-end events before reading the counters —
-      // deterministic, unlike a fixed sleep
-      org.apache.spark.graftbridge.ListenerBridge
+      // deterministic, unlike a fixed sleep. waitUntilEmpty throws
+      // TimeoutException (10 s default) on a badly backlogged bus —
+      // exactly the condition a constrained probe can create — so fall
+      // back to the old settle-sleep rather than aborting the sweep
+      try org.apache.spark.graftbridge.ListenerBridge
         .waitUntilListenerBusEmpty(spark.sparkContext)
+      catch { case _: java.util.concurrent.TimeoutException => Thread.sleep(200) }
       println(f"SPILL $name%-28s sec=$sec%7.2f rows=${rows.length}%7d " +
         f"spillMemMB=${memSpilled.get / (1024 * 1024)}%6d " +
         f"spillDiskMB=${diskSpilled.get / (1024 * 1024)}%6d hash=$hash")

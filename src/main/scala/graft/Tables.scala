@@ -33,17 +33,26 @@ object Tables {
     * the landed dtype, and normalize to session-TZ TimestampType either
     * way so every downstream query and the DuckDB oracle see identical
     * micros (session TZ is UTC everywhere in this repo). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw =
-      try load(s, d, "events")
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          // TIMESTAMP(NANOS) footer: reread nanos as plain int64
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          load(s, d, "events")
-      }
-    normalizeEventsTs(raw)
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventsTs(loadEventsRaw(s, s"$d/events.parquet"))
+
+  /** Raw events load with the TIMESTAMP(NANOS) legacy fallback — ONE
+    * definition shared by the batch reader above and the streaming
+    * schema probe ([[graft.streaming.EventsStreaming]]), so the two
+    * paths cannot drift. The catch is narrowed to the illegal-NANOS
+    * footer error (verified live: `PARQUET_TYPE_ILLEGAL`); any other
+    * analysis failure (missing path, empty dir) propagates for the
+    * caller to handle. */
+  private[graft] def loadEventsRaw(s: SparkSession, path: String): DataFrame =
+    try s.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if String.valueOf(e.getMessage).contains("Illegal Parquet type") ||
+            String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
+        // TIMESTAMP(NANOS) footer: reread nanos as plain int64
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s.read.parquet(path)
+    }
 
   /** Normalize a loaded events frame's `ts` to TimestampType regardless
     * of the physical encoding it arrived in. */
@@ -115,7 +124,10 @@ object Tables {
         try {
           val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
           df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
-        } catch { case e: Exception => Seq("<unreadable>" -> e.getMessage.take(120)) }
+        } catch {
+          // String.valueOf: getMessage may be null (bare IOException)
+          case e: Exception => Seq("<unreadable>" -> String.valueOf(e.getMessage).take(120))
+        }
       val want = expectedSchemas(n)
       if (found == want) None
       else Some(

@@ -18,20 +18,32 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
+  /** Current-generation physical schema (`ts` as TIMESTAMP_NTZ, the
+    * micro-precision encoding the generator ships today) — the
+    * start-before-data fallback when the source directory has no
+    * footers to probe yet. */
+  private val defaultRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** Raw parquet schema with `ts` as whatever physical type the files
     * landed with. FileStreamSource needs an explicit schema, so probe
     * the directory with a one-off batch footer read (cheap: no data
     * scan) instead of hard-coding the generator's encoding — the
     * testdata has shipped both INT64 TIMESTAMP(NANOS) and plain
-    * micro-precision TIMESTAMP across rounds. */
+    * micro-precision TIMESTAMP across rounds. The NANOS legacy
+    * fallback lives in [[graft.Tables.loadEventsRaw]] (one definition
+    * with the batch reader); an EMPTY directory — the standard
+    * start-stream-before-data pattern — falls back to the
+    * current-generation schema instead of failing stream setup. */
   private def probeSchema(spark: SparkSession, path: String): StructType =
-    try spark.read.parquet(path).schema
+    try graft.Tables.loadEventsRaw(spark, path).schema
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        // TIMESTAMP(NANOS) footer: the batch probe itself needs the
-        // legacy conf; after it, ts lands as LongType
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(path).schema
+      case _: org.apache.spark.sql.AnalysisException => defaultRawSchema
     }
 
   final case class Event(

@@ -99,6 +99,26 @@ class EventsStreamingSpec extends SparkSpecBase {
       "nanos-encoded stream diverged from the micro-TIMESTAMP stream")
   }
 
+  test("stream can start before data arrives (empty source directory)") {
+    // the standard deployment pattern: the consumer starts first, files
+    // land later — schema probing must fall back, not fail setup
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft_events_empty")
+    val stream = EventsStreaming.readEvents(spark, emptyDir.toString)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType) // post-normalization
+    // and it processes data that arrives after stream definition —
+    // written in the current-generation physical encoding (ts NTZ
+    // micros) the fallback schema declares
+    Tables.events(spark, "/root/testdata/sf0.001").limit(100)
+      .withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+      .coalesce(1).write.mode("append")
+      .option("compression", "none").parquet(emptyDir.toString)
+    EventsStreaming.runToMemory(
+      stream.groupBy().count(), "late_data_out", "complete")
+    assert(spark.table("late_data_out").head().getLong(0) == 100L)
+  }
+
   test("session window stream runs with watermark (append mode)") {
     val stream = EventsStreaming.readEvents(spark, path)
     EventsStreaming.runToMemory(
