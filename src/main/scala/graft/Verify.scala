@@ -27,6 +27,12 @@ object Verify {
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
+    // a typo'd name silently verifying nothing wastes a whole iteration
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] SPARK_GRAFT_ONLY names no such query: ${unknown.mkString(", ")}")
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
