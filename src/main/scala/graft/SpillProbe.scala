@@ -38,7 +38,8 @@ object SpillProbe {
     "q37_dedup_jaccard_verify",
     "q77_dedup_clusters",
     "q102_incremental_dedup",
-    "q113_simhash_hamming_pairs")
+    "q113_simhash_hamming_pairs",
+    "q122_shared_span_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
