@@ -42,7 +42,19 @@ object Tables {
     * paths cannot drift. The catch is narrowed to the illegal-NANOS
     * footer error (verified live: `PARQUET_TYPE_ILLEGAL`); any other
     * analysis failure (missing path, empty dir) propagates for the
-    * caller to handle. */
+    * caller to handle.
+    *
+    * SESSION-WIDE SIDE EFFECT, deliberate: the NANOS fallback sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` on the shared session
+    * and leaves it set. Save/restore around the retry would be wrong —
+    * the returned frame is lazy and the conf is consulted again when
+    * the scan actually executes, so restoring it here would re-raise
+    * the NANOS error at action time. Consequence: after a NANOS-encoded
+    * events file is probed (including Verify's startup schemaDrift
+    * sweep), any OTHER NANOS-annotated parquet read in the same session
+    * also lands as int64 instead of erroring. Acceptable here because
+    * `events` is the only NANOS-prone table in the contract and
+    * [[normalizeEventsTs]] branches on the landed dtype either way. */
   private[graft] def loadEventsRaw(s: SparkSession, path: String): DataFrame =
     try s.read.parquet(path)
     catch {

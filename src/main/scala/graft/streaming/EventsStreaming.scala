@@ -39,11 +39,27 @@ object EventsStreaming {
     * fallback lives in [[graft.Tables.loadEventsRaw]] (one definition
     * with the batch reader); an EMPTY directory — the standard
     * start-stream-before-data pattern — falls back to the
-    * current-generation schema instead of failing stream setup. */
+    * current-generation schema instead of failing stream setup.
+    *
+    * Only the no-footers-to-probe conditions (empty dir / missing
+    * path / unable-to-infer) take the fallback; any other
+    * AnalysisException (corrupt footer, permissions) is a real error
+    * and rethrows, so failures surface at stream setup instead of as
+    * a later schema mismatch. Known limitation, by construction: if
+    * the directory is empty at stream start and the FIRST files to
+    * land are legacy INT64 TIMESTAMP(NANOS), the NTZ fallback schema
+    * is wrong and the stream fails at runtime — restart the stream
+    * once data exists (the probe then adapts). Pinned in
+    * EventsStreamingSpec. */
   private def probeSchema(spark: SparkSession, path: String): StructType =
     try graft.Tables.loadEventsRaw(spark, path).schema
     catch {
-      case _: org.apache.spark.sql.AnalysisException => defaultRawSchema
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null && (
+            e.getMessage.contains("Unable to infer schema") ||
+            e.getMessage.contains("Path does not exist") ||
+            e.getMessage.contains("empty")) =>
+        defaultRawSchema
     }
 
   final case class Event(

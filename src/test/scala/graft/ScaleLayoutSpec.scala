@@ -195,6 +195,33 @@ class ScaleLayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("q105 as declared prunes its layout: the query's own scan reads " +
+      "fewer files than the clustered layout holds") {
+    // The plan snapshot normalizes InMemoryFileIndex file counts (they
+    // vary with writer parallelism), so loss of pruning would no longer
+    // diff there — this pins the BEHAVIOR on the declared query itself
+    // (r12 ADVICE): q105 writes a 16-file z-layout and its quarter-range
+    // box must open a strict subset of those files.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // q105 aggregates, so AQE wraps its scan inside query stages —
+    // leaf nodes to a plain collect; recurse through them
+    def scanFiles(p: SparkPlan): Seq[Long] = p.collect {
+      case f: FileSourceScanExec => Seq(f.metrics("numFiles").value)
+      case a: AdaptiveSparkPlanExec => scanFiles(a.executedPlan)
+      case q: QueryStageExec => scanFiles(q.plan)
+    }.flatten
+    try {
+      val df = SparkEntry.queries("q105_zorder_pruned_scan")(spark, "/root/testdata/sf0.001")
+      assert(df.collect().nonEmpty)
+      val scans = scanFiles(df.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "q105 plan has no file scan to measure")
+      val filesRead = scans.sum
+      assert(filesRead > 0 && filesRead <= 8,
+        s"q105 read $filesRead files of its 16-file layout — pruning lost")
+    } finally SparkEntry.releaseCaches(spark)
+  }
+
   test("readBox on a FRESH layout returns a proven-empty relation for a " +
       "disjoint box (numFiles == 0), and still scans when the manifest is stale") {
     import graft.operators.ZOrder

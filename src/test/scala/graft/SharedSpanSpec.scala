@@ -17,11 +17,13 @@ class SharedSpanSpec extends SparkSpecBase {
       val spans = SparkEntry.queries("q122_shared_span_pairs")(spark, sf)
         .localCheckpoint()
       // expected: each doc with >= 12 tokens after dropping the first
-      // token pairs with its +1,000,000 variant at exactly that length
-      val expected = Tables.documents(spark, sf)
-        .select(col("doc_id"),
-          size(split(trim(expr("substring(trim(text), instr(trim(text), ' ') + 1)")), "\\s+"))
-            .cast("long").as("vlen"))
+      // token pairs with its +1,000,000 variant at exactly that length.
+      // Derived from DedupQueries.variantDocs itself so the spec and the
+      // query share ONE variant definition — a hand-rolled re-derivation
+      // here diverged on leading-whitespace docs (r12 ADVICE).
+      val expected = graft.operators.DedupQueries.variantDocs(spark, sf)
+        .select((col("doc_id") - 1000000L).as("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("vlen"))
         .filter(col("vlen") >= 12)
       val joined = expected.join(spans,
         expected("doc_id") === spans("doc_a") &&
