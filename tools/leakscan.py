@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Repo-side leak self-scan — regenerates LEAKCHECK.json WITH scan
+metadata (timestamp, file inventory, probe version) so each round's
+artifact is self-evidencing rather than a bare {round, hits} blob
+(round-11/12 advice): a fresh scan is now distinguishable from a
+hand-edited round bump by its scanned_at/files_scanned fields.
+
+Probe classes mirror the driver's: imports of non-public packages,
+non-public URLs/hosts, cloud bucket URIs, chat links, credential
+material, and suspicious internal-looking environment variables.
+Allowlisted: the Apache/Scala/test-framework namespaces this project
+builds on, placeholder domains (*.example, example.invalid, localhost),
+and public github.com/apache.org references.
+
+Usage: python3 tools/leakscan.py [round_number]
+Writes LEAKCHECK.json at the repo root and prints a one-line summary.
+"""
+import json
+import os
+import re
+import sys
+import datetime
+
+PROBE_VERSION = "graft-leakscan/1.0"
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCAN_DIRS = ["src", "tools"]
+SCAN_FILES = ["build.sbt", "Bench.scala", "Verify.scala"]
+EXTS = {".scala", ".py", ".sbt", ".java", ".sh", ".sql", ".conf", ".json"}
+
+ALLOWED_IMPORT_ROOTS = (
+    "org.apache", "scala", "java", "javax", "graft", "graftbridge",
+    "com.sun", "sun",  # JDK namespaces (test HTTP server)
+    "spark", "s", "session", "sparkSession",  # local-val member imports (spark.implicits._)
+    "org.scalatest", "org.scalacheck", "com.fasterxml", "org.slf4j",
+    "os", "re", "sys", "json", "glob", "math", "datetime", "struct",
+    "subprocess", "duckdb", "pyarrow", "pandas", "collections",
+    "hashlib", "argparse", "pathlib", "itertools", "functools",
+)
+ALLOWED_HOSTS = (
+    "github.com", "apache.org", "spark.apache.org", "localhost",
+    "127.0.0.1", "0.0.0.0",
+    "example.com", "api.example", "example.invalid", "www.w3.org",
+    "duckdb.org", "scala-lang.org", "scala-sbt.org", "arxiv.org",
+    "aclanthology.org", "en.wikipedia.org",
+)
+
+PROBES = {
+    "internal-import": re.compile(
+        r"^\s*import\s+([A-Za-z_][\w.]*)", re.MULTILINE),
+    "internal-url": re.compile(
+        r"https?://([A-Za-z0-9.-]+)"),
+    "internal-pkg2": re.compile(
+        r"\b(?:com|net|io)\.(?!fasterxml\b)[a-z][\w]*\.internal\b"),
+    "internal-bucket": re.compile(
+        r"\b(?:s3a?|gs|wasbs?|abfss?)://[\w.-]+"),
+    "slack-link": re.compile(
+        r"\b[\w-]+\.slack\.com|slack://|go/[a-z][\w-]{2,}\b"),
+    "api-key": re.compile(
+        r"\b(?:AKIA[0-9A-Z]{16}|ghp_[A-Za-z0-9]{36}|xox[baprs]-[\w-]{10,}|"
+        r"sk-[A-Za-z0-9]{32,}|AIza[0-9A-Za-z_-]{35})\b"),
+    "axon-env": re.compile(
+        r"\b(?!SPARK_|JAVA_|SBT_|COURSIER_|PATH\b|HOME\b|TMPDIR\b|USER\b|"
+        r"LANG\b|TZ\b|PYTHON)[A-Z][A-Z0-9]*_(?:INTERNAL|SECRET|PROD|CORP)"
+        r"[A-Z0-9_]*\b"),
+}
+
+
+def iter_files():
+    for d in SCAN_DIRS:
+        for dirpath, _, names in os.walk(os.path.join(ROOT, d)):
+            for n in sorted(names):
+                if os.path.splitext(n)[1] in EXTS:
+                    yield os.path.join(dirpath, n)
+    for f in SCAN_FILES:
+        p = os.path.join(ROOT, f)
+        if os.path.exists(p):
+            yield p
+
+
+def hit_ok(probe, match):
+    if probe == "internal-import":
+        # Capitalized first segment = a local object's members
+        # (MultimodalQueries._), not a reversed-domain package root.
+        if match[:1].isupper():
+            return True
+        return any(match == r or match.startswith(r + ".")
+                   for r in ALLOWED_IMPORT_ROOTS)
+    if probe == "internal-url":
+        # RFC 2606/6761 reserved TLDs are placeholders by definition.
+        if match == "example" or match.endswith(
+                (".example", ".invalid", ".test", ".localhost")):
+            return True
+        return any(match == h or match.endswith("." + h)
+                   for h in ALLOWED_HOSTS)
+    return False
+
+
+def main():
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    hits = {k: [] for k in PROBES}
+    n_files = 0
+    for path in iter_files():
+        n_files += 1
+        rel = os.path.relpath(path, ROOT)
+        if rel == os.path.join("tools", "leakscan.py"):
+            continue  # the probe definitions match themselves
+        try:
+            text = open(path, encoding="utf-8", errors="replace").read()
+        except OSError:
+            continue
+        for probe, rx in PROBES.items():
+            for m in rx.finditer(text):
+                frag = m.group(1) if m.groups() else m.group(0)
+                if not hit_ok(probe, frag):
+                    line = text.count("\n", 0, m.start()) + 1
+                    hits[probe].append(f"{rel}:{line}: {frag}")
+    out = {
+        "round": rnd,
+        "scanned_at": datetime.datetime.now(datetime.timezone.utc)
+            .isoformat(timespec="seconds"),
+        "probe_version": PROBE_VERSION,
+        "files_scanned": n_files,
+        "n_hits": sum(len(v) for v in hits.values()),
+        "hits": hits,
+    }
+    with open(os.path.join(ROOT, "LEAKCHECK.json"), "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(f"leakscan: {n_files} files, {out['n_hits']} hits "
+          f"({out['scanned_at']}, {PROBE_VERSION})")
+
+
+if __name__ == "__main__":
+    main()
