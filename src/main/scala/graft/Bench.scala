@@ -65,7 +65,17 @@ object Bench {
     // estimator of intrinsic plan cost under one-sided contention.
     // Per-pass times go to stderr so drift stays diagnosable.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // The forced post-pass collection exists so the ContextCleaner reaps
+    // broadcast blocks promptly (measured: without any forced GC a query
+    // following a 20-broadcast CC run degrades 4×) — but at 124 queries
+    // × (passes+1) collections it costs ~70 s of sweep wall-clock, all
+    // OUTSIDE the timed sections (dt is captured before releaseCaches).
+    // SPARK_GRAFT_GC_EVERY=N coarsens it to one collection per N
+    // queries (after the query's passes); default 1 keeps the historic
+    // per-pass behavior so minima stay comparable across rounds.
+    val gcEvery = math.max(1, sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "1").toInt)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), qi) =>
       val times = (1 to passes).map { _ =>
         val gc0 = gcMillis
         val t0 = System.nanoTime()
@@ -86,11 +96,11 @@ object Bench {
         // broadcast-variable blocks are reaped by the ContextCleaner only
         // after their weak refs are GC'd — with a 100+ GiB heap that can
         // take the whole sweep, so force the collection that lets the
-        // cleaner run now (measured: without this a query following a
-        // 20-broadcast CC run degrades 4×)
-        System.gc()
+        // cleaner run now
+        if (gcEvery == 1) System.gc()
         (dt, gcMillis - gc0, ok)
       }
+      if (gcEvery > 1 && qi % gcEvery == gcEvery - 1) System.gc()
       val good = times.filter(_._3).map(_._1)
       val failed = times.count(!_._3)
       // -1.0 = "no successful pass" sentinel: never a plausible timing,
@@ -161,8 +171,8 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
     val dw = new java.io.PrintWriter(detailFile, "UTF-8")
     try dw.println(
-      s"""{"sf":"$sfDir","warm":$warmed,"passes":$passes,"total_min_s":${fmt(total)},""" +
-        s""""rows":$detail}""")
+      s"""{"sf":"$sfDir","warm":$warmed,"passes":$passes,"gc_every":$gcEvery,""" +
+        s""""total_min_s":${fmt(total)},"rows":$detail}""")
     finally dw.close()
     // capped by BYTES, not entry count: pass lists scale with
     // SPARK_GRAFT_PASSES, and the whole line must survive the driver's
@@ -179,7 +189,7 @@ object Bench {
     // methodology fields: whether the JIT warm-up pass ran and how many
     // timed passes the per-query min covers — cross-round comparisons
     // must not silently mix cold and steady-state measurements
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes,"detail":"${detailFile.getName}"$spreadField$errField}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes,"gc_every":$gcEvery,"detail":"${detailFile.getName}"$spreadField$errField}""")
     spark.stop()
   }
 }
