@@ -335,6 +335,91 @@ object DedupQueries {
       FROM mh)"""
   }
 
+  /** q122/q128 core: exact cross-doc shared-span mining via the 8-gram
+    * inverted-index self-join + per-(pair, offset) run-length collapse.
+    * `dfCap = Some(c)` prunes grams appearing in more than `c` distinct
+    * documents BEFORE the self-join (one semi-join against the surviving
+    * gram set) — the web-scale hot-gram remedy, bounding the join's
+    * per-key fan-out at the cost of spans that run through boilerplate
+    * grams. `None` = exact over every gram (test-scale default). */
+  /** The positional 8-gram inverted index feeding [[sharedSpanPairs]],
+    * optionally DF-capped — separate so the cap's plan cost (exactly
+    * one semi-join) is assertable BEFORE the checkpoint truncates the
+    * lineage (SharedSpanSpec). */
+  private[graft] def spanGramIndex(
+      s: SparkSession, d: String, dfCap: Option[Int]): DataFrame = {
+    val rawGrams = Tables.fanOut(variantCorpus(s, d))
+      .withColumn("ts", split(col("text"), "\\s+"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ts) - 8), i -> struct(i AS pos, concat_ws(' ', slice(ts, i + 1, 8)) AS gram))")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    dfCap match {
+      case Some(cap) =>
+        // kept-gram set, then ONE left-semi prune of the index. The
+        // aggregation reuses the index's own (gram) shuffle key, and
+        // pruning happens before the checkpoint so both join sides and
+        // the verify read the already-thinned index.
+        val kept = rawGrams.groupBy("gram")
+          .agg(count_distinct(col("doc_id")).as("df"))
+          .filter(col("df") <= cap)
+          .select("gram")
+        rawGrams.join(kept, Seq("gram"), "left_semi")
+      case None => rawGrams
+    }
+  }
+
+  private[graft] def sharedSpanPairs(
+      s: SparkSession, d: String, dfCap: Option[Int]): DataFrame = {
+    val grams = spanGramIndex(s, d, dfCap).localCheckpoint()
+    val matches = grams.select(col("gram"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(grams.select(col("gram"), col("doc_id").as("doc_b"), col("pos").as("pb")),
+        Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("diff", col("pa") - col("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diff"))
+      .orderBy(col("pa"))
+    matches
+      .withColumn("runkey", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diff", "runkey")
+      .agg((count(lit(1)) + 7).as("span"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("span")).as("max_shared_span"))
+      .filter(col("max_shared_span") >= 12)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB oracle twin of [[sharedSpanPairs]]; the cap is mirrored as
+    * the same kept-gram semi-join so capped semantics hash-verify. */
+  private[graft] def sharedSpanSql(dfCap: Option[Int]): String = {
+    val gramSource = dfCap match {
+      case Some(cap) => s"""
+        kept AS (SELECT gram FROM grams0
+          GROUP BY gram HAVING count(DISTINCT doc_id) <= $cap),
+        grams AS (SELECT g.* FROM grams0 g JOIN kept USING (gram)),"""
+      case None => """
+        grams AS (SELECT * FROM grams0),"""
+    }
+    s"""WITH corpus AS (
+        SELECT doc_id, trim(text) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents),
+      tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM corpus),
+      grams0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          array_to_string(ts[i + 1 : i + 8], ' ') AS gram
+        FROM tok, unnest(range(len(ts) - 7)) AS s(i) WHERE len(ts) >= 8),$gramSource
+      m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      runs AS (SELECT doc_a, doc_b, pa - pb AS diff, pa,
+          pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS runkey
+        FROM m),
+      spans AS (SELECT doc_a, doc_b, CAST(count(*) + 7 AS BIGINT) AS span
+        FROM runs GROUP BY doc_a, doc_b, diff, runkey)
+      SELECT doc_a, doc_b, max(span) AS max_shared_span
+      FROM spans GROUP BY doc_a, doc_b
+      HAVING max(span) >= 12 ORDER BY doc_a, doc_b"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: content-hash groupBy (one shuffle on the hash)
@@ -631,49 +716,25 @@ object DedupQueries {
     //      semi-join prune.
     QueryDef(
       "q122_shared_span_pairs",
-      (s, d) => {
-        val grams = Tables.fanOut(variantCorpus(s, d))
-          .withColumn("ts", split(col("text"), "\\s+"))
-          .filter(size(col("ts")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(0, size(ts) - 8), i -> struct(i AS pos, concat_ws(' ', slice(ts, i + 1, 8)) AS gram))")).as("g"))
-          .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-          .localCheckpoint()
-        val matches = grams.select(col("gram"), col("doc_id").as("doc_a"), col("pos").as("pa"))
-          .join(grams.select(col("gram"), col("doc_id").as("doc_b"), col("pos").as("pb")),
-            Seq("gram"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("diff", col("pa") - col("pb"))
-        val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diff"))
-          .orderBy(col("pa"))
-        matches
-          .withColumn("runkey", col("pa") - row_number().over(w))
-          .groupBy("doc_a", "doc_b", "diff", "runkey")
-          .agg((count(lit(1)) + 7).as("span"))
-          .groupBy("doc_a", "doc_b")
-          .agg(max(col("span")).as("max_shared_span"))
-          .filter(col("max_shared_span") >= 12)
-          .orderBy("doc_a", "doc_b")
-      },
-      Some("""WITH corpus AS (
-          SELECT doc_id, trim(text) AS text FROM documents
-          UNION ALL
-          SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents),
-        tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM corpus),
-        grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-            array_to_string(ts[i + 1 : i + 8], ' ') AS gram
-          FROM tok, unnest(range(len(ts) - 7)) AS s(i) WHERE len(ts) >= 8),
-        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-        runs AS (SELECT doc_a, doc_b, pa - pb AS diff, pa,
-            pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS runkey
-          FROM m),
-        spans AS (SELECT doc_a, doc_b, CAST(count(*) + 7 AS BIGINT) AS span
-          FROM runs GROUP BY doc_a, doc_b, diff, runkey)
-        SELECT doc_a, doc_b, max(span) AS max_shared_span
-        FROM spans GROUP BY doc_a, doc_b
-        HAVING max(span) >= 12 ORDER BY doc_a, doc_b"""),
+      (s, d) => sharedSpanPairs(s, d, dfCap = None),
+      Some(sharedSpanSql(dfCap = None)),
       doc = "cross-doc exact shared-span mining: longest verbatim token run per pair via k-gram inverted-index join + run-length collapse"),
+
+    // ---- the web-scale remedy from q122's scale note, EXECUTABLE: the
+    //      same span mining with the hot-gram document-frequency cap ON
+    //      (df ≤ 4 here, so the fixture's boilerplate grams actually
+    //      trip it). The cap is one semi-join pruning the gram index
+    //      before the self-join — at web scale it bounds the join's
+    //      per-key fan-out by construction (a gram in df docs yields
+    //      ≤ df² match rows), trading spans that run THROUGH boilerplate
+    //      grams for a hard cap on the hot-key blowup. The oracle
+    //      mirrors the cap, so the capped semantics are hash-verified,
+    //      not aspirational.
+    QueryDef(
+      "q128_shared_span_capped",
+      (s, d) => sharedSpanPairs(s, d, dfCap = Some(4)),
+      Some(sharedSpanSql(dfCap = Some(4))),
+      doc = "q122's span mining with the hot-gram DF cap enabled: one semi-join prunes grams in > 4 docs before the inverted-index join"),
 
     // ---- SimHash near-dup PAIR MINING: the Manku/Charikar pigeonhole
     //      scheme that turns "all pairs within Hamming distance d" into

@@ -36,6 +36,37 @@ class SharedSpanSpec extends SparkSpecBase {
     } finally SparkEntry.releaseCaches(spark)
   }
 
+  test("DF cap: a non-tripping cap is row-identical to uncapped, and the " +
+      "capped plan adds exactly one semi-join") {
+    import graft.operators.DedupQueries
+    try {
+      // no gram in the fixture reaches df=1,000,000, so the capped
+      // variant must reproduce the exact result — the cap only ever
+      // REMOVES hot grams, never changes surviving spans
+      val uncapped = DedupQueries.sharedSpanPairs(spark, sf, dfCap = None)
+      val capped = DedupQueries.sharedSpanPairs(spark, sf, dfCap = Some(1000000))
+      assert(capped.exceptAll(uncapped).count() == 0)
+      assert(uncapped.exceptAll(capped).count() == 0)
+      // the remedy's plan cost is ONE LeftSemi prune of the gram index
+      // (asserted on the pre-checkpoint index — the checkpoint truncates
+      // lineage, so the final query's plan can't show it)
+      val cappedIdx = DedupQueries.spanGramIndex(spark, sf, dfCap = Some(4))
+        .queryExecution.optimizedPlan.toString
+      val plainIdx = DedupQueries.spanGramIndex(spark, sf, dfCap = None)
+        .queryExecution.optimizedPlan.toString
+      assert(cappedIdx.contains("LeftSemi"), cappedIdx)
+      val extra = "(?i)join".r.findAllIn(cappedIdx).size -
+        "(?i)join".r.findAllIn(plainIdx).size
+      assert(extra == 1, s"DF cap should add exactly one semi-join, added $extra")
+      // and the declared q128 cap (df <= 4) actually TRIPS on the
+      // fixture: strictly fewer pairs than exact — the remedy is
+      // exercised, not dormant (the oracle hash-verifies its values)
+      val exact = uncapped.count()
+      val cappedN = SparkEntry.queries("q128_shared_span_capped")(spark, sf).count()
+      assert(cappedN < exact, s"cap df<=4 never tripped: $cappedN vs $exact pairs")
+    } finally SparkEntry.releaseCaches(spark)
+  }
+
   test("q122 finds no phantom pairs: every reported pair shares a verbatim 8-gram") {
     try {
       val spans = SparkEntry.queries("q122_shared_span_pairs")(spark, sf)
