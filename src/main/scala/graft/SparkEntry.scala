@@ -41,7 +41,8 @@ object SparkEntry {
       operators.ConnectorQueries.defs ++
       operators.CurationQueries.defs ++
       operators.ZOrder.defs ++
-      operators.KMeans.defs
+      operators.KMeans.defs ++
+      operators.BpeTrain.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
