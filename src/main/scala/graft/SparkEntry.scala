@@ -42,7 +42,8 @@ object SparkEntry {
       operators.CurationQueries.defs ++
       operators.ZOrder.defs ++
       operators.KMeans.defs ++
-      operators.BpeTrain.defs
+      operators.BpeTrain.defs ++
+      operators.ProductQuantization.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search") — the compression tier a 100 TB vector
+  * corpus actually ships: each 64-dim vector is encoded as m=8 codes
+  * (one byte each — 8× smaller than the int8 scalar tier q94 proves,
+  * 32× smaller than float32),
+  * and query-time search is Asymmetric Distance Computation: one
+  * per-query lookup table of (subspace × codeword) partial distances,
+  * then distance(q, x) = Σ_j LUT[j][code_j(x)] — an EQUI-JOIN of the
+  * stored codes against the tiny LUT, never a scan of raw vectors.
+  *
+  * Exact-integer arithmetic end-to-end (the q94 lesson: fp dot products
+  * diverge between engines in the last ulp; integers never do): vectors
+  * enter the same per-dim [0,255] integer grid as q94, and every
+  * distance here — encode, LUT, exact ground truth — is a sum of
+  * squared INTEGER differences, bit-identical in Spark and DuckDB.
+  *
+  * Codebooks are FIXED and deterministic (like q90's codebook
+  * centroids): subspace j's 256 codewords are the j-th subvectors of
+  * the vectors with vec_id < 256. A production system k-means-trains
+  * them (q106 is that loop); the PQ mechanics — encode, ADC, recall —
+  * are identical either way and that is what this query pins.
+  *
+  * Scale shape: encode is one broadcast join of n·m subvector rows
+  * against the m×256-row codebook (O(n·m·256) integer ops — the
+  * irreducible PQ encode cost, embarrassingly parallel); ADC is one
+  * broadcast equi-join on (subspace, code) + a sum aggregation —
+  * bytes-per-vector I/O, the whole point of PQ; the exact-L2 audit is
+  * the only probes×n pass and exists to measure recall in-query.
+  */
+object ProductQuantization {
+
+  private[operators] val M = 8
+  private[operators] val SubDim = 8 // 64 / M
+  private[operators] val CodebookSize = 256
+  private[operators] val K = 5
+  // ADC retrieves a SHORTLIST, exact distance re-ranks it — the
+  // standard IVFPQ serving shape: the byte tier prunes the corpus 10×+,
+  // the full-precision (here: int-grid) tier touches only the shortlist
+  // via an equi-join fetch. Untrained codebooks put the true top-5 in
+  // the ADC top-200 far more reliably than in the ADC top-5
+  // (measured at sf0.1: ADC-only recall@5 ≈ 0.45; reranked ≈ 0.94);
+  // re-ranking recovers it at 200/n of the exact pass's cost.
+  private[operators] val Shortlist = 200
+
+  /** Integer sum of squared differences of two int arrays — BIGINT
+    * accumulate so the per-element product can never overflow. */
+  private def sqDist(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x - y AS BIGINT) * (x - y)), " +
+      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** q94's per-dim [0,255] integer grid: (vec_id, qv: array<int>). */
+  private[graft] def intGrid(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val stats = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mins"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("maxs"))
+    val q8 = "transform(sequence(0, size(emb) - 1), i -> CAST(CASE " +
+      "WHEN maxs[i] > mins[i] THEN round((emb[i] - mins[i]) / (maxs[i] - mins[i]) * 255) " +
+      "ELSE 0 END AS INT))"
+    e.crossJoin(broadcast(stats)).select(col("vec_id"), expr(q8).as("qv"))
+  }
+
+  /** The full PQ round-trip: encode, ADC top-k, exact-integer-L2
+    * recall audit. Output: one row per (probe, ADC rank). */
+  private[graft] def pqSearch(s: SparkSession, d: String): DataFrame = {
+    // grid / subvectors materialized once: encode, LUT, and the exact
+    // audit all read the stored blocks (production stores the codes)
+    val grid = intGrid(s, d).localCheckpoint()
+    val subs = grid.select(col("vec_id"), explode(expr(
+      s"transform(sequence(0, ${M - 1}), j -> struct(j AS j, slice(qv, j * $SubDim + 1, $SubDim) AS sub))")).as("x"))
+      .select(col("vec_id"), col("x.j").as("j"), col("x.sub").as("sub"))
+      .localCheckpoint()
+    val cw = subs.filter(col("vec_id") < CodebookSize)
+      .select(col("j"), col("vec_id").as("cw_id"), col("sub").as("cwv"))
+    // encode: nearest codeword per (vector, subspace); ties by cw_id
+    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("dist").asc, col("cw_id").asc)
+    val codes = subs.join(broadcast(cw), Seq("j"))
+      .withColumn("dist", expr(sqDist("sub", "cwv")))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("cw_id").as("code"))
+      .localCheckpoint()
+    // per-probe ADC lookup table: (query, subspace, codeword) partials
+    val lut = subs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("j"), col("sub").as("qsub"))
+      .join(broadcast(cw), Seq("j"))
+      .select(col("query_id"), col("j"), col("cw_id"),
+        expr(sqDist("qsub", "cwv")).as("pd"))
+    // ADC: codes ⋈ LUT on (subspace, code) — the byte-tier search
+    val adc = codes.join(broadcast(lut),
+        codes("j") === lut("j") && codes("code") === lut("cw_id") &&
+          codes("vec_id") =!= lut("query_id"))
+      .groupBy(col("query_id"), codes("vec_id").as("vec_id"))
+      .agg(sum(col("pd")).as("adc_dist"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val shortlist = adc.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= Shortlist)
+    val probes = grid.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("pqv"))
+    // re-rank: fetch ONLY the shortlisted vectors (equi-join on
+    // vec_id — at scale a point-lookup tier), exact integer L2
+    val wRr = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("vec_id").asc)
+    val reranked = shortlist
+      .join(grid, Seq("vec_id"))
+      .join(broadcast(probes), Seq("query_id"))
+      .withColumn("l2", expr(sqDist("pqv", "qv")))
+      .withColumn("rank", row_number().over(wRr))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("adc_dist"), col("l2"))
+    // exact ground truth on the SAME integer grid (the metric ADC
+    // approximates), probes broadcast over the stored grid — the audit
+    val exact = broadcast(probes)
+      .join(grid, col("vec_id") =!= col("query_id"))
+      .withColumn("l2", expr(sqDist("pqv", "qv")))
+    val wEx = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("vec_id").asc)
+    val exactTop = exact.withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("vec_id"), lit(1).as("in_exact"))
+    val wq = Window.partitionBy(col("query_id"))
+    reranked.join(exactTop, Seq("query_id", "vec_id"), "left")
+      .withColumn("in_exact", coalesce(col("in_exact"), lit(0)))
+      .withColumn("recall_hits", sum(col("in_exact")).over(wq).cast("int"))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("adc_dist"), col("l2"), col("in_exact"), col("recall_hits"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def oracleSql: String = {
+    def sq(a: String, b: String, n: Int): String =
+      s"CAST(list_sum(list_transform(range($n), " +
+        s"i -> CAST($a[i+1] - $b[i+1] AS BIGINT) * ($a[i+1] - $b[i+1]))) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      x AS (SELECT vec_id, unnest(list_transform(range(len(emb)),
+          i -> {'dim': i, 'v': emb[i+1]})) AS u FROM e),
+      st AS (SELECT u.dim AS dim, min(u.v) AS mn, max(u.v) AS mx FROM x GROUP BY u.dim),
+      cb AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM st),
+      grid AS (SELECT vec_id, list_transform(range(len(emb)), i -> CAST(CASE
+          WHEN maxs[i+1] > mins[i+1]
+          THEN round((emb[i+1] - mins[i+1]) / (maxs[i+1] - mins[i+1]) * 255)
+          ELSE 0 END AS INT)) AS qv
+        FROM e, cb),
+      subs AS (SELECT vec_id, j, qv[j * $SubDim + 1 : j * $SubDim + $SubDim] AS sub
+        FROM grid, unnest(range($M)) AS s(j)),
+      cw AS (SELECT j, vec_id AS cw_id, sub AS cwv FROM subs WHERE vec_id < $CodebookSize),
+      enc AS (SELECT s.vec_id, s.j, c.cw_id, ${sq("s.sub", "c.cwv", SubDim)} AS dist
+        FROM subs s JOIN cw c ON s.j = c.j),
+      codes AS (SELECT vec_id, j, cw_id AS code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cw_id) AS rn
+          FROM enc) t WHERE rn = 1),
+      lut AS (SELECT s.vec_id AS query_id, s.j, c.cw_id, ${sq("s.sub", "c.cwv", SubDim)} AS pd
+        FROM subs s JOIN cw c ON s.j = c.j WHERE s.vec_id % 100 = 0),
+      adc AS (SELECT l.query_id, co.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc_dist
+        FROM codes co JOIN lut l ON co.j = l.j AND co.code = l.cw_id
+        WHERE co.vec_id <> l.query_id
+        GROUP BY l.query_id, co.vec_id),
+      short AS (SELECT query_id, vec_id, adc_dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+          FROM adc) t WHERE rn <= $Shortlist),
+      rr AS (SELECT s.query_id, CAST(rn AS INT) AS rank, s.vec_id, s.adc_dist, l2 FROM (
+          SELECT s.*, ${sq("p.qv", "g.qv", M * SubDim)} AS l2,
+            row_number() OVER (PARTITION BY s.query_id
+              ORDER BY ${sq("p.qv", "g.qv", M * SubDim)}, s.vec_id) AS rn
+          FROM short s
+          JOIN grid g ON s.vec_id = g.vec_id
+          JOIN grid p ON s.query_id = p.vec_id) s WHERE rn <= $K),
+      exact AS (SELECT p.vec_id AS query_id, g.vec_id, ${sq("p.qv", "g.qv", M * SubDim)} AS l2
+        FROM grid p JOIN grid g ON g.vec_id <> p.vec_id
+        WHERE p.vec_id % 100 = 0),
+      exacttop AS (SELECT query_id, vec_id, 1 AS in_exact FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY l2, vec_id) AS rn
+          FROM exact) t WHERE rn <= $K)
+      SELECT query_id, rank, a.vec_id, adc_dist, l2,
+        coalesce(in_exact, 0) AS in_exact,
+        CAST(sum(coalesce(in_exact, 0)) OVER (PARTITION BY query_id) AS INT) AS recall_hits
+      FROM rr a LEFT JOIN exacttop e2 USING (query_id, vec_id)
+      ORDER BY query_id, rank"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q126_ann_pq_adc",
+      (s, d) => pqSearch(s, d),
+      Some(oracleSql),
+      doc = s"product-quantization ANN: m=$M×$SubDim-dim subspaces, $CodebookSize-entry fixed codebooks, ADC top-$K via (subspace, code) equi-join, exact-integer-L2 recall audit in-query"))
+}

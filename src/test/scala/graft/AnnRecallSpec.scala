@@ -105,6 +105,29 @@ class AnnRecallSpec extends SparkSpecBase {
       s"multi-cell recall $multi fell below the single-cell baseline $single")
   }
 
+  test("q126 PQ+ADC+rerank recovers planted twins (recall >= 0.9) and " +
+      "its in-query exact-top5 recall holds the floor (>= 4/5 per probe at sf0.01)") {
+    // planted corpus: the twin (cosine ≈ 1 − ε) must survive the byte
+    // tier (ADC shortlist) and win the exact rerank
+    val found = SparkEntry.queries("q126_ann_pq_adc")(spark, plantedDir)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    SparkEntry.releaseCaches(spark)
+    val hits = plantedQueries.count(q =>
+      found.getOrElse(q, Set.empty).contains(q + 100000L))
+    val r = hits.toDouble / plantedQueries.size
+    assert(r >= 0.9, s"q126 twin recall $r < 0.9")
+    // and the in-query audit on the raw sf0.01 corpus: every probe's
+    // reranked top-5 recovers >= 4 of the exact top-5 (measured 5/5;
+    // floor leaves slack for generator drift, not for regressions)
+    val recalls = SparkEntry.queries("q126_ann_pq_adc")(spark, "/root/testdata/sf0.01")
+      .select("query_id", "recall_hits").collect()
+      .map(r2 => (r2.getLong(0), r2.getInt(1))).toMap
+    SparkEntry.releaseCaches(spark)
+    assert(recalls.nonEmpty && recalls.values.forall(_ >= 4),
+      s"q126 in-query recall floor broken: $recalls")
+  }
+
   test("q81 recovers the planted near-dup pair set (recall >= 0.9, exact precision)") {
     val expected = plantedQueries // every %100 id is also %10
     val allPlantedPairs = Tables.embeddings(spark, "/root/testdata/sf0.01")

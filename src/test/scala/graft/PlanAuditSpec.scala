@@ -344,6 +344,20 @@ class PlanAuditSpec extends SparkSpecBase {
     SparkEntry.releaseCaches(spark)
   }
 
+  test("q126: PQ serving path is equi-join shaped — ADC joins codes to " +
+      "the LUT by (subspace, code), the rerank fetches by vec_id; the " +
+      "only nested-loop is the bounded probe-side audit") {
+    val plan = executed("q126_ann_pq_adc")
+    SparkEntry.releaseCaches(spark)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ADC join and the shortlist fetch are hash equi-joins
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // nested-loop appears ONLY with the probe set as its bounded build
+    // side (the exact-recall audit + probe attach, q78's pattern)
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj):\n$plan")
+  }
+
   test("no query in the battery plans a non-broadcast cartesian product") {
     // the blanket 100 TB invariant: a CartesianProduct materializes
     // |L|×|R| with NO bounded build side — at scale that's a dead job
