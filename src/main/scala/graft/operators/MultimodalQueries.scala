@@ -368,6 +368,132 @@ object MultimodalQueries {
       .select(col("doc_id"), col("frame_idx"),
         substring(col("payload"), col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
 
+  // ---------------------------------------------------------------
+  // perceptual hashing: dHash over decoded BMP pixels (q127)
+  // ---------------------------------------------------------------
+
+  /** Grid dHash over a BMP payload: sample a 9×8 nearest-neighbor grid
+    * of integer lumas (299R+587G+114B, undivided — stays integer) from
+    * the DECODED pixel array, set bit j·8+i when the right neighbor is
+    * brighter. Returned as 4 × 16-bit blocks (q113's representation:
+    * per-block int xor/bit_count is exact and sign-safe everywhere,
+    * a composed signed 64-bit value is not). Grid rows follow STORED
+    * row order (BMP is bottom-up on screen — a uniform vertical flip,
+    * irrelevant to dedup). Nearest-neighbor sampling, not
+    * interpolation: engine-exact, and for thumbnails the standard
+    * fidelity trade. */
+  def bmpDHashBlocks(p: Array[Byte]): Array[Int] = {
+    require(asciiAt(p, 0, "BM"), "not a BMP")
+    val pix = rdLe32(p, 10)
+    val w = math.abs(rdLe32(p, 18)); val h = math.abs(rdLe32(p, 22))
+    val rowSizeL = (w.toLong * 3 + 3) / 4 * 4
+    require(w > 0 && h > 0 && pix >= 54 && pix < p.length &&
+      rowSizeL <= p.length - pix &&
+      h.toLong <= (p.length - pix) / rowSizeL, "malformed BMP: pixel array overruns payload")
+    val rowSize = rowSizeL.toInt
+    def luma(x: Int, y: Int): Int = {
+      val o = pix + y * rowSize + 3 * x
+      299 * (p(o + 2) & 0xff) + 587 * (p(o + 1) & 0xff) + 114 * (p(o) & 0xff)
+    }
+    val blocks = new Array[Int](4)
+    var j = 0
+    while (j < 8) {
+      val y = j * h / 8
+      var i = 0
+      while (i < 8) {
+        if (luma((i + 1) * w / 9, y) > luma(i * w / 9, y)) {
+          val bit = j * 8 + i
+          blocks(bit / 16) |= 1 << (bit % 16)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    blocks
+  }
+
+  /** Image corpus with planted near-duplicates: every image doc
+    * (doc_id % 3 == 0) plus a twin (doc_id + 1,000,000) — an exact
+    * byte copy for doc_id % 6 == 0, otherwise the first pixel's blue
+    * byte nudged +8 (flips ≤ 2 dHash bits: only comparisons crossing
+    * the perturbed grid cell can change). The multimodal analogue of
+    * the dedup family's variant corpus — ground truth derived purely
+    * from the driver tables. */
+  def imageCorpusWithTwins(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").where("doc_id % 3 = 0").rdd.mapPartitions(_.flatMap { r =>
+      val id = r.getLong(0)
+      val orig = bmpBytes((4 + id % 16).toInt, (4 + (id / 3) % 16).toInt, id)
+      val twin = orig.clone()
+      if (id % 6 != 0) twin(54) = (((twin(54) & 0xff) + 8) & 0xff).toByte
+      Seq(Row(id, orig), Row(id + 1000000L, twin))
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private val dhashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("h0", IntegerType, nullable = false),
+    StructField("h1", IntegerType, nullable = false),
+    StructField("h2", IntegerType, nullable = false),
+    StructField("h3", IntegerType, nullable = false)))
+
+  /** Per-partition decode→hash: payload bytes in, 4 block ints out —
+    * the narrow map where pixels die; only 8 bytes/image shuffle. */
+  def dhashFrame(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val rdd = corpus.select("doc_id", "payload").rdd.mapPartitions(_.map { r =>
+      val b = bmpDHashBlocks(r.getAs[Array[Byte]]("payload"))
+      Row(r.getLong(0), b(0), b(1), b(2), b(3))
+    })
+    spark.createDataFrame(rdd, dhashSchema)
+  }
+
+  /** The closed-form dHash oracle: recomputes every block from the
+    * synthesis formula (payload byte at pixel-array offset o is
+    * ((doc_id + o) · 31) & 255, twin perturbation as a CASE), so the
+    * Spark side's REAL byte-decode path must agree bit-for-bit. */
+  private def q127OracleSql: String =
+    """WITH imgs AS (
+        SELECT doc_id AS oid, v,
+          doc_id + CASE WHEN v = 1 THEN 1000000 ELSE 0 END AS doc_id,
+          4 + doc_id % 16 AS w, 4 + (doc_id // 3) % 16 AS h,
+          ((4 + doc_id % 16) * 3 + 3) // 4 * 4 AS row_size
+        FROM documents, (VALUES (0), (1)) t(v) WHERE doc_id % 3 = 0),
+      grid AS (
+        SELECT doc_id, oid, v, w, h, row_size, j, i,
+          (i * w) // 9 AS x, (j * h) // 8 AS y
+        FROM imgs, unnest(range(8)) tj(j), unnest(range(9)) ti(i)),
+      lum AS (
+        SELECT doc_id, j, i,
+          299 * (((oid + y * row_size + 3 * x + 2) * 31) & 255)
+          + 587 * (((oid + y * row_size + 3 * x + 1) * 31) & 255)
+          + 114 * (CASE WHEN v = 1 AND oid % 6 <> 0 AND x = 0 AND y = 0
+              THEN (((oid * 31) & 255) + 8) & 255
+              ELSE ((oid + y * row_size + 3 * x) * 31) & 255 END) AS l
+        FROM grid),
+      bits AS (
+        SELECT a.doc_id, a.j * 8 + a.i AS bit,
+          CASE WHEN b.l > a.l THEN 1 ELSE 0 END AS bv
+        FROM lum a JOIN lum b ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+        WHERE a.i < 8),
+      blocks AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN bit // 16 = 0 THEN bv << (bit % 16) ELSE 0 END) AS INT) AS h0,
+          CAST(sum(CASE WHEN bit // 16 = 1 THEN bv << (bit % 16) ELSE 0 END) AS INT) AS h1,
+          CAST(sum(CASE WHEN bit // 16 = 2 THEN bv << (bit % 16) ELSE 0 END) AS INT) AS h2,
+          CAST(sum(CASE WHEN bit // 16 = 3 THEN bv << (bit % 16) ELSE 0 END) AS INT) AS h3
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+           + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS INT) AS hamming
+      FROM blocks a JOIN blocks b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+          + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3
+      ORDER BY doc_a, doc_b"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- metadata projection over the binary payload (oracled)
@@ -491,6 +617,41 @@ object MultimodalQueries {
           CAST(least(64, n - frame_idx * 64) AS INT) AS frame_bytes
         FROM f WHERE frame_idx % 2 = 0
         ORDER BY doc_id, frame_idx"""),
-      doc = "payload → fixed-size frames → every-2nd sample")
+      doc = "payload → fixed-size frames → every-2nd sample"),
+
+    // ---- perceptual-hash image dedup: q101's real BMP decode meets
+    //      q113's pigeonhole pair mining. dHash blocks from DECODED
+    //      pixel bytes; candidates from block-value equi self-joins
+    //      (hamming ≤ 3 over 4 blocks ⟹ ≥ 1 equal block — provably
+    //      complete, never all-pairs); exact bit_count verify inline
+    //      on the ride-along signature (no join-back). The oracle
+    //      recomputes the hash from the synthesis formula and may use
+    //      all-pairs (oracle-side only): pigeonhole completeness means
+    //      the result sets are identical.
+    //      Scale: pixels die in the decode map (8 bytes/image
+    //      shuffle); the block join shuffles on 65,536-value keys; at
+    //      web scale hot blocks (e.g. flat images hashing to 0) get
+    //      more/permuted blocks — same plan shape, q113's remedy.
+    QueryDef(
+      "q127_image_phash_dedup",
+      (s, d) => {
+        val hashed = dhashFrame(s,
+          imageCorpusWithTwins(Tables.documents(s, d))).localCheckpoint()
+        val sides = hashed.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"),
+          posexplode(array(col("h0"), col("h1"), col("h2"), col("h3"))).as(Seq("k", "bv")))
+        val a = sides.select(col("k"), col("bv"), col("doc_id").as("doc_a"),
+          col("h0").as("a0"), col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"))
+        val b = sides.select(col("k"), col("bv"), col("doc_id").as("doc_b"),
+          col("h0").as("b0"), col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3"))
+        a.join(b, Seq("k", "bv"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("hamming", expr(
+            "CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS INT)"))
+          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b", "hamming").distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(q127OracleSql),
+      doc = "perceptual-hash image dedup: grid dHash over decoded BMP pixels, pigeonhole block join, exact Hamming ≤ 3 pairs")
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.MultimodalQueries
+import org.apache.spark.sql.functions._
+
+/** Ground-truth pins for q127's perceptual-hash dedup — the planted
+  * image corpus gives every original a KNOWN twin: an exact byte copy
+  * (doc_id % 6 == 0 → identical hash, hamming 0) or a one-pixel
+  * perturbation (≤ 2 dHash bits can flip: only grid comparisons
+  * crossing the perturbed cell change). The oracle cross-checks
+  * values; this pins recall against the corpus's built-in truth and
+  * the pigeonhole candidate join's completeness against a direct
+  * all-pairs recomputation. */
+class PerceptualHashSpec extends SparkSpecBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q127 finds every planted twin; exact copies at hamming 0, " +
+      "perturbed at hamming <= 2") {
+    try {
+      val pairs = SparkEntry.queries("q127_image_phash_dedup")(spark, sf)
+        .localCheckpoint()
+      val imageIds = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 3 === 0).select("doc_id")
+        .collect().map(_.getLong(0))
+      val found = pairs.filter(col("doc_b") === col("doc_a") + 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      val missing = imageIds.filterNot(found.contains)
+      assert(missing.isEmpty, s"planted twins missing from q127: ${missing.take(5).toSeq}")
+      imageIds.foreach { id =>
+        if (id % 6 == 0) assert(found(id) == 0, s"exact copy $id at hamming ${found(id)}")
+        else assert(found(id) <= 2, s"perturbed twin $id at hamming ${found(id)}")
+      }
+    } finally SparkEntry.releaseCaches(spark)
+  }
+
+  test("pigeonhole candidates are complete: the block join equals " +
+      "all-pairs hamming <= 3 on the same hashes") {
+    try {
+      val hashed = MultimodalQueries.dhashFrame(spark,
+        MultimodalQueries.imageCorpusWithTwins(Tables.documents(spark, sf)))
+        .localCheckpoint()
+      val a = hashed.select(col("doc_id").as("doc_a"), col("h0").as("a0"),
+        col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"))
+      val b = hashed.select(col("doc_id").as("doc_b"), col("h0").as("b0"),
+        col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3"))
+      val allPairs = a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr(
+          "CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS INT)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+      val fromQuery = SparkEntry.queries("q127_image_phash_dedup")(spark, sf)
+      assert(fromQuery.exceptAll(allPairs).count() == 0)
+      assert(allPairs.exceptAll(fromQuery).count() == 0)
+    } finally SparkEntry.releaseCaches(spark)
+  }
+}
