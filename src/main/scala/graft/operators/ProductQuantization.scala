@@ -49,11 +49,9 @@ object ProductQuantization {
   // re-ranking recovers it at 200/n of the exact pass's cost.
   private[operators] val Shortlist = 200
 
-  /** Integer sum of squared differences of two int arrays — BIGINT
-    * accumulate so the per-element product can never overflow. */
-  private def sqDist(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x - y AS BIGINT) * (x - y)), " +
-      "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  // All Spark-side distances use the native codegen'd
+  // IntVectorFunctions (int_sqdist / pq_code); the oracle's SQL twin
+  // of the distance is inlined in oracleSql's `sq` template.
 
   /** q94's per-dim [0,255] integer grid: (vec_id, qv: array<int>). */
   private[graft] def intGrid(s: SparkSession, d: String): DataFrame = {
@@ -81,21 +79,32 @@ object ProductQuantization {
       .localCheckpoint()
     val cw = subs.filter(col("vec_id") < CodebookSize)
       .select(col("j"), col("vec_id").as("cw_id"), col("sub").as("cwv"))
-    // encode: nearest codeword per (vector, subspace); ties by cw_id
-    val wEnc = Window.partitionBy(col("vec_id"), col("j"))
-      .orderBy(col("dist").asc, col("cw_id").asc)
-    val codes = subs.join(broadcast(cw), Seq("j"))
-      .withColumn("dist", expr(sqDist("sub", "cwv")))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("j"), col("cw_id").as("code"))
+    // encode: nearest codeword per (vector, subspace); ties by cw_id.
+    // The codebook collapses to ONE row per subspace (flattened
+    // cw_id-ordered codewords + the id list), broadcast onto the n·m
+    // subvector rows, and the native pq_code expression scans all 256
+    // codewords in one codegen'd loop — the n·m·256 candidate rows of
+    // the join formulation never materialize (that shape measured 9.1 s
+    // through interpreted zip_with folds; this is the (b)-tier
+    // promotion, like vector_dot before it). pq_code ties break to the
+    // smallest index = smallest cw_id (cbids is sorted), matching the
+    // oracle's arg_min pack.
+    val cbByJ = cw.groupBy("j").agg(
+      expr("flatten(transform(array_sort(collect_list(struct(cw_id, cwv))), s -> s.cwv))")
+        .as("cbflat"),
+      expr("transform(array_sort(collect_list(struct(cw_id, cwv))), s -> s.cw_id)")
+        .as("cbids"))
+    val codes = subs.join(broadcast(cbByJ), Seq("j"))
+      .withColumn("code", element_at(col("cbids"),
+        graft.functions.IntVectorFunctions.pq_code(col("sub"), col("cbflat")) + 1))
+      .select(col("vec_id"), col("j"), col("code"))
       .localCheckpoint()
     // per-probe ADC lookup table: (query, subspace, codeword) partials
     val lut = subs.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("j"), col("sub").as("qsub"))
       .join(broadcast(cw), Seq("j"))
       .select(col("query_id"), col("j"), col("cw_id"),
-        expr(sqDist("qsub", "cwv")).as("pd"))
+        graft.functions.IntVectorFunctions.int_sqdist(col("qsub"), col("cwv")).as("pd"))
     // ADC: codes ⋈ LUT on (subspace, code) — the byte-tier search
     val adc = codes.join(broadcast(lut),
         codes("j") === lut("j") && codes("code") === lut("cw_id") &&
@@ -115,7 +124,8 @@ object ProductQuantization {
     val reranked = shortlist
       .join(grid, Seq("vec_id"))
       .join(broadcast(probes), Seq("query_id"))
-      .withColumn("l2", expr(sqDist("pqv", "qv")))
+      .withColumn("l2",
+        graft.functions.IntVectorFunctions.int_sqdist(col("pqv"), col("qv")))
       .withColumn("rank", row_number().over(wRr))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("vec_id"),
@@ -124,7 +134,8 @@ object ProductQuantization {
     // approximates), probes broadcast over the stored grid — the audit
     val exact = broadcast(probes)
       .join(grid, col("vec_id") =!= col("query_id"))
-      .withColumn("l2", expr(sqDist("pqv", "qv")))
+      .withColumn("l2",
+        graft.functions.IntVectorFunctions.int_sqdist(col("pqv"), col("qv")))
     val wEx = Window.partitionBy(col("query_id"))
       .orderBy(col("l2").asc, col("vec_id").asc)
     val exactTop = exact.withColumn("rn", row_number().over(wEx))
@@ -159,9 +170,9 @@ object ProductQuantization {
       cw AS (SELECT j, vec_id AS cw_id, sub AS cwv FROM subs WHERE vec_id < $CodebookSize),
       enc AS (SELECT s.vec_id, s.j, c.cw_id, ${sq("s.sub", "c.cwv", SubDim)} AS dist
         FROM subs s JOIN cw c ON s.j = c.j),
-      codes AS (SELECT vec_id, j, cw_id AS code FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cw_id) AS rn
-          FROM enc) t WHERE rn = 1),
+      codes AS (SELECT vec_id, j,
+          arg_min(cw_id, dist * $CodebookSize + cw_id) AS code
+        FROM enc GROUP BY vec_id, j),
       lut AS (SELECT s.vec_id AS query_id, s.j, c.cw_id, ${sq("s.sub", "c.cwv", SubDim)} AS pd
         FROM subs s JOIN cw c ON s.j = c.j WHERE s.vec_id % 100 = 0),
       adc AS (SELECT l.query_id, co.vec_id, CAST(sum(l.pd) AS BIGINT) AS adc_dist
