@@ -58,12 +58,19 @@ object KMeans {
   }
 
   /** (cid, dim, c_new) rows → the (cid, ce) centroid frame of the next
-    * round, pinned so the next round's plan starts from stored blocks. */
+    * round. NOT separately checkpointed: `update` is already pinned by
+    * the caller, so this is a k×d-row aggregation over stored blocks —
+    * re-running it on each reference costs less than the extra
+    * materialization job a second localCheckpoint per round would add
+    * (the GlobalRank lazy-pin lesson; r13 A/B: QBench floor 2.01 →
+    * 1.98 s — job-launch overhead only, the honest reading is parity
+    * with 3 fewer jobs and 3 fewer pinned blocks per run). The plan
+    * template stays constant-size either way: the lineage roots at the
+    * pinned update's LogicalRDD. */
   private[graft] def pinCentroids(update: DataFrame): DataFrame =
     update.groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(dim, c_new))), s -> s.c_new)")
         .as("ce"))
-      .localCheckpoint()
 
   /** T pinned Lloyd rounds from the deterministic codebook; returns
     * each round's update frame (the last is the query's output). */
