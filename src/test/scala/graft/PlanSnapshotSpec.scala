@@ -48,7 +48,10 @@ class PlanSnapshotSpec extends SparkSpecBase {
     "q122_shared_span_pairs",
     "q105_zorder_pruned_scan",
     "q111_boilerplate_ngrams",
-    "q112_pmi_collocations")
+    "q112_pmi_collocations",
+    // round-13 arrivals in the expensive tier
+    "q126_ann_pq_adc",
+    "q128_shared_span_capped")
 
   private val snapDir: Path = Paths.get("src", "test", "resources", "plans")
   private def bless: Boolean = sys.env.contains("SPARK_GRAFT_BLESS_PLANS")
