@@ -45,19 +45,31 @@ object BpeTrain {
 
   private[operators] val Rounds = 3
 
-  /** Vocabulary as (seq, wf): distinct lowercased words with corpus
-    * frequency, each word as its double-spaced character sequence. */
-  private[graft] def vocab0(s: SparkSession, d: String): DataFrame =
+  /** Merge rounds for the corpus-encode query (q129): more than q125's
+    * training pin so the applied merge table is non-trivial, still a
+    * constant (a tokenizer's merge budget never scales with the data). */
+  private[graft] val EncodeRounds = 6
+
+  /** A word's double-spaced character sequence ("hey" → "␣␣h␣␣e␣␣y␣␣"). */
+  private val seqFromWord =
+    concat(lit("  "),
+      concat_ws("  ",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+      lit("  ")).as("seq")
+
+  /** Word-keyed vocabulary: (word, seq, wf) — distinct lowercased words
+    * with corpus frequency and the initial symbol sequence. The ONE
+    * corpus-sized aggregation both training and encode share. */
+  private[graft] def wordVocab(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("wf"))
-      .select(
-        concat(lit("  "),
-          concat_ws("  ",
-            expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
-          lit("  ")).as("seq"),
-        col("wf"))
+      .select(col("word"), seqFromWord, col("wf"))
+
+  /** Vocabulary as (seq, wf) — the training-loop state shape. */
+  private[graft] def vocab0(s: SparkSession, d: String): DataFrame =
+    wordVocab(s, d).select("seq", "wf")
 
   /** One round's weighted adjacent-pair counts over a vocab state. */
   private[graft] def pairCounts(state: DataFrame): DataFrame =
@@ -73,8 +85,15 @@ object BpeTrain {
     * post-merge vocabulary state) — both pinned, so the spec can assert
     * the per-round plan template stays constant-size. */
   private[graft] def trainRounds(
-      s: SparkSession, d: String, rounds: Int): Seq[(DataFrame, DataFrame)] = {
-    var state = vocab0(s, d).localCheckpoint()
+      s: SparkSession, d: String, rounds: Int): Seq[(DataFrame, DataFrame)] =
+    trainRoundsFrom(vocab0(s, d).localCheckpoint(), rounds)
+
+  /** The training loop over an already-pinned (seq, wf) state — split
+    * out so encode (q129) can share one vocabulary materialization
+    * between training and merge application. */
+  private[graft] def trainRoundsFrom(
+      state0: DataFrame, rounds: Int): Seq[(DataFrame, DataFrame)] = {
+    var state = state0
     (1 to rounds).map { _ =>
       // deterministic winner: count desc, then (a, b) lexicographic —
       // equivalent to ordering by the "a b" merge string since symbols
@@ -100,15 +119,52 @@ object BpeTrain {
         concat(col("a"), lit(" "), col("b")).as("pair"), col("n"))
     }.reduce(_.unionByName(_)).orderBy("round")
 
-  /** The unrolled-T oracle: identical round template, w0 = vocab. */
-  private def oracleSql(rounds: Int): String = {
-    val init = s"""WITH words AS (
+  /** Corpus encode with the learned merges — the serving half of the
+    * tokenizer q125 trains. Trains `rounds` merges, applies them IN
+    * RANK ORDER to the word-keyed vocabulary (the same double-spaced
+    * replace as training: greedy leftmost, exactly BPE's merge order),
+    * then prices every document by one broadcast join of its words
+    * against the encoded vocabulary.
+    *
+    * Scale shape: the corpus is touched exactly twice — once to build
+    * the word vocabulary (shared with training via ONE pin), once to
+    * re-join words to their token counts. The T-round apply chain runs
+    * over the vocabulary only (distinct words — bounded for natural
+    * language, never corpus-sized), and the encoded vocabulary
+    * broadcasts: a 100 TB corpus encodes with zero extra shuffles. */
+  private[graft] def encodeCorpus(
+      s: SparkSession, d: String, rounds: Int): DataFrame = {
+    val vocabW = wordVocab(s, d).localCheckpoint()
+    val merges = trainRoundsFrom(vocabW.select("seq", "wf"), rounds).map(_._1)
+    var st = vocabW.select(col("word"), col("seq"))
+    merges.foreach { best =>
+      st = st.crossJoin(broadcast(best))
+        .select(col("word"),
+          expr("replace(seq, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))").as("seq"))
+    }
+    val enc = st.select(col("word"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("n_sub"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(enc), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle prologue: vocabulary + w0 training state. */
+  private val initCtes =
+    s"""WITH words AS (
         SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents),
       wfr AS (SELECT word, count(*) AS wf FROM words WHERE word <> '' GROUP BY word),
       w0 AS (SELECT '  ' || array_to_string(
           list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), '  ') || '  ' AS seq,
           wf FROM wfr)"""
-    val roundCtes = (1 to rounds).map { t =>
+
+  /** The unrolled training rounds: s/p/b/w CTEs per round. */
+  private def trainCtes(rounds: Int): String =
+    (1 to rounds).map { t =>
       s""",
       s$t AS (SELECT string_split(trim(seq), '  ') AS syms, wf FROM w${t - 1}),
       p$t AS (SELECT syms[i] AS a, syms[i + 1] AS b, sum(wf) AS n
@@ -118,12 +174,39 @@ object BpeTrain {
       w$t AS (SELECT replace(seq, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS seq, wf
         FROM w${t - 1}, b$t)"""
     }.mkString
+
+  /** The unrolled-T oracle: identical round template, w0 = vocab. */
+  private def oracleSql(rounds: Int): String = {
     val rows = (1 to rounds)
       .map(t => s"SELECT $t AS round, a || ' ' || b AS pair, CAST(n AS BIGINT) AS n FROM b$t")
       .mkString("\n        UNION ALL ")
-    s"""$init$roundCtes
+    s"""$initCtes${trainCtes(rounds)}
       SELECT round, pair, n FROM (
         $rows) m ORDER BY round"""
+  }
+
+  /** q129's oracle: the training CTEs produce b1..bT, then a word-keyed
+    * apply chain e0..eT replays the same replaces, and every document
+    * is priced by joining its words to the encoded vocabulary. */
+  private def encodeOracleSql(rounds: Int): String = {
+    val applyCtes = (1 to rounds).map { t =>
+      s""",
+      e$t AS (SELECT word, replace(seq, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS seq
+        FROM e${t - 1}, b$t)"""
+    }.mkString
+    s"""$initCtes${trainCtes(rounds)},
+      e0 AS (SELECT word, '  ' || array_to_string(
+          list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)), '  ') || '  ' AS seq
+        FROM wfr)$applyCtes,
+      enc AS (SELECT word, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_sub
+        FROM e$rounds),
+      dw AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(n_sub) AS BIGINT) AS n_tokens
+      FROM dw JOIN enc USING (word)
+      WHERE word <> ''
+      GROUP BY doc_id ORDER BY doc_id"""
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -131,5 +214,10 @@ object BpeTrain {
       "q125_bpe_train_iterated",
       (s, d) => train(s, d, Rounds),
       Some(oracleSql(Rounds)),
-      doc = s"iterated BPE training: $Rounds pinned merge rounds (count pairs -> pick best -> re-segment vocabulary), learned merge table out"))
+      doc = s"iterated BPE training: $Rounds pinned merge rounds (count pairs -> pick best -> re-segment vocabulary), learned merge table out"),
+    QueryDef(
+      "q129_bpe_encode_corpus",
+      (s, d) => encodeCorpus(s, d, EncodeRounds),
+      Some(encodeOracleSql(EncodeRounds)),
+      doc = s"corpus BPE encode: train $EncodeRounds merges, apply in rank order to the word vocabulary, price every doc via one broadcast vocab join — per-doc word and BPE token counts"))
 }

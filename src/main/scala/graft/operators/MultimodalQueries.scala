@@ -451,6 +451,294 @@ object MultimodalQueries {
     spark.createDataFrame(rdd, dhashSchema)
   }
 
+  // ---------------------------------------------------------------
+  // audio fingerprinting: energy-contour hash over PCM (q131)
+  // ---------------------------------------------------------------
+
+  /** Energy-contour audio fingerprint over a WAV payload: the PCM
+    * samples split into 65 windows (sample i → window 65·i/n — the
+    * same nearest-neighbor partition rule as q127's pixel grid),
+    * per-window energy = exact Σ s² (long, overflow-safe: ≤ 2^13
+    * samples × 2^30), bit j set when window j+1's energy exceeds
+    * window j's. A 64-bit sign-of-derivative contour — robust to
+    * uniform gain changes in spirit, exact-integer in arithmetic —
+    * returned as 4 × 16-bit blocks (q113/q127's representation: int
+    * xor/bit_count is exact and sign-safe everywhere). Same trust
+    * model as [[parseMediaContent]]: RIFF chunk walk, every region
+    * bounds-checked. */
+  def wavFingerprintBlocks(p: Array[Byte]): Array[Int] = {
+    require(asciiAt(p, 0, "RIFF") && asciiAt(p, 8, "WAVE"), "not a WAV")
+    var off = 12
+    var bits = -1; var dataOff = -1; var dataLen = -1L
+    while (off + 8 <= p.length && (bits < 0 || dataOff < 0)) {
+      val sz = rdLe32(p, off + 4).toLong & 0xffffffffL
+      require(sz <= p.length - off - 8, s"malformed WAV: chunk at $off overruns payload")
+      if (asciiAt(p, off, "fmt ")) bits = rdLe16(p, off + 22)
+      else if (asciiAt(p, off, "data")) { dataOff = off + 8; dataLen = sz }
+      off += (8 + sz + (sz & 1)).toInt
+    }
+    require(bits == 16 && dataOff > 0, "malformed WAV: need 16-bit PCM data")
+    val n = (dataLen / 2).toInt
+    require(n >= 65, s"fingerprint needs >= 65 PCM samples, got $n")
+    val energy = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val v = rdLe16(p, dataOff + 2 * i)
+      val s0 = if (v >= 0x8000) v - 0x10000 else v
+      energy((i.toLong * 65 / n).toInt) += s0.toLong * s0
+      i += 1
+    }
+    val blocks = new Array[Int](4)
+    var j = 0
+    while (j < 64) {
+      if (energy(j + 1) > energy(j)) blocks(j / 16) |= 1 << (j % 16)
+      j += 1
+    }
+    blocks
+  }
+
+  /** Audio corpus with planted near-duplicates: every audio doc
+    * (doc_id % 3 == 1) plus a twin (doc_id + 1,000,000) — an exact
+    * byte copy for doc_id % 6 == 1, otherwise the first data byte
+    * (sample 0's low byte) shifted +16 mod 256. The perturbation
+    * touches window 0's energy only, so at most fingerprint bit 0
+    * (the E₁>E₀ comparison) flips: Hamming ≤ 1 by construction. */
+  def audioCorpusWithTwins(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").where("doc_id % 3 = 1").rdd.mapPartitions(_.flatMap { r =>
+      val id = r.getLong(0)
+      val orig = wavBytes((1 + id % 2).toInt, 8000, (8 * (100 + id % 400)).toInt, id)
+      val twin = orig.clone()
+      if (id % 6 != 1) twin(44) = (((twin(44) & 0xff) + 16) & 0xff).toByte
+      Seq(Row(id, orig), Row(id + 1000000L, twin))
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-partition decode→fingerprint: PCM bytes in, 4 block ints out —
+    * samples die in the map; only 8 bytes/clip shuffle. */
+  def audioFingerprintFrame(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val rdd = corpus.select("doc_id", "payload").rdd.mapPartitions(_.map { r =>
+      val b = wavFingerprintBlocks(r.getAs[Array[Byte]]("payload"))
+      Row(r.getLong(0), b(0), b(1), b(2), b(3))
+    })
+    spark.createDataFrame(rdd, dhashSchema)
+  }
+
+  /** Pigeonhole near-dup pair mining over 4 × 16-bit hash blocks
+    * (q113's argument: Hamming ≤ 3 over 4 blocks ⟹ ≥ 1 block equal,
+    * so block-value equi self-joins are provably complete — never
+    * all-pairs). Exact bit_count verify inline on the ride-along
+    * signature; shared by q127 (image dHash) and q131 (audio
+    * energy contour). */
+  private[operators] def blockHammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val sides = hashed.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"),
+      posexplode(array(col("h0"), col("h1"), col("h2"), col("h3"))).as(Seq("k", "bv")))
+    val a = sides.select(col("k"), col("bv"), col("doc_id").as("doc_a"),
+      col("h0").as("a0"), col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"))
+    val b = sides.select(col("k"), col("bv"), col("doc_id").as("doc_b"),
+      col("h0").as("b0"), col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3"))
+    a.join(b, Seq("k", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------
+  // video frame hashing: per-frame aHash over Y4M luma planes (q133)
+  // ---------------------------------------------------------------
+
+  private val frameHashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("h0", IntegerType, nullable = false),
+    StructField("h1", IntegerType, nullable = false),
+    StructField("h2", IntegerType, nullable = false),
+    StructField("h3", IntegerType, nullable = false)))
+
+  /** Per-frame aHash over a Y4M payload: for every FRAME, sample an
+    * 8×8 nearest-neighbor grid (x = i·w/8, y = j·h/8) from the LUMA
+    * plane (the first w·h bytes — chroma is subsampled and noisier),
+    * set bit j·8+i when the sampled value × 64 exceeds the grid total
+    * (the mean-threshold rule kept exact-integer by scaling instead of
+    * dividing). One 64-bit hash per frame, as 4 × 16-bit blocks.
+    * Same trust model as [[parseMediaContent]]'s Y4M walk. */
+  def y4mFrameAHashes(p: Array[Byte]): Seq[(Int, Array[Int])] = {
+    require(asciiAt(p, 0, "YUV4MPEG2"), "not a Y4M")
+    val nl = p.indexOf('\n'.toByte)
+    require(nl > 0, "malformed Y4M header")
+    val params = new String(p, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+      .split(' ').drop(1)
+    def tag(c: Char): Option[String] =
+      params.find(_.headOption.contains(c)).map(_.tail)
+    val w = tag('W').get.toInt
+    val h = tag('H').get.toInt
+    require(w >= 8 && h >= 8, s"aHash grid needs >= 8x8 luma, got ${w}x$h")
+    val frameBytes = y4mFrameBytes(w, h, p.length) // overflow-checked
+    val out = Seq.newBuilder[(Int, Array[Int])]
+    var off = nl + 1
+    var frame = 0
+    while (off < p.length) {
+      require(asciiAt(p, off, "FRAME"), s"expected FRAME marker at $off")
+      var e = off + 5
+      while (e < p.length && p(e) != '\n'.toByte) e += 1
+      require(e < p.length, s"malformed Y4M: unterminated FRAME header at $off")
+      val start = e + 1
+      require(start + frameBytes <= p.length, s"malformed Y4M: truncated frame at $off")
+      val v = new Array[Int](64)
+      var total = 0
+      var j = 0
+      while (j < 8) {
+        val y = j * h / 8
+        var i = 0
+        while (i < 8) {
+          val x = i * w / 8
+          val s = p(start + y * w + x) & 0xff
+          v(j * 8 + i) = s
+          total += s
+          i += 1
+        }
+        j += 1
+      }
+      val blocks = new Array[Int](4)
+      var bit = 0
+      while (bit < 64) {
+        if (v(bit) * 64 > total) blocks(bit / 16) |= 1 << (bit % 16)
+        bit += 1
+      }
+      out += ((frame, blocks))
+      frame += 1
+      off = start + frameBytes
+    }
+    out.result()
+  }
+
+  /** Video corpus with planted near-duplicates: every video doc
+    * (doc_id % 3 == 2) plus a twin (doc_id + 1,000,000) — an exact
+    * byte copy for doc_id % 6 == 2, otherwise frame 0's first luma
+    * byte (grid cell (0,0)) shifted +32 mod 256: only frame 0's hash
+    * can change, so the twin shares ≥ frames−1 frame hashes. */
+  def videoCorpusWithTwins(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = docs.select("doc_id").where("doc_id % 3 = 2").rdd.mapPartitions(_.flatMap { r =>
+      val id = r.getLong(0)
+      val orig = y4mBytes((2 * (4 + id % 16)).toInt, (2 * (4 + (id / 5) % 16)).toInt,
+        (1 + id % 5).toInt, id)
+      val twin = orig.clone()
+      if (id % 6 != 2) {
+        val planeStart = orig.indexOf('\n'.toByte) + 1 + 6 // header \n + "FRAME\n"
+        twin(planeStart) = (((twin(planeStart) & 0xff) + 32) & 0xff).toByte
+      }
+      Seq(Row(id, orig), Row(id + 1000000L, twin))
+    })
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-partition decode→hash: payload bytes in, one row per frame
+    * out — pixels die in the map; 12 bytes/frame shuffle. */
+  def videoFrameHashFrame(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val rdd = corpus.select("doc_id", "payload").rdd.mapPartitions(_.flatMap { r =>
+      val id = r.getLong(0)
+      y4mFrameAHashes(r.getAs[Array[Byte]]("payload")).map { case (f, b) =>
+        Row(id, f, b(0), b(1), b(2), b(3))
+      }
+    })
+    spark.createDataFrame(rdd, frameHashSchema)
+  }
+
+  /** q133's closed-form oracle: luma byte i of frame f is
+    * ((oid + f·131 + i) · 31) & 255 (the synthesis formula), the twin
+    * perturbation is a CASE on frame 0's byte 0, and the per-frame
+    * aHash + frame-match join is replayed in exact integer SQL. */
+  private def q133OracleSql: String =
+    """WITH vids AS (
+        SELECT doc_id AS oid, v,
+          doc_id + CASE WHEN v = 1 THEN 1000000 ELSE 0 END AS doc_id,
+          2 * (4 + doc_id % 16) AS w, 2 * (4 + (doc_id // 5) % 16) AS h,
+          1 + doc_id % 5 AS fr
+        FROM documents, (VALUES (0), (1)) t(v) WHERE doc_id % 3 = 2),
+      frames AS (SELECT doc_id, oid, v, w, h, fr, unnest(range(fr)) AS f FROM vids),
+      grid AS (SELECT doc_id, oid, v, w, f, j, i,
+          (j * h) // 8 AS y, (i * w) // 8 AS x
+        FROM frames, unnest(range(8)) tj(j), unnest(range(8)) ti(i)),
+      lum AS (SELECT doc_id, f, j * 8 + i AS bit,
+          CASE WHEN v = 1 AND oid % 6 <> 2 AND f = 0 AND x = 0 AND y = 0
+            THEN ((((oid) * 31) & 255) + 32) & 255
+            ELSE ((oid + f * 131 + y * w + x) * 31) & 255 END AS s
+        FROM grid),
+      tot AS (SELECT doc_id, f, sum(s) AS total FROM lum GROUP BY doc_id, f),
+      fhash AS (
+        SELECT l.doc_id, l.f,
+          CAST(sum(CASE WHEN bit // 16 = 0 AND s * 64 > total THEN 1 << (bit % 16) ELSE 0 END) AS INT) AS h0,
+          CAST(sum(CASE WHEN bit // 16 = 1 AND s * 64 > total THEN 1 << (bit % 16) ELSE 0 END) AS INT) AS h1,
+          CAST(sum(CASE WHEN bit // 16 = 2 AND s * 64 > total THEN 1 << (bit % 16) ELSE 0 END) AS INT) AS h2,
+          CAST(sum(CASE WHEN bit // 16 = 3 AND s * 64 > total THEN 1 << (bit % 16) ELSE 0 END) AS INT) AS h3
+        FROM lum l JOIN tot USING (doc_id, f) GROUP BY l.doc_id, l.f),
+      nfr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames FROM fhash GROUP BY doc_id),
+      matches AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_matched
+        FROM fhash a JOIN fhash b
+          ON a.doc_id < b.doc_id AND a.h0 = b.h0 AND a.h1 = b.h1
+            AND a.h2 = b.h2 AND a.h3 = b.h3
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b, n_matched,
+        na.n_frames AS n_frames_a, nb.n_frames AS n_frames_b
+      FROM matches
+      JOIN nfr na ON na.doc_id = doc_a
+      JOIN nfr nb ON nb.doc_id = doc_b
+      ORDER BY doc_a, doc_b"""
+
+  /** q131's closed-form oracle: PCM sample i of clip `oid` is
+    * ((oid + i) · 2654435761) & 0xffff (q101's formula), the twin
+    * perturbation is a CASE on the first sample's low byte, and the
+    * window/energy/bit pipeline is replayed in exact integer SQL. The
+    * oracle joins all-pairs (oracle-side only): pigeonhole
+    * completeness makes the result sets identical. */
+  private def q131OracleSql: String =
+    """WITH auds AS (
+        SELECT doc_id AS oid, v,
+          doc_id + CASE WHEN v = 1 THEN 1000000 ELSE 0 END AS doc_id,
+          (1 + doc_id % 2) * 8 * (100 + doc_id % 400) AS n
+        FROM documents, (VALUES (0), (1)) t(v) WHERE doc_id % 3 = 1),
+      sampi AS (SELECT doc_id, oid, v, n, unnest(range(n)) AS i FROM auds),
+      sraw AS (SELECT doc_id, oid, v, n, i,
+          (((oid + i) * 2654435761) & 65535) AS raw FROM sampi),
+      spert AS (SELECT doc_id, n, i,
+          CASE WHEN v = 1 AND oid % 6 <> 1 AND i = 0
+            THEN ((raw // 256) * 256) + ((raw % 256 + 16) % 256)
+            ELSE raw END AS raw
+        FROM sraw),
+      ssgn AS (SELECT doc_id, (i * 65) // n AS w,
+          CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS s FROM spert),
+      energy AS (SELECT doc_id, w, sum(s * s) AS e FROM ssgn GROUP BY doc_id, w),
+      bits AS (SELECT a.doc_id, a.w AS bit,
+          CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bv
+        FROM energy a JOIN energy b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        WHERE a.w < 64),
+      blocks AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN bit // 16 = 0 THEN bv << (bit % 16) ELSE 0 END) AS INT) AS h0,
+          CAST(sum(CASE WHEN bit // 16 = 1 THEN bv << (bit % 16) ELSE 0 END) AS INT) AS h1,
+          CAST(sum(CASE WHEN bit // 16 = 2 THEN bv << (bit % 16) ELSE 0 END) AS INT) AS h2,
+          CAST(sum(CASE WHEN bit // 16 = 3 THEN bv << (bit % 16) ELSE 0 END) AS INT) AS h3
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+           + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) AS INT) AS hamming
+      FROM blocks a JOIN blocks b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+          + bit_count(xor(a.h2, b.h2)) + bit_count(xor(a.h3, b.h3)) <= 3
+      ORDER BY doc_a, doc_b"""
+
   /** The closed-form dHash oracle: recomputes every block from the
     * synthesis formula (payload byte at pixel-array offset o is
     * ((doc_id + o) · 31) & 255, twin perturbation as a CASE), so the
@@ -634,24 +922,57 @@ object MultimodalQueries {
     //      more/permuted blocks — same plan shape, q113's remedy.
     QueryDef(
       "q127_image_phash_dedup",
+      (s, d) => blockHammingPairs(
+        dhashFrame(s,
+          imageCorpusWithTwins(Tables.documents(s, d))).localCheckpoint(), 3),
+      Some(q127OracleSql),
+      doc = "perceptual-hash image dedup: grid dHash over decoded BMP pixels, pigeonhole block join, exact Hamming ≤ 3 pairs"),
+
+    // ---- audio fingerprint dedup: the WAV twin of q127. PCM samples
+    //      decode to a 64-bit energy-contour fingerprint per clip
+    //      (exact-integer window energies, sign-of-derivative bits);
+    //      near-dup pairs via the same pigeonhole block join.
+    //      Scale: samples die in the decode map — 8 bytes/clip
+    //      shuffle; candidates are block-value equi-joins, provably
+    //      complete for Hamming ≤ 3, never all-pairs.
+    QueryDef(
+      "q131_audio_fingerprint_dedup",
+      (s, d) => blockHammingPairs(
+        audioFingerprintFrame(s,
+          audioCorpusWithTwins(Tables.documents(s, d))).localCheckpoint(), 3),
+      Some(q131OracleSql),
+      doc = "audio fingerprint dedup: 65-window PCM energy contour → 64-bit fingerprint, pigeonhole block join, exact Hamming ≤ 3 pairs"),
+
+    // ---- video near-dup mining: per-frame aHash over decoded Y4M
+    //      luma planes, then video pairs scored by how many frame
+    //      hashes they share — an EQUI-join on the 64-bit frame hash
+    //      (Catalyst extracts the 4 block keys), never frame×frame
+    //      distance. Pixels die in the decode map (12 bytes/frame
+    //      shuffle); at web scale the hash join self-balances because
+    //      hash values spread, with q113's permuted-block remedy for
+    //      degenerate flat-frame corpora.
+    QueryDef(
+      "q133_video_framehash_dedup",
       (s, d) => {
-        val hashed = dhashFrame(s,
-          imageCorpusWithTwins(Tables.documents(s, d))).localCheckpoint()
-        val sides = hashed.select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"),
-          posexplode(array(col("h0"), col("h1"), col("h2"), col("h3"))).as(Seq("k", "bv")))
-        val a = sides.select(col("k"), col("bv"), col("doc_id").as("doc_a"),
-          col("h0").as("a0"), col("h1").as("a1"), col("h2").as("a2"), col("h3").as("a3"))
-        val b = sides.select(col("k"), col("bv"), col("doc_id").as("doc_b"),
-          col("h0").as("b0"), col("h1").as("b1"), col("h2").as("b2"), col("h3").as("b3"))
-        a.join(b, Seq("k", "bv"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("hamming", expr(
-            "CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS INT)"))
-          .filter(col("hamming") <= 3)
-          .select("doc_a", "doc_b", "hamming").distinct()
+        val frames = videoFrameHashFrame(s,
+          videoCorpusWithTwins(Tables.documents(s, d))).localCheckpoint()
+        val nfr = frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+        val a = frames.select(col("doc_id").as("doc_a"),
+          col("h0"), col("h1"), col("h2"), col("h3"))
+        val b = frames.select(col("doc_id").as("doc_b"), col("h0").as("g0"),
+          col("h1").as("g1"), col("h2").as("g2"), col("h3").as("g3"))
+        val matches = a.join(b,
+            a("h0") === b("g0") && a("h1") === b("g1") &&
+              a("h2") === b("g2") && a("h3") === b("g3") &&
+              col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_matched"))
+        matches
+          .join(broadcast(nfr.select(col("doc_id").as("doc_a"), col("n_frames").as("n_frames_a"))), Seq("doc_a"))
+          .join(broadcast(nfr.select(col("doc_id").as("doc_b"), col("n_frames").as("n_frames_b"))), Seq("doc_b"))
+          .select("doc_a", "doc_b", "n_matched", "n_frames_a", "n_frames_b")
           .orderBy("doc_a", "doc_b")
       },
-      Some(q127OracleSql),
-      doc = "perceptual-hash image dedup: grid dHash over decoded BMP pixels, pigeonhole block join, exact Hamming ≤ 3 pairs")
+      Some(q133OracleSql),
+      doc = "video near-dup mining: per-frame aHash over Y4M luma planes, frame-hash equi-join, matched-frame counts per video pair")
   )
 }

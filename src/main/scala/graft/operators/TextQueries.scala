@@ -488,6 +488,70 @@ object TextQueries {
           END AS span
         FROM mx ORDER BY doc_id"""
       },
-      doc = "longest repeated n-gram span per document (capped), per-row — the exact-substring repetition statistic")
+      doc = "longest repeated n-gram span per document (capped), per-row — the exact-substring repetition statistic"),
+
+    // ---- bigram-LM perplexity scoring (q132): the CCNet-style
+    //      quality signal one step past q96's unigram LM — an add-one
+    //      smoothed bigram model SELF-TRAINED on the corpus (fully
+    //      deterministic, no external artifact), scoring every doc by
+    //      its average per-bigram negative log-likelihood. Low score =
+    //      fluent/common word transitions; high = unnatural text (the
+    //      filter threshold downstream curation applies).
+    //      Scale shape: bigram types are vocabulary-bounded (Heaps),
+    //      so the model (c2 + left-context sums) pins once and
+    //      broadcasts back onto the corpus bigram stream — ONE
+    //      corpus-sized pass, zero corpus shuffles beyond the model
+    //      agg. Per-doc totals are ORDERED double folds (the q96/q90
+    //      lesson: decimal-cast sums diverge between engines; a
+    //      sorted fold is shuffle-order-independent and portable).
+    QueryDef(
+      "q132_bigram_loglik",
+      (s, d) => {
+        val bigrams = Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        // the model: bigram-type counts + left-context totals, pinned
+        // once (vocabulary-sized) and broadcast back
+        val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+          .localCheckpoint()
+        val cleft = c2.groupBy("w1").agg(sum(col("n2")).as("nl"))
+        val vsize = Tables.documents(s, d)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+          .agg(countDistinct(col("w")).as("vsz"))
+        bigrams.join(broadcast(c2), Seq("w1", "w2"))
+          .join(broadcast(cleft), Seq("w1"))
+          .crossJoin(broadcast(vsize))
+          .withColumn("nll",
+            -log((col("n2") + 1).cast("double") / (col("nl") + col("vsz")).cast("double")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(w1, w2, nll))),
+                 s -> s.nll), 0D, (a, x) -> a + x)""").as("tot_nll"))
+          .withColumn("avg_nll_r", round(col("tot_nll") / col("n_bigrams"), 4))
+          .select("doc_id", "n_bigrams", "avg_nll_r")
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+          FROM toks, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2),
+        c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+        cl AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS nl FROM c2 GROUP BY w1),
+        vs AS (SELECT count(DISTINCT word) AS vsz FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+            FROM documents) w WHERE word <> ''),
+        sc AS (SELECT doc_id, count(*) AS n_bigrams,
+            list_sum(list(-ln((CAST(n2 AS DOUBLE) + 1)
+              / (CAST(nl AS DOUBLE) + vsz)) ORDER BY w1, w2)) AS tot
+          FROM bg JOIN c2 USING (w1, w2) JOIN cl USING (w1) CROSS JOIN vs
+          GROUP BY doc_id)
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+          round(tot / n_bigrams, 4) AS avg_nll_r
+        FROM sc ORDER BY doc_id"""),
+      doc = "bigram-LM quality scoring: add-one smoothed corpus-trained bigram model, per-doc avg negative log-likelihood via ordered double folds")
   )
 }

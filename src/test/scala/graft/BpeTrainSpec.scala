@@ -63,4 +63,32 @@ class BpeTrainSpec extends SparkSpecBase {
       assert(merges.forall(_.getAs[Long]("n") > 0))
     } finally SparkEntry.releaseCaches(spark)
   }
+
+  test("q129 encode: zero merges prices every doc at its character count, " +
+      "trained merges strictly compress, word counts invariant") {
+    try {
+      // with NO merges every word encodes to its characters: n_tokens
+      // per doc must equal the summed word lengths, computed directly
+      val direct = Tables.documents(spark, sf)
+        .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nw"), sum(length(col("w"))).as("nc"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val zero = BpeTrain.encodeCorpus(spark, sf, 0)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      assert(zero == direct, "zero-merge encode != per-char pricing")
+      SparkEntry.releaseCaches(spark)
+      val trained = BpeTrain.encodeCorpus(spark, sf, BpeTrain.EncodeRounds)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(trained.keySet == zero.keySet)
+      // word counts are encode-invariant; token totals strictly shrink
+      // (every trained merge fires somewhere) and never below one
+      // token per word
+      assert(trained.forall { case (id, (nw, _)) => nw == zero(id)._1 })
+      assert(trained.map(_._2._2).sum < zero.map(_._2._2).sum)
+      assert(trained.forall { case (_, (nw, nt)) => nt >= nw })
+    } finally SparkEntry.releaseCaches(spark)
+  }
 }

@@ -54,4 +54,55 @@ class PerceptualHashSpec extends SparkSpecBase {
       assert(allPairs.exceptAll(fromQuery).count() == 0)
     } finally SparkEntry.releaseCaches(spark)
   }
+
+  test("q131 finds every planted audio twin; exact copies at hamming 0, " +
+      "perturbed at hamming <= 1") {
+    try {
+      val pairs = SparkEntry.queries("q131_audio_fingerprint_dedup")(spark, sf)
+        .localCheckpoint()
+      val audioIds = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 3 === 1).select("doc_id")
+        .collect().map(_.getLong(0))
+      val found = pairs.filter(col("doc_b") === col("doc_a") + 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      val missing = audioIds.filterNot(found.contains)
+      assert(missing.isEmpty, s"planted twins missing from q131: ${missing.take(5).toSeq}")
+      audioIds.foreach { id =>
+        if (id % 6 == 1) assert(found(id) == 0, s"exact copy $id at hamming ${found(id)}")
+        // the perturbation touches window 0's energy only: at most the
+        // E1>E0 comparison (bit 0) flips
+        else assert(found(id) <= 1, s"perturbed twin $id at hamming ${found(id)}")
+      }
+    } finally SparkEntry.releaseCaches(spark)
+  }
+
+  test("q133 reports every planted video twin with at least frames-1 " +
+      "matched frame hashes") {
+    try {
+      val rows = SparkEntry.queries("q133_video_framehash_dedup")(spark, sf)
+        .localCheckpoint()
+      val videoIds = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 3 === 2).select("doc_id")
+        .collect().map(_.getLong(0))
+      val twins = rows.filter(col("doc_b") === col("doc_a") + 1000000L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      videoIds.foreach { id =>
+        val fr = 1 + id % 5
+        // a perturbed SINGLE-frame twin may legitimately share zero
+        // frame hashes — then the pair is (correctly) absent from the
+        // inner join; every other planted twin must be found
+        if (id % 6 == 2 || fr > 1) {
+          assert(twins.contains(id), s"planted twin missing from q133: $id")
+          val (matched, fa, fb) = twins(id)
+          assert(fa == fr && fb == fr, s"frame counts off for $id: $fa/$fb vs $fr")
+          // only frame 0's hash can differ (the perturbation is
+          // confined to its luma plane): per-index identical frames
+          // all match
+          if (id % 6 == 2) assert(matched >= fa, s"exact twin $id matched $matched < $fa")
+          else assert(matched >= fa - 1, s"perturbed twin $id matched $matched < ${fa - 1}")
+        }
+      }
+    } finally SparkEntry.releaseCaches(spark)
+  }
 }
