@@ -150,6 +150,206 @@ object ProductQuantization {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------
+  // IVF-PQ (q130): coarse inverted file + PQ on RESIDUALS — the shape
+  // a 100 TB vector store actually serves (FAISS IVFPQ): the coarse
+  // quantizer prunes the corpus to nprobe cells, the byte codes rank
+  // inside them, exact distance re-ranks the shortlist.
+  // ---------------------------------------------------------------
+
+  private[operators] val CoarseCells = 8
+  private[operators] val NProbe = 4
+
+  /** The full IVF-PQ round-trip on the integer grid: nearest-cell
+    * assignment, residual PQ encode, nprobe-cell ADC search, exact
+    * re-rank, recall audit vs the UNPARTITIONED exact top-k (so the
+    * recall number prices the IVF pruning loss too, not just PQ).
+    *
+    * Scale shape: assignment is O(n·Kc) via one broadcast of Kc
+    * centroids; codes are bytes-per-vector keyed by cell; the ADC join
+    * is EQUI on (cell, subspace, code) — candidates never leave the
+    * probed cells, so the candidate fraction is ~nprobe/Kc of the
+    * corpus by construction. The per-(query, cell) LUT is
+    * queries×nprobe×m×256 rows — broadcast here; at web scale it
+    * co-partitions with the codes on cell_id, same plan shape. */
+  private[graft] def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    val grid = intGrid(s, d).localCheckpoint()
+    // rank-based coarse codebook (the q78 lesson: never `vec_id < k` —
+    // an id predicate silently empties on offset corpora)
+    val coarse = grid.orderBy(col("vec_id").asc).limit(CoarseCells)
+      .select(col("vec_id").as("cell_id"), col("qv").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdist").asc, col("cell_id").asc)
+    val assigned = grid.crossJoin(broadcast(coarse))
+      .withColumn("cdist",
+        graft.functions.IntVectorFunctions.int_sqdist(col("qv"), col("cv")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell_id"),
+        expr("zip_with(qv, cv, (x, y) -> x - y)").as("rv"))
+      .localCheckpoint()
+    // residual subvectors; codebooks train on the 256 lowest-id
+    // residuals (rank-based again), one codebook per subspace
+    val subs = assigned.select(col("vec_id"), col("cell_id"), explode(expr(
+      s"transform(sequence(0, ${M - 1}), j -> struct(j AS j, slice(rv, j * $SubDim + 1, $SubDim) AS sub))")).as("x"))
+      .select(col("vec_id"), col("cell_id"), col("x.j").as("j"), col("x.sub").as("sub"))
+      .localCheckpoint()
+    val trainIds = assigned.orderBy(col("vec_id").asc).limit(CodebookSize)
+      .select(col("vec_id"))
+    val cw = subs.join(broadcast(trainIds), Seq("vec_id"))
+      .select(col("j"), col("vec_id").as("cw_id"), col("sub").as("cwv"))
+    val cbByJ = cw.groupBy("j").agg(
+      expr("flatten(transform(array_sort(collect_list(struct(cw_id, cwv))), s -> s.cwv))")
+        .as("cbflat"),
+      expr("transform(array_sort(collect_list(struct(cw_id, cwv))), s -> s.cw_id)")
+        .as("cbids"))
+    val codes = subs.join(broadcast(cbByJ), Seq("j"))
+      .withColumn("code", element_at(col("cbids"),
+        graft.functions.IntVectorFunctions.pq_code(col("sub"), col("cbflat")) + 1))
+      .select(col("vec_id"), col("cell_id"), col("j"), col("code"))
+      .localCheckpoint()
+    // queries probe their NProbe nearest cells; the LUT is built from
+    // the query's residual AGAINST EACH PROBED CELL's centroid — the
+    // asymmetric-distance contract under residual encoding
+    val probes = grid.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("pqv"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cdist").asc, col("cell_id").asc)
+    val probed = probes.crossJoin(broadcast(coarse))
+      .withColumn("cdist",
+        graft.functions.IntVectorFunctions.int_sqdist(col("pqv"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= NProbe)
+      .select(col("query_id"), col("cell_id"),
+        expr("zip_with(pqv, cv, (x, y) -> x - y)").as("qr"))
+    val qrsubs = probed.select(col("query_id"), col("cell_id"), explode(expr(
+      s"transform(sequence(0, ${M - 1}), j -> struct(j AS j, slice(qr, j * $SubDim + 1, $SubDim) AS sub))")).as("x"))
+      .select(col("query_id"), col("cell_id").as("lcell"), col("x.j").as("j"),
+        col("x.sub").as("qsub"))
+    val lut = qrsubs.join(broadcast(cw), Seq("j"))
+      .select(col("query_id"), col("lcell"), col("j").as("lj"),
+        col("cw_id"),
+        graft.functions.IntVectorFunctions.int_sqdist(col("qsub"), col("cwv")).as("pd"))
+    // ADC restricted to probed cells: equi-join on (cell, subspace, code)
+    val adc = codes.join(broadcast(lut),
+        codes("cell_id") === lut("lcell") && codes("j") === lut("lj") &&
+          codes("code") === lut("cw_id") && codes("vec_id") =!= lut("query_id"))
+      .groupBy(col("query_id"), codes("vec_id").as("vec_id"),
+        codes("cell_id").as("cell_id"))
+      .agg(sum(col("pd")).as("adc_dist"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    val shortlist = adc.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= Shortlist)
+    // exact-integer re-rank of the shortlist (point-lookup fetch tier)
+    val wRr = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("vec_id").asc)
+    val reranked = shortlist
+      .join(grid, Seq("vec_id"))
+      .join(broadcast(probes), Seq("query_id"))
+      .withColumn("l2",
+        graft.functions.IntVectorFunctions.int_sqdist(col("pqv"), col("qv")))
+      .withColumn("rank", row_number().over(wRr))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cell_id"),
+        col("adc_dist"), col("l2"))
+    // ground truth over the WHOLE grid — recall prices IVF + PQ jointly
+    val exact = broadcast(probes)
+      .join(grid, col("vec_id") =!= col("query_id"))
+      .withColumn("l2",
+        graft.functions.IntVectorFunctions.int_sqdist(col("pqv"), col("qv")))
+    val wEx = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("vec_id").asc)
+    val exactTop = exact.withColumn("rn", row_number().over(wEx))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("vec_id"), lit(1).as("in_exact"))
+    val wq = Window.partitionBy(col("query_id"))
+    reranked.join(exactTop, Seq("query_id", "vec_id"), "left")
+      .withColumn("in_exact", coalesce(col("in_exact"), lit(0)))
+      .withColumn("recall_hits", sum(col("in_exact")).over(wq).cast("int"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cell_id"),
+        col("adc_dist"), col("l2"), col("in_exact"), col("recall_hits"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def ivfPqOracleSql: String = {
+    def sq(a: String, b: String, n: Int): String =
+      s"CAST(list_sum(list_transform(range($n), " +
+        s"i -> CAST($a[i+1] - $b[i+1] AS BIGINT) * ($a[i+1] - $b[i+1]))) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
+      x AS (SELECT vec_id, unnest(list_transform(range(len(emb)),
+          i -> {'dim': i, 'v': emb[i+1]})) AS u FROM e),
+      st AS (SELECT u.dim AS dim, min(u.v) AS mn, max(u.v) AS mx FROM x GROUP BY u.dim),
+      cb AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM st),
+      grid AS (SELECT vec_id, list_transform(range(len(emb)), i -> CAST(CASE
+          WHEN maxs[i+1] > mins[i+1]
+          THEN round((emb[i+1] - mins[i+1]) / (maxs[i+1] - mins[i+1]) * 255)
+          ELSE 0 END AS INT)) AS qv
+        FROM e, cb),
+      coarse AS (SELECT vec_id AS cell_id, qv AS cv FROM grid
+        ORDER BY vec_id LIMIT $CoarseCells),
+      assigned AS (SELECT vec_id, cell_id,
+          list_transform(range(${M * SubDim}), i -> qv[i+1] - cv[i+1]) AS rv
+        FROM (SELECT g.vec_id, c.cell_id, g.qv, c.cv,
+            row_number() OVER (PARTITION BY g.vec_id
+              ORDER BY ${sq("g.qv", "c.cv", M * SubDim)}, c.cell_id) AS crn
+          FROM grid g CROSS JOIN coarse c) t WHERE crn = 1),
+      subs AS (SELECT vec_id, cell_id, j,
+          rv[j * $SubDim + 1 : j * $SubDim + $SubDim] AS sub
+        FROM assigned, unnest(range($M)) s(j)),
+      tids AS (SELECT vec_id FROM assigned ORDER BY vec_id LIMIT $CodebookSize),
+      cw AS (SELECT j, s.vec_id AS cw_id, sub AS cwv
+        FROM subs s JOIN tids USING (vec_id)),
+      enc AS (SELECT s.vec_id, s.cell_id, s.j, c.cw_id,
+          ${sq("s.sub", "c.cwv", SubDim)} AS dist
+        FROM subs s JOIN cw c ON s.j = c.j),
+      codes AS (SELECT vec_id, cell_id, j,
+          arg_min(cw_id, dist * $CodebookSize + cw_id) AS code
+        FROM enc GROUP BY vec_id, cell_id, j),
+      probes AS (SELECT vec_id AS query_id, qv AS pqv FROM grid WHERE vec_id % 100 = 0),
+      probed AS (SELECT query_id, cell_id,
+          list_transform(range(${M * SubDim}), i -> pqv[i+1] - cv[i+1]) AS qr
+        FROM (SELECT p.query_id, c.cell_id, p.pqv, c.cv,
+            row_number() OVER (PARTITION BY p.query_id
+              ORDER BY ${sq("p.pqv", "c.cv", M * SubDim)}, c.cell_id) AS prn
+          FROM probes p CROSS JOIN coarse c) t WHERE prn <= $NProbe),
+      qrsubs AS (SELECT query_id, cell_id AS lcell, j,
+          qr[j * $SubDim + 1 : j * $SubDim + $SubDim] AS qsub
+        FROM probed, unnest(range($M)) s(j)),
+      lut AS (SELECT q.query_id, q.lcell, q.j, c.cw_id,
+          ${sq("q.qsub", "c.cwv", SubDim)} AS pd
+        FROM qrsubs q JOIN cw c ON q.j = c.j),
+      adc AS (SELECT l.query_id, co.vec_id, co.cell_id,
+          CAST(sum(l.pd) AS BIGINT) AS adc_dist
+        FROM codes co JOIN lut l
+          ON co.cell_id = l.lcell AND co.j = l.j AND co.code = l.cw_id
+        WHERE co.vec_id <> l.query_id
+        GROUP BY l.query_id, co.vec_id, co.cell_id),
+      short AS (SELECT query_id, vec_id, cell_id, adc_dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+          FROM adc) t WHERE rn <= $Shortlist),
+      rr AS (SELECT s.query_id, CAST(rn AS INT) AS rank, s.vec_id, s.cell_id,
+          s.adc_dist, l2 FROM (
+          SELECT s.*, ${sq("p.qv", "g.qv", M * SubDim)} AS l2,
+            row_number() OVER (PARTITION BY s.query_id
+              ORDER BY ${sq("p.qv", "g.qv", M * SubDim)}, s.vec_id) AS rn
+          FROM short s
+          JOIN grid g ON s.vec_id = g.vec_id
+          JOIN grid p ON s.query_id = p.vec_id) s WHERE rn <= $K),
+      exact AS (SELECT p.vec_id AS query_id, g.vec_id, ${sq("p.qv", "g.qv", M * SubDim)} AS l2
+        FROM grid p JOIN grid g ON g.vec_id <> p.vec_id
+        WHERE p.vec_id % 100 = 0),
+      exacttop AS (SELECT query_id, vec_id, 1 AS in_exact FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY l2, vec_id) AS rn
+          FROM exact) t WHERE rn <= $K)
+      SELECT query_id, rank, a.vec_id, cell_id, adc_dist, l2,
+        coalesce(in_exact, 0) AS in_exact,
+        CAST(sum(coalesce(in_exact, 0)) OVER (PARTITION BY query_id) AS INT) AS recall_hits
+      FROM rr a LEFT JOIN exacttop e2 USING (query_id, vec_id)
+      ORDER BY query_id, rank"""
+  }
+
   private def oracleSql: String = {
     def sq(a: String, b: String, n: Int): String =
       s"CAST(list_sum(list_transform(range($n), " +
@@ -207,5 +407,10 @@ object ProductQuantization {
       "q126_ann_pq_adc",
       (s, d) => pqSearch(s, d),
       Some(oracleSql),
-      doc = s"product-quantization ANN: m=$M×$SubDim-dim subspaces, $CodebookSize-entry fixed codebooks, ADC top-$K via (subspace, code) equi-join, exact-integer-L2 recall audit in-query"))
+      doc = s"product-quantization ANN: m=$M×$SubDim-dim subspaces, $CodebookSize-entry fixed codebooks, ADC top-$K via (subspace, code) equi-join, exact-integer-L2 recall audit in-query"),
+    QueryDef(
+      "q130_ann_ivf_pq",
+      (s, d) => ivfPqSearch(s, d),
+      Some(ivfPqOracleSql),
+      doc = s"IVF-PQ ANN: $CoarseCells-cell coarse quantizer, residual PQ codes, $NProbe-probe ADC via (cell, subspace, code) equi-join, exact re-rank, recall audited vs the unpartitioned exact top-$K"))
 }

@@ -128,6 +128,33 @@ class AnnRecallSpec extends SparkSpecBase {
       s"q126 in-query recall floor broken: $recalls")
   }
 
+  test("q130 IVF-PQ recovers planted twins (recall >= 0.9) and its " +
+      "in-query exact-top5 recall holds the floor (>= 3/5, mean >= 0.8 at sf0.01)") {
+    // the twin rides its original's cell (a 1e-3 nudge cannot move the
+    // int-grid point more than one step in one dim), so it must survive
+    // coarse pruning, the residual byte tier, AND the exact rerank
+    val found = SparkEntry.queries("q130_ann_ivf_pq")(spark, plantedDir)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    SparkEntry.releaseCaches(spark)
+    val hits = plantedQueries.count(q =>
+      found.getOrElse(q, Set.empty).contains(q + 100000L))
+    val r = hits.toDouble / plantedQueries.size
+    assert(r >= 0.9, s"q130 twin recall $r < 0.9")
+    // in-query audit on the raw sf0.01 corpus: the nprobe=4/8 coarse
+    // prune + residual PQ keeps >= 3 of the exact top-5 per probe
+    // (measured 5,5,5,4,3 — the untrained-quantizer IVF loss the query
+    // prices honestly; a trained coarse codebook would close it)
+    val recalls = SparkEntry.queries("q130_ann_ivf_pq")(spark, "/root/testdata/sf0.01")
+      .select("query_id", "recall_hits").collect()
+      .map(r2 => (r2.getLong(0), r2.getInt(1))).toMap
+    SparkEntry.releaseCaches(spark)
+    assert(recalls.nonEmpty && recalls.values.forall(_ >= 3),
+      s"q130 in-query recall floor broken: $recalls")
+    val mean = recalls.values.sum.toDouble / (recalls.size * 5)
+    assert(mean >= 0.8, s"q130 mean in-query recall $mean < 0.8")
+  }
+
   test("q81 recovers the planted near-dup pair set (recall >= 0.9, exact precision)") {
     val expected = plantedQueries // every %100 id is also %10
     val allPlantedPairs = Tables.embeddings(spark, "/root/testdata/sf0.01")

@@ -358,6 +358,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj):\n$plan")
   }
 
+  test("q130: IVF-PQ serving path is equi-join shaped — ADC joins codes " +
+      "to the LUT by (cell, subspace, code); nested-loops are only the " +
+      "bounded broadcast attaches (grid stats, Kc centroids ×2, audit)") {
+    val plan = executed("q130_ann_ivf_pq")
+    SparkEntry.releaseCaches(spark)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the ADC join and the shortlist/rerank fetches are hash equi-joins
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // bounded-build nested-loops: cell assignment (×coarse), probe-cell
+    // selection (×coarse), the exact-recall audit (probes×grid), and
+    // the one-row grid-stats attach — each with a fixed-k or probe-set
+    // build side
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 4, s"unexpected nested-loop joins ($bnlj):\n$plan")
+  }
+
   test("no query in the battery plans a non-broadcast cartesian product") {
     // the blanket 100 TB invariant: a CartesianProduct materializes
     // |L|×|R| with NO bounded build side — at scale that's a dead job
