@@ -898,6 +898,77 @@ object CurationQueries {
         SELECT rank, term, n, cum,
           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
         FROM ranked CROSS JOIN tot
-        WHERE rank <= 20 ORDER BY rank"""))
+        WHERE rank <= 20 ORDER BY rank""")),
+
+    // ---- temperature-scaled mixture weights (q134): q97 equalizes
+    //      the mixture; real multi-source training uses TEMPERATURE
+    //      sampling (weight ∝ share^α, α = 0.7 — the multilingual/
+    //      multi-corpus recipe) so high-resource sources are damped,
+    //      not flattened. The α-power normalizer Σ shareᵅ is a SMALL
+    //      ordered fold (one row per source) — broadcast back as a
+    //      scalar; `boost` = weight/share is the effective-epochs
+    //      multiplier a sampler applies per source. One agg + scalar
+    //      attaches, no corpus shuffle beyond the source count.
+    QueryDef(
+      "q134_source_mix_temperature",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val total = bySrc.agg(sum(col("n_docs")).as("tot"))
+        val shares = bySrc.crossJoin(broadcast(total))
+          .withColumn("share", col("n_docs").cast("double") / col("tot").cast("double"))
+          .withColumn("scaled", pow(col("share"), lit(0.7)))
+        val z = shares.agg(expr(
+          """aggregate(transform(array_sort(collect_list(struct(source, scaled))),
+               s -> s.scaled), 0D, (a, x) -> a + x)""").as("z"))
+        shares.crossJoin(broadcast(z))
+          .withColumn("weight", round(col("scaled") / col("z"), 6))
+          .withColumn("boost", round((col("scaled") / col("z")) / col("share"), 6))
+          .select(col("source"), col("n_docs"),
+            round(col("share"), 6).as("share_r"), col("weight"), col("boost"))
+          .orderBy("source")
+      },
+      Some("""WITH bysrc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM bysrc),
+        sh AS (SELECT source, n_docs,
+            CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+            pow(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 0.7) AS scaled
+          FROM bysrc CROSS JOIN tot),
+        z AS (SELECT list_sum(list(scaled ORDER BY source)) AS z FROM sh)
+        SELECT source, n_docs, round(share, 6) AS share_r,
+          round(scaled / z, 6) AS weight,
+          round((scaled / z) / share, 6) AS boost
+        FROM sh CROSS JOIN z ORDER BY source"""),
+      doc = "temperature-scaled source mixture (α = 0.7): damped sampling weights + effective-epochs boost per source"),
+
+    // ---- deterministic corpus shuffle → shard manifest (q135): the
+    //      pre-training data-order step. Every doc gets a content-free
+    //      pseudorandom rank (md5 of its id — reproducible across
+    //      runs/engines), the total order is range-partitioned into 16
+    //      equal shards (GlobalRank's offset arithmetic: per-doc rows
+    //      NEVER pass through one partition — no global window), and
+    //      the manifest prices each shard in docs and tokens. The
+    //      hash-order shuffle breaks source/time locality by
+    //      construction, which is exactly what a training loader wants
+    //      from its shard files.
+    QueryDef(
+      "q135_shard_manifest",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(col("doc_id").cast("string")).as("h"),
+            size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("nt"))
+        GlobalRank.ntileByRange(t, 16, Seq(col("h").asc, col("doc_id").asc), "shard")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+          .orderBy("shard")
+      },
+      Some("""WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+            len(string_split_regex(lower(trim(text)), '\s+')) AS nt FROM documents),
+        sh AS (SELECT ntile(16) OVER (ORDER BY h, doc_id) AS shard, nt FROM t)
+        SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM sh GROUP BY shard ORDER BY shard"""),
+      doc = "deterministic hash-order corpus shuffle into 16 range-partitioned shards, with a per-shard doc/token manifest")
   )
 }

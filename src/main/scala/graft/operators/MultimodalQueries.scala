@@ -655,6 +655,29 @@ object MultimodalQueries {
     spark.createDataFrame(rdd, frameHashSchema)
   }
 
+  /** q133's body, factored so q136 can reuse the matched-pair frame:
+    * per-frame hashes → frame-hash equi-join → per-pair match counts
+    * with both videos' frame totals attached. */
+  private[graft] def videoMatchPairs(s: SparkSession, d: String): DataFrame = {
+    val frames = videoFrameHashFrame(s,
+      videoCorpusWithTwins(Tables.documents(s, d))).localCheckpoint()
+    val nfr = frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    val a = frames.select(col("doc_id").as("doc_a"),
+      col("h0"), col("h1"), col("h2"), col("h3"))
+    val b = frames.select(col("doc_id").as("doc_b"), col("h0").as("g0"),
+      col("h1").as("g1"), col("h2").as("g2"), col("h3").as("g3"))
+    val matches = a.join(b,
+        a("h0") === b("g0") && a("h1") === b("g1") &&
+          a("h2") === b("g2") && a("h3") === b("g3") &&
+          col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_matched"))
+    matches
+      .join(broadcast(nfr.select(col("doc_id").as("doc_a"), col("n_frames").as("n_frames_a"))), Seq("doc_a"))
+      .join(broadcast(nfr.select(col("doc_id").as("doc_b"), col("n_frames").as("n_frames_b"))), Seq("doc_b"))
+      .select("doc_a", "doc_b", "n_matched", "n_frames_a", "n_frames_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q133's closed-form oracle: luma byte i of frame f is
     * ((oid + f·131 + i) · 31) & 255 (the synthesis formula), the twin
     * perturbation is a CASE on frame 0's byte 0, and the per-frame
@@ -953,26 +976,66 @@ object MultimodalQueries {
     //      degenerate flat-frame corpora.
     QueryDef(
       "q133_video_framehash_dedup",
-      (s, d) => {
-        val frames = videoFrameHashFrame(s,
-          videoCorpusWithTwins(Tables.documents(s, d))).localCheckpoint()
-        val nfr = frames.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
-        val a = frames.select(col("doc_id").as("doc_a"),
-          col("h0"), col("h1"), col("h2"), col("h3"))
-        val b = frames.select(col("doc_id").as("doc_b"), col("h0").as("g0"),
-          col("h1").as("g1"), col("h2").as("g2"), col("h3").as("g3"))
-        val matches = a.join(b,
-            a("h0") === b("g0") && a("h1") === b("g1") &&
-              a("h2") === b("g2") && a("h3") === b("g3") &&
-              col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_matched"))
-        matches
-          .join(broadcast(nfr.select(col("doc_id").as("doc_a"), col("n_frames").as("n_frames_a"))), Seq("doc_a"))
-          .join(broadcast(nfr.select(col("doc_id").as("doc_b"), col("n_frames").as("n_frames_b"))), Seq("doc_b"))
-          .select("doc_a", "doc_b", "n_matched", "n_frames_a", "n_frames_b")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => videoMatchPairs(s, d),
       Some(q133OracleSql),
-      doc = "video near-dup mining: per-frame aHash over Y4M luma planes, frame-hash equi-join, matched-frame counts per video pair")
+      doc = "video near-dup mining: per-frame aHash over Y4M luma planes, frame-hash equi-join, matched-frame counts per video pair"),
+
+    // ---- cross-modal dedup ledger: the media capstone. Image (q127),
+    //      audio (q131) and MAJORITY-frame video (q133) near-dup pairs
+    //      union into one edge list, connected components label the
+    //      clusters (q77's machinery — CC runs over candidate-pair
+    //      members only, never the full corpus), and every member is
+    //      tagged with its modality and cluster size: the
+    //      keep-one-per-cluster manifest a multimodal curation run
+    //      reads. Scale: each modality's pair mining is its own
+    //      audited bounded shape; CC adds q77's O(log d) pointer jumps
+    //      over pair-member nodes only.
+    QueryDef(
+      "q136_media_dedup_clusters",
+      (s, d) => {
+        val img = blockHammingPairs(dhashFrame(s,
+          imageCorpusWithTwins(Tables.documents(s, d))).localCheckpoint(), 3)
+          .select("doc_a", "doc_b")
+        val aud = blockHammingPairs(audioFingerprintFrame(s,
+          audioCorpusWithTwins(Tables.documents(s, d))).localCheckpoint(), 3)
+          .select("doc_a", "doc_b")
+        val vid = videoMatchPairs(s, d)
+          .filter(col("n_matched") * 2 >= col("n_frames_a") + col("n_frames_b"))
+          .select("doc_a", "doc_b")
+        val pairs = img.unionByName(aud).unionByName(vid)
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val cc = ConnectedComponents.run(edges)
+        val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, Seq("cluster"))
+          .withColumn("orig",
+            when(col("node") >= 1000000L, col("node") - 1000000L).otherwise(col("node")))
+          .withColumn("modality", expr(
+            "CASE CAST(orig % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"))
+          .select(col("node").as("doc_id"), col("modality"),
+            col("cluster"), col("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE
+        imgp AS (SELECT doc_a, doc_b FROM ($q127OracleSql) t1),
+        audp AS (SELECT doc_a, doc_b FROM ($q131OracleSql) t2),
+        vidp AS (SELECT doc_a, doc_b FROM ($q133OracleSql) t3
+          WHERE n_matched * 2 >= n_frames_a + n_frames_b),
+        pairs AS (SELECT * FROM imgp UNION ALL SELECT * FROM audp
+          UNION ALL SELECT * FROM vidp),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach AS (SELECT node, node AS lbl FROM nodes
+                  UNION
+                  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+        cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+        sizes AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
+        SELECT cc.node AS doc_id,
+          CASE CAST((CASE WHEN cc.node >= 1000000 THEN cc.node - 1000000 ELSE cc.node END) % 3 AS INT)
+            WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+          cc.cluster, sizes.cluster_size
+        FROM cc JOIN sizes ON cc.cluster = sizes.cluster
+        ORDER BY doc_id"""),
+      doc = "cross-modal media dedup ledger: image/audio/video near-dup edges unioned, CC cluster labels + sizes per member, modality-tagged")
   )
 }

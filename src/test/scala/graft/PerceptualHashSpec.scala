@@ -105,4 +105,32 @@ class PerceptualHashSpec extends SparkSpecBase {
       }
     } finally SparkEntry.releaseCaches(spark)
   }
+
+  test("q136 co-clusters every exact media twin with its original and " +
+      "never mixes modalities inside a cluster") {
+    try {
+      val rows = SparkEntry.queries("q136_media_dedup_clusters")(spark, sf)
+        .collect()
+      val cluster = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val ids = Tables.documents(spark, sf).select("doc_id")
+        .collect().map(_.getLong(0))
+      // exact-copy twins exist where id % 6 == id % 3 (the per-modality
+      // exact residues 0/1/2); identical bytes ⟹ identical hashes ⟹
+      // the pair edge always fires in its modality's miner
+      val exactIds = ids.filter(id => id % 6 == id % 3)
+      exactIds.foreach { id =>
+        assert(cluster.contains(id) && cluster.contains(id + 1000000L),
+          s"exact twin pair $id missing from the ledger")
+        assert(cluster(id) == cluster(id + 1000000L),
+          s"exact twin $id not co-clustered")
+      }
+      // intra-modal edges over disjoint id spaces: a cluster can never
+      // span modalities — structural sanity of the union + CC glue
+      rows.groupBy(_.getLong(2)).foreach { case (c, members) =>
+        assert(members.map(_.getString(1)).distinct.length == 1,
+          s"cluster $c mixes modalities")
+        assert(members.length >= 2, s"singleton cluster $c in a pair-edge CC")
+      }
+    } finally SparkEntry.releaseCaches(spark)
+  }
 }
