@@ -178,15 +178,26 @@ object ProductQuantization {
     // an id predicate silently empties on offset corpora)
     val coarse = grid.orderBy(col("vec_id").asc).limit(CoarseCells)
       .select(col("vec_id").as("cell_id"), col("qv").as("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdist").asc, col("cell_id").asc)
-    val assigned = grid.crossJoin(broadcast(coarse))
-      .withColumn("cdist",
-        graft.functions.IntVectorFunctions.int_sqdist(col("qv"), col("cv")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cell_id"),
-        expr("zip_with(qv, cv, (x, y) -> x - y)").as("rv"))
+    // nearest-cell assignment through the native pq_code argmin over
+    // the FLATTENED cell_id-ordered centroids (one codegen loop per
+    // vector) — the n×Kc candidate rows + per-vector window of the
+    // join formulation never materialize (the q126 (b)-tier promotion;
+    // measured 3.9 s → the window shuffled n·Kc 64-int arrays).
+    // pq_code ties break to the smallest index = smallest cell_id
+    // (cellids is sorted), identical to the oracle's (cdist, cell_id)
+    // row_number order.
+    val coarseFlat = coarse.groupBy().agg(
+      expr("flatten(transform(array_sort(collect_list(struct(cell_id, cv))), s -> s.cv))")
+        .as("cellflat"),
+      expr("transform(array_sort(collect_list(struct(cell_id, cv))), s -> s.cell_id)")
+        .as("cellids"))
+    val assigned = grid.crossJoin(broadcast(coarseFlat))
+      .withColumn("cidx",
+        graft.functions.IntVectorFunctions.pq_code(col("qv"), col("cellflat")))
+      .select(col("vec_id"),
+        element_at(col("cellids"), col("cidx") + 1).as("cell_id"),
+        expr(s"zip_with(qv, slice(cellflat, cidx * ${M * SubDim} + 1, ${M * SubDim}), (x, y) -> x - y)")
+          .as("rv"))
       .localCheckpoint()
     // residual subvectors; codebooks train on the 256 lowest-id
     // residuals (rank-based again), one codebook per subspace

@@ -51,7 +51,10 @@ class PlanSnapshotSpec extends SparkSpecBase {
     "q112_pmi_collocations",
     // round-13 arrivals in the expensive tier
     "q126_ann_pq_adc",
-    "q128_shared_span_capped")
+    "q128_shared_span_capped",
+    "q129_bpe_encode_corpus",
+    "q130_ann_ivf_pq",
+    "q136_media_dedup_clusters")
 
   private val snapDir: Path = Paths.get("src", "test", "resources", "plans")
   private def bless: Boolean = sys.env.contains("SPARK_GRAFT_BLESS_PLANS")
