@@ -39,7 +39,12 @@ object SpillProbe {
     "q77_dedup_clusters",
     "q102_incremental_dedup",
     "q113_simhash_hamming_pairs",
-    "q122_shared_span_pairs")
+    "q122_shared_span_pairs",
+    // round-13 continuation arrivals in the heavy tier: the IVF-PQ
+    // serving path (pinned subvector/code blocks + probed ADC) and the
+    // cross-modal CC ledger (three decode maps + pair joins + CC)
+    "q130_ann_ivf_pq",
+    "q136_media_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
