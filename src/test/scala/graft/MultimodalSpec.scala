@@ -135,6 +135,43 @@ class MultimodalSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](parseMediaContent(silent))
   }
 
+  test("fingerprint parsers inherit the bounds hardening (q131/q133/q137)") {
+    import MultimodalQueries._
+    // the evil chunk-size WAV must throw in the fingerprint walk too
+    val evil = wavBytes(1, 8000, 100, seed = 1L)
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte
+    intercept[IllegalArgumentException](wavFingerprintBlocks(evil))
+    // a clip shorter than the 65-window contour is rejected, not
+    // silently hashed over empty windows
+    intercept[IllegalArgumentException](
+      wavFingerprintBlocks(wavBytes(1, 8000, 32, seed = 1L)))
+    // a non-WAV payload is rejected by magic, not parsed
+    intercept[IllegalArgumentException](
+      wavFingerprintBlocks(bmpBytes(8, 8, seed = 1L)))
+
+    // Y4M truncated mid-frame must throw in the frame-hash walk
+    val video = y4mBytes(8, 8, 2, seed = 2L)
+    intercept[IllegalArgumentException](
+      y4mFrameAHashes(java.util.Arrays.copyOf(video, video.length - 5)))
+    // frames narrower than the 8×8 grid are rejected (the synthesis
+    // never emits them; crafted input must not index out of the plane)
+    val tiny = ("YUV4MPEG2 W4 H4 F25:1 Ip A1:1\nFRAME\n" + "x" * 24)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    intercept[IllegalArgumentException](y4mFrameAHashes(tiny))
+    // the overflow-crafted dimensions throw before any frame walk
+    val loopy = ("YUV4MPEG2 W65536 H65537 F25:1 Ip A1:1\nFRAME\n" + "x" * 16)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    intercept[IllegalArgumentException](y4mFrameAHashes(loopy))
+
+    // sane inputs still hash: deterministic and twin-stable
+    val ok = wavFingerprintBlocks(wavBytes(1, 8000, 800, seed = 7L))
+    assert(ok.length == 4)
+    assert(ok.sameElements(wavFingerprintBlocks(wavBytes(1, 8000, 800, seed = 7L))))
+    val fr = y4mFrameAHashes(y4mBytes(8, 8, 3, seed = 7L))
+    assert(fr.map(_._1) == Seq(0, 1, 2))
+  }
+
   test("frame sampling: every-2nd 64-byte frame, correct sizes") {
     val frames = MultimodalQueries.frameSample(media, frameBytes = 64, everyN = 2)
     assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
