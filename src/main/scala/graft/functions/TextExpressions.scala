@@ -75,8 +75,61 @@ case class ArrayDistinctCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a native codegen expression — the
+  * canonical-composition pass every web-scale text pipeline runs
+  * before hashing/dedup (the same visible string arrives as composed
+  * U+00E9 or decomposed e+U+0301; un-normalized, they fingerprint as
+  * different documents). Spark has no built-in normalizer; a Scala
+  * UDF would break whole-stage codegen — this stays inside it, with
+  * an `isNormalized` fast path so the dominant already-NFC case
+  * allocates nothing beyond the UTF-8 decode. Backed by
+  * `java.text.Normalizer` (Unicode Standard Annex #15), identical to
+  * DuckDB's `nfc_normalize` by both implementing UAX #15 NFC. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      s"""
+        String $s = $a.toString();
+        if (java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)) {
+          ${ev.value} = $a;
+        } else {
+          ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+            java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column API for the fused distinct-cardinality count. */
   def array_distinct_count(a: Column): Column =
     ColumnBridge.column(ArrayDistinctCount(ColumnBridge.expression(a)))
+
+  /** Column API for native Unicode NFC normalization. */
+  def nfc_normalize(a: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(a)))
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (north-star LLM-pipeline
@@ -77,6 +78,42 @@ object TextQueries {
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
         round(col("tfidf"), 4).as("tfidf_r"))
       .orderBy("doc_id", "rn")
+  }
+
+  /** q132's scoring pipeline, lang/n_tokens carried for downstream
+    * composition (q138's curriculum packer): per-doc average bigram
+    * negative log-likelihood under the corpus-trained add-one model.
+    * Ordered double folds throughout (the q96/q90 lesson). */
+  private[graft] def bigramScored(s: SparkSession, d: String): DataFrame = {
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        split(lower(trim(col("text"))), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), size(col("ts")).cast("long").as("n_tokens"),
+        explode(expr(
+          "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // the model: bigram-type counts + left-context totals, pinned
+    // once (vocabulary-sized) and broadcast back
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      .localCheckpoint()
+    val cleft = c2.groupBy("w1").agg(sum(col("n2")).as("nl"))
+    val vsize = Tables.documents(s, d)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(countDistinct(col("w")).as("vsz"))
+    bigrams.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(cleft), Seq("w1"))
+      .crossJoin(broadcast(vsize))
+      .withColumn("nll",
+        -log((col("n2") + 1).cast("double") / (col("nl") + col("vsz")).cast("double")))
+      .groupBy("doc_id", "lang", "n_tokens")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(w1, w2, nll))),
+             s -> s.nll), 0D, (a, x) -> a + x)""").as("tot_nll"))
+      .withColumn("avg_nll_r", round(col("tot_nll") / col("n_bigrams"), 4))
+      .select("doc_id", "lang", "n_tokens", "n_bigrams", "avg_nll_r")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -506,35 +543,9 @@ object TextQueries {
     //      sorted fold is shuffle-order-independent and portable).
     QueryDef(
       "q132_bigram_loglik",
-      (s, d) => {
-        val bigrams = Tables.documents(s, d)
-          .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
-          .filter(size(col("ts")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
-          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-        // the model: bigram-type counts + left-context totals, pinned
-        // once (vocabulary-sized) and broadcast back
-        val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-          .localCheckpoint()
-        val cleft = c2.groupBy("w1").agg(sum(col("n2")).as("nl"))
-        val vsize = Tables.documents(s, d)
-          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-          .filter(col("w") =!= "")
-          .agg(countDistinct(col("w")).as("vsz"))
-        bigrams.join(broadcast(c2), Seq("w1", "w2"))
-          .join(broadcast(cleft), Seq("w1"))
-          .crossJoin(broadcast(vsize))
-          .withColumn("nll",
-            -log((col("n2") + 1).cast("double") / (col("nl") + col("vsz")).cast("double")))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            expr("""aggregate(transform(array_sort(collect_list(struct(w1, w2, nll))),
-                 s -> s.nll), 0D, (a, x) -> a + x)""").as("tot_nll"))
-          .withColumn("avg_nll_r", round(col("tot_nll") / col("n_bigrams"), 4))
-          .select("doc_id", "n_bigrams", "avg_nll_r")
-          .orderBy("doc_id")
-      },
+      (s, d) => bigramScored(s, d)
+        .select("doc_id", "n_bigrams", "avg_nll_r")
+        .orderBy("doc_id"),
       Some("""WITH toks AS (SELECT doc_id,
             string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
         bg AS (SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
@@ -552,6 +563,108 @@ object TextQueries {
         SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
           round(tot / n_bigrams, 4) AS avg_nll_r
         FROM sc ORDER BY doc_id"""),
-      doc = "bigram-LM quality scoring: add-one smoothed corpus-trained bigram model, per-doc avg negative log-likelihood via ordered double folds")
+      doc = "bigram-LM quality scoring: add-one smoothed corpus-trained bigram model, per-doc avg negative log-likelihood via ordered double folds"),
+
+    // ---- curriculum packing (q138): the composition capstone of the
+    //      quality tier — q132's fluency scores order the corpus
+    //      easiest-first (curriculum learning's data schedule), exact
+    //      quartiles come from GlobalRank's range-partitioned ntile
+    //      (per-doc rows never cross one partition), and within each
+    //      (bucket, lang) lane the docs pack greedily into 512-token
+    //      training sequences (q92's cum-before window). Output: the
+    //      per-sequence manifest a curriculum loader reads — sequence
+    //      budget fill + its quality band [best, worst].
+    //      Scale note: the packing window partitions by
+    //      (bucket, lang) — buckets×langs lanes; at petabyte lane
+    //      sizes the same GlobalRank offset arithmetic sub-shards a
+    //      lane, identical output contract.
+    QueryDef(
+      "q138_curriculum_packing",
+      (s, d) => {
+        val bucketed = graft.operators.GlobalRank.ntileByRange(
+          bigramScored(s, d), 4,
+          Seq(col("avg_nll_r").asc, col("doc_id").asc), "bucket")
+        val w = Window.partitionBy(col("bucket"), col("lang"))
+          .orderBy(col("avg_nll_r").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bucketed
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("seq_id", (col("cum_before") / 512).cast("long"))
+          .groupBy("bucket", "lang", "seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("seq_tokens"),
+            min(col("avg_nll_r")).as("best_nll"),
+            max(col("avg_nll_r")).as("worst_nll"))
+          .orderBy("bucket", "lang", "seq_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+            string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents),
+        tk AS (SELECT doc_id, lang, ts,
+            CAST(len(ts) AS BIGINT) AS n_tokens FROM toks WHERE len(ts) >= 2),
+        bg AS (SELECT doc_id, lang, n_tokens, ts[i] AS w1, ts[i + 1] AS w2
+          FROM tk, unnest(range(1, len(ts))) AS u(i)),
+        c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+        cl AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS nl FROM c2 GROUP BY w1),
+        vs AS (SELECT count(DISTINCT word) AS vsz FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+            FROM documents) w WHERE word <> ''),
+        sc AS (SELECT doc_id, lang, n_tokens,
+            round(list_sum(list(-ln((CAST(n2 AS DOUBLE) + 1)
+              / (CAST(nl AS DOUBLE) + vsz)) ORDER BY w1, w2)) / count(*), 4) AS avg_nll_r
+          FROM bg JOIN c2 USING (w1, w2) JOIN cl USING (w1) CROSS JOIN vs
+          GROUP BY doc_id, lang, n_tokens),
+        b AS (SELECT *, ntile(4) OVER (ORDER BY avg_nll_r, doc_id) AS bucket FROM sc),
+        c AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+              PARTITION BY bucket, lang ORDER BY avg_nll_r, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          FROM b)
+        SELECT CAST(bucket AS INT) AS bucket, lang, cum_before // 512 AS seq_id,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+          min(avg_nll_r) AS best_nll, max(avg_nll_r) AS worst_nll
+        FROM c GROUP BY bucket, lang, cum_before // 512
+        ORDER BY bucket, lang, seq_id"""),
+      doc = "curriculum packing: bigram-fluency quartiles (range-partitioned ntile) packed into 512-token sequences per (bucket, lang) lane, with per-sequence quality bands"),
+
+    // ---- Unicode NFC normalization stats (q139): the canonical-
+    //      composition pass that must run before any hash-based dedup
+    //      (composed U+00E9 and decomposed e+U+0301 are the SAME text
+    //      but different bytes — un-normalized they fingerprint as
+    //      different documents). The fixture corpus is ASCII, so the
+    //      query plants known composed/decomposed suffixes by residue
+    //      class; normalization itself is the native codegen
+    //      [[graft.functions.NfcNormalize]] (no UDF — a per-row map
+    //      inside whole-stage codegen, zero shuffles), cross-checked
+    //      against DuckDB's nfc_normalize, both UAX #15.
+    QueryDef(
+      "q139_unicode_nfc_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0, lit(" café"))
+              .when(col("doc_id") % 4 === 1, lit(" mañana"))
+              .when(col("doc_id") % 4 === 2, lit(" café"))
+              .otherwise(lit(""))).as("raw"))
+        .select(col("doc_id"), col("raw"),
+          graft.functions.TextFunctions.nfc_normalize(col("raw")).as("nfc"))
+        .select(col("doc_id"),
+          (col("nfc") =!= col("raw")).as("changed"),
+          length(col("raw")).as("len_raw"),
+          length(col("nfc")).as("len_nfc"),
+          md5(col("nfc")).as("nfc_md5"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          nfc_normalize(raw) <> raw AS changed,
+          CAST(length(raw) AS INT) AS len_raw,
+          CAST(length(nfc_normalize(raw)) AS INT) AS len_nfc,
+          md5(nfc_normalize(raw)) AS nfc_md5
+        FROM (SELECT doc_id, text || CASE
+            WHEN doc_id % 4 = 0 THEN ' café'
+            WHEN doc_id % 4 = 1 THEN ' mañana'
+            WHEN doc_id % 4 = 2 THEN ' café'
+            ELSE '' END AS raw
+          FROM documents) t
+        ORDER BY doc_id"""),
+      doc = "Unicode NFC normalization via the native codegen expression: per-doc changed flag, codepoint-length delta, normalized-content md5")
   )
 }

@@ -50,4 +50,35 @@ class TextExpressionsSpec extends SparkSpecBase {
       ext, spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
     assert(rules.exists(_ eq graft.plans.FuseDistinctCount))
   }
+
+  test("nfc_normalize: UAX #15 composition, idempotence, null/non-BMP handling") {
+    import graft.functions.TextFunctions.nfc_normalize
+    val rows = spark.createDataFrame(Seq(
+      (1L, "café"),            // decomposed -> composes to café
+      (2L, "café"),             // already NFC: byte-identical out
+      (3L, "mañana"),          // decomposed tilde
+      (4L, "plain ascii"),           // fast path
+      (5L, "😀 ok"),       // non-BMP (emoji) passes through
+      (6L, "")                       // empty
+    )).toDF("id", "s")
+      .withColumn("n", nfc_normalize(col("s")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows(1L) == "café", "decomposed acute did not compose")
+    assert(rows(2L) == "café")
+    assert(rows(3L) == "mañana", "decomposed tilde did not compose")
+    assert(rows(4L) == "plain ascii")
+    assert(rows(5L) == "😀 ok")
+    assert(rows(6L) == "")
+    // idempotent: normalizing the normalized column changes nothing
+    val twice = spark.createDataFrame(Seq(Tuple1("café")))
+      .toDF("s")
+      .select(nfc_normalize(nfc_normalize(col("s"))).as("n2"),
+        nfc_normalize(col("s")).as("n1"))
+      .head()
+    assert(twice.getString(0) == twice.getString(1))
+    // null in, null out
+    val nulls = spark.sql("SELECT CAST(NULL AS STRING) AS s")
+      .select(nfc_normalize(col("s"))).head()
+    assert(nulls.isNullAt(0))
+  }
 }
