@@ -374,6 +374,37 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(bnlj <= 4, s"unexpected nested-loop joins ($bnlj):\n$plan")
   }
 
+  test("q132: the bigram model broadcasts back onto the corpus stream — " +
+      "no corpus-sized shuffle beyond the model agg") {
+    val plan = executed("q132_bigram_loglik")
+    SparkEntry.releaseCaches(spark)
+    // both model joins (bigram types, left-context totals) are
+    // broadcast hash joins: the corpus bigram stream never shuffles on
+    // the skewed word keys
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q138: curriculum packing plans no single-partition exchange — " +
+      "quartiles ride the range-partitioned rank, packing windows are " +
+      "(bucket, lang) lanes") {
+    val plan = executed("q138_curriculum_packing")
+    SparkEntry.releaseCaches(spark)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q129: the encoded vocabulary broadcasts onto the corpus word " +
+      "stream; the apply chain stays vocabulary-sized") {
+    val plan = executed("q129_bpe_encode_corpus")
+    SparkEntry.releaseCaches(spark)
+    // the per-doc pricing join is a broadcast of the encoded vocab —
+    // the corpus-side explode never shuffles on the word key
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("no query in the battery plans a non-broadcast cartesian product") {
     // the blanket 100 TB invariant: a CartesianProduct materializes
     // |L|×|R| with NO bounded build side — at scale that's a dead job
