@@ -69,6 +69,17 @@ class PlanSnapshotSpec extends SparkSpecBase {
       .replaceAll("WholeStageCodegen \\(\\d+\\)", "WholeStageCodegen (x)")
       .replaceAll("Scan ExistingRDD\\[", "Scan ExistingRDD[") // stable, listed for clarity
       .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[x]")
+      // AQE stage NUMBERS are assigned in materialization order, which
+      // depends on what ran earlier in the session (stage reuse,
+      // scheduling) — the stage KIND and tree position are the pinned
+      // shape, the counter is not (observed: q130's BroadcastQueryStage
+      // 6 vs 7 depending on suite order)
+      .replaceAll("QueryStage \\d+", "QueryStage x")
+      // same volatility for the per-operator codegen-stage prefix
+      // `*(N)` — the codegen-unit counter shifts with AQE stage
+      // materialization order; the STAR (inside codegen at all) is the
+      // pinned property, not the counter
+      .replaceAll("\\*\\(\\d+\\)", "*(x)")
       .replaceAll("SQLExecutionRDD\\[\\d+\\]", "SQLExecutionRDD[x]")
       .replaceAll("\\[\\d+\\] at \\w+ at [^,\\]]*", "[x]")
       .replaceAll("file:[^,\\]\\s]+", "PATH")
