@@ -969,6 +969,45 @@ object CurationQueries {
         SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
           CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM sh GROUP BY shard ORDER BY shard"""),
-      doc = "deterministic hash-order corpus shuffle into 16 range-partitioned shards, with a per-shard doc/token manifest")
+      doc = "deterministic hash-order corpus shuffle into 16 range-partitioned shards, with a per-shard doc/token manifest"),
+
+    // ---- length-grouped batching audit (q140): the dynamic-batching
+    //      trade a training loader makes when sequences are padded
+    //      (not packed): group docs into power-of-two length buckets
+    //      and price the padding waste per bucket — the statistic that
+    //      decides between bucketed padding and q92-style packing.
+    //      Exact integers end-to-end (fixed CASE ladder, no fp log2);
+    //      one corpus pass + a 7-row agg.
+    QueryDef(
+      "q140_length_bucket_batching",
+      (s, d) => {
+        val bucketExpr = "CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32 " +
+          "WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256 " +
+          "WHEN n <= 512 THEN 512 ELSE 1024 END"
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n"))
+          .withColumn("bucket_len", expr(bucketExpr).cast("long"))
+          .groupBy("bucket_len")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n")).as("n_tokens"),
+            (count(lit(1)) * col("bucket_len")).as("padded_tokens"))
+          .withColumn("pad_waste_r",
+            round(lit(1.0) - col("n_tokens").cast("double") / col("padded_tokens").cast("double"), 4))
+          .select("bucket_len", "n_docs", "n_tokens", "padded_tokens", "pad_waste_r")
+          .orderBy("bucket_len")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+            CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n
+          FROM documents),
+        b AS (SELECT n, CAST(CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+            WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+            WHEN n <= 512 THEN 512 ELSE 1024 END AS BIGINT) AS bucket_len FROM t)
+        SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n) AS BIGINT) AS n_tokens,
+          CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+          round(1.0 - CAST(sum(n) AS DOUBLE) / (count(*) * bucket_len), 4) AS pad_waste_r
+        FROM b GROUP BY bucket_len ORDER BY bucket_len"""),
+      doc = "length-grouped batching audit: power-of-two token buckets with exact per-bucket padding-waste ratios")
   )
 }

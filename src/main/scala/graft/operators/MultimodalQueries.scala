@@ -1094,6 +1094,40 @@ object MultimodalQueries {
         MediaDedupIndex.dedupBatch(s, mediaAll.filter(col("doc_id") >= 1000000L), dir)
       },
       Some(q137OracleSql),
-      doc = "incremental media dedup: batch fingerprints vs the persisted modality-tagged hash ledger, best corpus match per new item")
+      doc = "incremental media dedup: batch fingerprints vs the persisted modality-tagged hash ledger, best corpus match per new item"),
+
+    // ---- image resolution bucketing (q141): q140's dynamic-batching
+    //      audit on the vision side — multimodal training batches pad
+    //      images to a common shape, so the loader groups by a
+    //      rounded-up resolution bucket (multiples of 8, the patch/
+    //      alignment granularity) and prices the per-bucket pixel
+    //      padding waste. Dimensions come from the REAL header decode
+    //      (q54's parser), the oracle recomputes them from the
+    //      synthesis closed form — the decode contract again. Exact
+    //      integers; one decode map + a tiny agg.
+    QueryDef(
+      "q141_image_resolution_buckets",
+      (s, d) => decodeFeatures(s, synthesizeMedia(Tables.documents(s, d)))
+        .filter(col("format") === "bmp")
+        .withColumn("bw", expr("CAST(((width + 7) div 8) * 8 AS BIGINT)"))
+        .withColumn("bh", expr("CAST(((height + 7) div 8) * 8 AS BIGINT)"))
+        .groupBy("bw", "bh")
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("width").cast("long") * col("height")).as("real_px"),
+          (count(lit(1)) * col("bw") * col("bh")).as("padded_px"))
+        .withColumn("pad_waste_r",
+          round(lit(1.0) - col("real_px").cast("double") / col("padded_px").cast("double"), 4))
+        .select("bw", "bh", "n_images", "real_px", "padded_px", "pad_waste_r")
+        .orderBy("bw", "bh"),
+      Some("""WITH img AS (SELECT doc_id, 4 + doc_id % 16 AS w, 4 + (doc_id // 3) % 16 AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        b AS (SELECT w, h, ((w + 7) // 8) * 8 AS bw, ((h + 7) // 8) * 8 AS bh FROM img)
+        SELECT CAST(bw AS BIGINT) AS bw, CAST(bh AS BIGINT) AS bh,
+          CAST(count(*) AS BIGINT) AS n_images,
+          CAST(sum(w * h) AS BIGINT) AS real_px,
+          CAST(count(*) * bw * bh AS BIGINT) AS padded_px,
+          round(1.0 - CAST(sum(w * h) AS DOUBLE) / (count(*) * bw * bh), 4) AS pad_waste_r
+        FROM b GROUP BY bw, bh ORDER BY bw, bh"""),
+      doc = "image resolution bucketing: decoded dimensions rounded to 8-multiples, per-bucket pixel padding-waste — the vision-side dynamic-batching audit")
   )
 }
