@@ -182,6 +182,111 @@ object EventQueries {
         WHERE e.event_type = 'error'
         GROUP BY e.event_id ORDER BY e.event_id"""),
       doc = "binned interval join: 60s-bin equi shuffle + residual range " +
-        "predicate replaces the O(n^2) nested loop; exact vs the plain range join")
+        "predicate replaces the O(n^2) nested loop; exact vs the plain range join"),
+
+    // ---- ordered conversion funnel (q142): the classic product-
+    //      analytics ask — view → click → purchase, each stage's
+    //      timestamp strictly AFTER the previous stage's first
+    //      occurrence (a later click doesn't count without an earlier
+    //      view). Three per-user min-aggs chained by equi-joins on
+    //      user_id; per-stage states are one row per user, so the
+    //      shuffles carry user-cardinality rows (AQE broadcasts the
+    //      later, shrinking stages at small scale; at billions of
+    //      users all three are plain hash shuffles on the same key —
+    //      co-partitioned after the first).
+    QueryDef(
+      "q142_event_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        val s1 = v.agg(count(lit(1)).as("n_users"))
+          .select(lit(1).as("stage"), lit("view").as("step"), col("n_users"))
+        val s2 = c.agg(count(lit(1)).as("n_users"))
+          .select(lit(2).as("stage"), lit("click").as("step"), col("n_users"))
+        val s3 = p.agg(count(lit(1)).as("n_users"))
+          .select(lit(3).as("stage"), lit("purchase").as("step"), col("n_users"))
+        val first = v.agg(count(lit(1)).as("entered"))
+        s1.unionByName(s2).unionByName(s3)
+          .crossJoin(broadcast(first))
+          .withColumn("conv_r",
+            round(col("n_users").cast("double") / col("entered").cast("double"), 4))
+          .select("stage", "step", "n_users", "conv_r")
+          .orderBy("stage")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > t1 GROUP BY e.user_id),
+          p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > t2 GROUP BY e.user_id),
+          f AS (SELECT CAST(count(*) AS BIGINT) AS entered FROM v),
+          stages AS (
+            SELECT 1 AS stage, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+            UNION ALL
+            SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+            UNION ALL
+            SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
+          SELECT stage, step, n_users,
+            round(CAST(n_users AS DOUBLE) / entered, 4) AS conv_r
+          FROM stages CROSS JOIN f ORDER BY stage"""),
+      doc = "ordered view→click→purchase funnel: per-stage first-occurrence chaining with strict time ordering, stage counts + conversion ratios"),
+
+    // ---- retention cohort matrix (q143): users cohorted by the ISO
+    //      week of their FIRST event, activity counted per (cohort,
+    //      week-offset) — the weekly retention triangle every growth
+    //      dashboard renders. Two aggs on user-cardinality frames +
+    //      one broadcast of cohort sizes; week arithmetic is exact
+    //      integer (date_trunc to Monday, day-diff div 7) in both
+    //      engines.
+    QueryDef(
+      "q143_retention_cohorts",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val firstSeen = ev.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+        val active = ev.select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("active_week"))
+          .distinct()
+        val cells = active.join(firstSeen, Seq("user_id"))
+          .withColumn("week_offset",
+            expr("CAST(datediff(active_week, cohort_week) div 7 AS INT)"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        val sizes = firstSeen.groupBy("cohort_week")
+          .agg(count(lit(1)).as("cohort_size"))
+        cells.join(broadcast(sizes), Seq("cohort_week"))
+          .withColumn("retention_r",
+            round(col("n_users").cast("double") / col("cohort_size").cast("double"), 4))
+          .select("cohort_week", "week_offset", "n_users", "cohort_size", "retention_r")
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH fs AS (SELECT user_id,
+            CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+          FROM events GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id,
+            CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events),
+        cells AS (SELECT cohort_week,
+            CAST(date_diff('day', cohort_week, active_week) // 7 AS INT) AS week_offset,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM act JOIN fs USING (user_id)
+          GROUP BY cohort_week, date_diff('day', cohort_week, active_week) // 7),
+        sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM fs GROUP BY cohort_week)
+        SELECT cohort_week, week_offset, n_users, cohort_size,
+          round(CAST(n_users AS DOUBLE) / cohort_size, 4) AS retention_r
+        FROM cells JOIN sizes USING (cohort_week)
+        ORDER BY cohort_week, week_offset"""),
+      doc = "weekly retention cohort matrix: first-event-week cohorts × active-week offsets with exact integer week arithmetic and retention ratios")
   )
 }
