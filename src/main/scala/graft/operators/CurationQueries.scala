@@ -1008,6 +1008,65 @@ object CurationQueries {
           CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
           round(1.0 - CAST(sum(n) AS DOUBLE) / (count(*) * bucket_len), 4) AS pad_waste_r
         FROM b GROUP BY bucket_len ORDER BY bucket_len"""),
-      doc = "length-grouped batching audit: power-of-two token buckets with exact per-bucket padding-waste ratios")
+      doc = "length-grouped batching audit: power-of-two token buckets with exact per-bucket padding-waste ratios"),
+
+    // ---- dataset snapshot diff (q144): the versioning audit a
+    //      continuously-refreshed corpus needs — given two dataset
+    //      snapshots, classify every doc as added / removed /
+    //      modified / unchanged by content hash and report per-source
+    //      counts (what a data-registry "what changed since v1" view
+    //      shows). Snapshot v2 is derived deterministically from v1
+    //      (drop every 13th doc, rewrite every 7th by removing its
+    //      first word, add a fresh doc per 11th) so the oracle
+    //      replays the same derivation. One full outer join on
+    //      doc_id, md5 content compare — at scale both sides
+    //      co-partition on the id; the diff never compares text
+    //      bodies, only their hashes.
+    QueryDef(
+      "q144_snapshot_diff",
+      (s, d) => {
+        val v1 = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), md5(col("text")).as("h1"))
+        val v2base = Tables.documents(s, d)
+          .filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"), col("source"),
+            md5(when(col("doc_id") % 7 === 0,
+              expr("trim(substring(text, instr(text, ' ') + 1))"))
+              .otherwise(col("text"))).as("h2"))
+        val v2added = Tables.documents(s, d)
+          .filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            md5(concat(col("text"), lit(" v2"))).as("h2"))
+        val v2 = v2base.unionByName(v2added)
+        v1.withColumnRenamed("source", "src1")
+          .join(v2.withColumnRenamed("source", "src2"), Seq("doc_id"), "full_outer")
+          .withColumn("source", coalesce(col("src1"), col("src2")))
+          .withColumn("status",
+            when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") === col("h2"), "unchanged")
+              .otherwise("modified"))
+          .groupBy("source", "status")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "status")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, source, md5(text) AS h1 FROM documents),
+        v2 AS (SELECT doc_id, source,
+            md5(CASE WHEN doc_id % 7 = 0
+              THEN trim(substr(text, instr(text, ' ') + 1))
+              ELSE text END) AS h2
+          FROM documents WHERE doc_id % 13 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, source, md5(text || ' v2')
+          FROM documents WHERE doc_id % 11 = 0)
+        SELECT coalesce(v1.source, v2.source) AS source,
+          CASE WHEN h1 IS NULL THEN 'added'
+               WHEN h2 IS NULL THEN 'removed'
+               WHEN h1 = h2 THEN 'unchanged'
+               ELSE 'modified' END AS status,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        GROUP BY 1, 2 ORDER BY source, status"""),
+      doc = "dataset snapshot diff: content-hash full-outer compare of two corpus versions, per-source added/removed/modified/unchanged counts")
   )
 }
