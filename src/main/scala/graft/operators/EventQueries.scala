@@ -197,29 +197,36 @@ object EventQueries {
     QueryDef(
       "q142_event_funnel",
       (s, d) => {
-        val ev = Tables.events(s, d)
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        val c = ev.filter(col("event_type") === "click")
-          .join(v, Seq("user_id"))
-          .filter(col("ts") > col("t1"))
-          .groupBy("user_id").agg(min(col("ts")).as("t2"))
-        val p = ev.filter(col("event_type") === "purchase")
-          .join(c, Seq("user_id"))
-          .filter(col("ts") > col("t2"))
-          .groupBy("user_id").agg(min(col("ts")).as("t3"))
-        val s1 = v.agg(count(lit(1)).as("n_users"))
-          .select(lit(1).as("stage"), lit("view").as("step"), col("n_users"))
-        val s2 = c.agg(count(lit(1)).as("n_users"))
-          .select(lit(2).as("stage"), lit("click").as("step"), col("n_users"))
-        val s3 = p.agg(count(lit(1)).as("n_users"))
-          .select(lit(3).as("stage"), lit("purchase").as("step"), col("n_users"))
-        val first = v.agg(count(lit(1)).as("entered"))
-        s1.unionByName(s2).unionByName(s3)
-          .crossJoin(broadcast(first))
-          .withColumn("conv_r",
-            round(col("n_users").cast("double") / col("entered").cast("double"), 4))
-          .select("stage", "step", "n_users", "conv_r")
+        // SINGLE-scan funnel: one pass collects each user's first view
+        // plus the sorted click/purchase timestamp lists, then the
+        // stage chaining is per-row array arithmetic (t2 = first click
+        // after t1, t3 = first purchase after t2 — null chains
+        // propagate drop-off). A stage-by-stage join formulation scans
+        // the corpus once PER STAGE; this shuffles it once, total.
+        // Per-user list size is bounded by that user's own activity —
+        // the q44 session caveat (salt pathological users) applies.
+        val per = Tables.events(s, d)
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t1"),
+            sort_array(collect_list(
+              when(col("event_type") === "click", col("ts")))).as("clicks"),
+            sort_array(collect_list(
+              when(col("event_type") === "purchase", col("ts")))).as("purchases"))
+          .withColumn("t2", expr("array_min(filter(clicks, x -> x > t1))"))
+          .withColumn("t3", expr("array_min(filter(purchases, x -> x > t2))"))
+        val totals = per.agg(count(col("t1")).as("n1"),
+          count(col("t2")).as("n2"), count(col("t3")).as("n3"))
+        totals.select(explode(array(
+            struct(lit(1).as("stage"), lit("view").as("step"), col("n1").as("n_users")),
+            struct(lit(2).as("stage"), lit("click").as("step"), col("n2").as("n_users")),
+            struct(lit(3).as("stage"), lit("purchase").as("step"), col("n3").as("n_users"))))
+            .as("r"), col("n1").as("entered"))
+          .select(col("r.stage").as("stage"), col("r.step").as("step"),
+            col("r.n_users").as("n_users"),
+            round(col("r.n_users").cast("double") / col("entered").cast("double"), 4)
+              .as("conv_r"))
           .orderBy("stage")
       },
       Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
