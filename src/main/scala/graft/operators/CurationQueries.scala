@@ -1067,6 +1067,82 @@ object CurationQueries {
           CAST(count(*) AS BIGINT) AS n_docs
         FROM v1 FULL OUTER JOIN v2 USING (doc_id)
         GROUP BY 1, 2 ORDER BY source, status"""),
-      doc = "dataset snapshot diff: content-hash full-outer compare of two corpus versions, per-source added/removed/modified/unchanged counts")
+      doc = "dataset snapshot diff: content-hash full-outer compare of two corpus versions, per-source added/removed/modified/unchanged counts"),
+
+    // ---- temperature-weighted sampler (q145): q134 computes the
+    //      mixture; this EXECUTES it in one Bernoulli pass. To realize
+    //      target share qᵢ from corpus share pᵢ, each source keeps
+    //      docs at rate aᵢ ∝ qᵢ/pᵢ (the boost), normalized so the
+    //      most-boosted source keeps everything. The accept gate is
+    //      seedless and engine-portable: md5(doc_id) 8-hex-char prefix
+    //      compared against the per-source threshold rendered as
+    //      zero-padded lowercase hex — string order IS numeric order
+    //      for same-length lowercase hex, so no hex→int parsing is
+    //      needed in either engine (rand() would differ per run and
+    //      per task retry). Output audits the REALIZED mixture against
+    //      the q134 targets. One corpus pass + a 20-row broadcast.
+    QueryDef(
+      "q145_temperature_sampler",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val total = bySrc.agg(sum(col("n_docs")).as("tot"))
+        val shares = bySrc.crossJoin(broadcast(total))
+          .withColumn("share", col("n_docs").cast("double") / col("tot").cast("double"))
+          .withColumn("scaled", pow(col("share"), lit(0.7)))
+        val z = shares.agg(expr(
+          """aggregate(transform(array_sort(collect_list(struct(source, scaled))),
+               s -> s.scaled), 0D, (a, x) -> a + x)""").as("z"))
+        val boosted = shares.crossJoin(broadcast(z))
+          .withColumn("boost", (col("scaled") / col("z")) / col("share"))
+        val mb = boosted.agg(max(col("boost")).as("max_boost"))
+        val rates = boosted.crossJoin(broadcast(mb))
+          .withColumn("rate", col("boost") / col("max_boost"))
+          .withColumn("thr",
+            lpad(lower(hex(floor(col("rate") * 4294967296.0).cast("long"))), 8, "0"))
+          .select(col("source"), col("n_docs"), col("rate"), col("thr"))
+        val kept = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            substring(md5(col("doc_id").cast("string")), 1, 8).as("gate"))
+          .join(broadcast(rates), Seq("source"))
+          .filter(col("rate") >= 1.0 || col("gate") < col("thr"))
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        val keptTot = kept.agg(sum(col("n_kept")).as("kept_tot"))
+        rates.join(kept, Seq("source"), "left")
+          .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+          .crossJoin(broadcast(keptTot))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            round(col("rate"), 6).as("rate_r"),
+            round(col("n_kept").cast("double") / col("n_docs").cast("double"), 4)
+              .as("kept_r"),
+            round(col("n_kept").cast("double") / col("kept_tot").cast("double"), 4)
+              .as("realized_share"))
+          .orderBy("source")
+      },
+      Some("""WITH bysrc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM bysrc),
+        sh AS (SELECT source, n_docs,
+            CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+            pow(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 0.7) AS scaled
+          FROM bysrc CROSS JOIN tot),
+        z AS (SELECT list_sum(list(scaled ORDER BY source)) AS z FROM sh),
+        bo AS (SELECT source, n_docs, share, (scaled / z) / share AS boost
+          FROM sh CROSS JOIN z),
+        mb AS (SELECT max(boost) AS max_boost FROM bo),
+        rates AS (SELECT source, n_docs, boost / max_boost AS rate,
+            lpad(lower(hex(CAST(floor(boost / max_boost * 4294967296.0) AS BIGINT))), 8, '0') AS thr
+          FROM bo CROSS JOIN mb),
+        kept AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+          FROM documents d JOIN rates r USING (source)
+          WHERE r.rate >= 1.0 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < r.thr
+          GROUP BY d.source),
+        kt AS (SELECT CAST(sum(n_kept) AS BIGINT) AS kept_tot FROM kept)
+        SELECT r.source, r.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+          round(r.rate, 6) AS rate_r,
+          round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / r.n_docs, 4) AS kept_r,
+          round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / kept_tot, 4) AS realized_share
+        FROM rates r LEFT JOIN kept k USING (source) CROSS JOIN kt
+        ORDER BY r.source"""),
+      doc = "temperature-weighted sampler: q134's boosts executed as a seedless md5-hex Bernoulli gate, with the realized mixture audited per source")
   )
 }
