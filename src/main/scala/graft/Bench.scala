@@ -167,12 +167,47 @@ object Bench {
         s""""spread_pct":${fmt(r.spread * 100)},"gc_ms":${r.gcMs},"failed_passes":${r.failed}}"""
     }.mkString("[\n", ",\n", "\n]")
     val warmed = warmDir != "none" && new java.io.File(warmDir).isDirectory
+    // Per-family subtotals (the BASELINE.md §Round-13-anchor partition,
+    // each query in exactly one family) land in the committed sidecar,
+    // and the CONTROL subtotal — q01–q30, plans frozen since r7 — rides
+    // the inline JSON too: the control-normalized reading
+    // (total/anchor) ÷ (control/anchor-control) is then computable from
+    // the one line the driver keeps, no adjudication essay needed.
+    def qNum(r: BenchRow): Int = key(r).drop(1).toInt
+    val familyOf: Int => String = {
+      val text = Set(31, 32, 33, 34, 69, 70, 83, 88, 96, 111, 112, 115,
+        123, 125, 129, 132, 138, 139, 140)
+      val dedup = Set(35, 36, 37, 38, 77, 85, 102, 109, 110, 113, 118,
+        121, 122, 128, 144)
+      val ann = Set(39, 40, 41, 78, 81, 94, 104, 116, 119, 126, 130)
+      val events = Set(42, 43, 44, 45, 46, 47, 48, 67, 108, 142, 143)
+      val multimodal = Set(53, 54, 55, 101, 127, 131, 133, 136, 137, 141)
+      val curation = Set(84, 86, 87, 89, 90, 91, 92, 93, 95, 97, 98, 99,
+        100, 103, 105, 106, 114, 117, 120, 124, 134, 135, 145)
+      n =>
+        if (n <= 30) "relational"
+        else if (text(n)) "text"
+        else if (dedup(n)) "dedup"
+        else if (ann(n)) "ann"
+        else if (events(n)) "events"
+        else if (multimodal(n)) "multimodal"
+        else if (curation(n)) "curation"
+        else "connector"
+    }
+    val families = results.filter(_.minS >= 0)
+      .groupBy(r => familyOf(qNum(r)))
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => "\"" + f + "\":" + fmt(rs.map(_.minS).sum) }
+      .mkString("{", ",", "}")
+    val control = results
+      .collect { case r if r.minS >= 0 && qNum(r) <= 30 => r.minS }.sum
     val detailFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
     val dw = new java.io.PrintWriter(detailFile, "UTF-8")
     try dw.println(
       s"""{"sf":"$sfDir","warm":$warmed,"passes":$passes,"gc_every":$gcEvery,""" +
-        s""""total_min_s":${fmt(total)},"rows":$detail}""")
+        s""""total_min_s":${fmt(total)},"control_q01_30_s":${fmt(control)},""" +
+        s""""families":$families,"rows":$detail}""")
     finally dw.close()
     // capped by BYTES, not entry count: pass lists scale with
     // SPARK_GRAFT_PASSES, and the whole line must survive the driver's
@@ -189,7 +224,7 @@ object Bench {
     // methodology fields: whether the JIT warm-up pass ran and how many
     // timed passes the per-query min covers — cross-round comparisons
     // must not silently mix cold and steady-state measurements
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes,"gc_every":$gcEvery,"detail":"${detailFile.getName}"$spreadField$errField}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes,"gc_every":$gcEvery,"control":${fmt(control)},"detail":"${detailFile.getName}"$spreadField$errField}""")
     spark.stop()
   }
 }
