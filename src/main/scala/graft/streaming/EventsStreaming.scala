@@ -132,6 +132,63 @@ object EventsStreaming {
         })
   }
 
+  final case class FunnelState(user_id: Long,
+      t1: Option[java.sql.Timestamp],
+      t2: Option[java.sql.Timestamp],
+      t3: Option[java.sql.Timestamp])
+  final case class FunnelStage(user_id: Long, stage: Int)
+
+  /** Per-user funnel state machine (mapGroupsWithState tier) — the
+    * ingest-time twin of q142's batch funnel: state carries the first
+    * view, the first click after it, the first purchase after that;
+    * each micro-batch's events apply in event-time order and the
+    * user's CURRENT stage is emitted per batch (stages are monotone,
+    * so the last emission is the answer). With per-user
+    * event-time-ordered arrival (the keyed-log deployment norm; the
+    * spec feeds ts-split files in order) the final stages equal the
+    * batch funnel EXACTLY — bounded disorder would buffer behind a
+    * watermark before this update, same state logic. State is three
+    * optional timestamps per active user; unbounded key churn would
+    * add a state timeout, the [[runningCounts]] caveat. */
+  def funnelStages(spark: SparkSession, events: DataFrame): Dataset[FunnelStage] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(userId, None, None, None))
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            e.event_type match {
+              case "view" if st.t1.isEmpty =>
+                st = st.copy(t1 = Some(e.ts))
+              case "click" if st.t2.isEmpty && st.t1.exists(t => e.ts.after(t)) =>
+                st = st.copy(t2 = Some(e.ts))
+              case "purchase" if st.t3.isEmpty && st.t2.exists(t => e.ts.after(t)) =>
+                st = st.copy(t3 = Some(e.ts))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          val stage =
+            if (st.t3.nonEmpty) 3 else if (st.t2.nonEmpty) 2
+            else if (st.t1.nonEmpty) 1 else 0
+          Iterator.single(FunnelStage(userId, stage))
+        })
+  }
+
+  /** [[readEvents]] paced to `filesPerTrigger` files per micro-batch —
+    * the spec's lever for exercising MULTI-batch state evolution with
+    * deterministic batch boundaries. */
+  def readEventsPaced(spark: SparkSession, path: String, filesPerTrigger: Int): DataFrame = {
+    val schema = probeSchema(spark, path)
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(path))
+  }
+
   /** Streaming upsert into the MERGE state table via foreachBatch —
     * the streaming form of the reference's KV writes (S6): each
     * micro-batch's per-user aggregates become a change set merged into

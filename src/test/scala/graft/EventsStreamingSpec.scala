@@ -38,6 +38,45 @@ class EventsStreamingSpec extends SparkSpecBase {
     assert(mismatched.count() == 0)
   }
 
+  test("stateful funnel stream over ts-ordered micro-batches equals the " +
+      "q142 batch funnel exactly") {
+    // two ts-split files, paced one per micro-batch: the state machine
+    // must carry stage progress across the batch boundary
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_stream").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("tsu", expr("unix_micros(ts)")).localCheckpoint()
+    // split by EVENT TIME so the paced batches arrive in order — the
+    // in-order assumption the state machine documents
+    val midTs = ev.stat.approxQuantile("tsu", Array(0.5), 0.0).head.toLong
+    def stageHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      ev.filter(pred).drop("tsu").sort("ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+      val f = new java.io.File(s"$dir/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    // FileStreamSource breaks same-mtime ties by path: name the early
+    // half so it also sorts first
+    stageHalf(col("tsu") <= midTs, "a_early.parquet")
+    stageHalf(col("tsu") > midTs, "b_late.parquet")
+    val stream = EventsStreaming.readEventsPaced(spark, dir, 1)
+    EventsStreaming.runToMemory(
+      EventsStreaming.funnelStages(spark, stream).toDF(), "funnel_out", "append")
+    // stages are monotone: the max emission per user is the final stage
+    val finals = spark.sql(
+      "SELECT user_id, max(stage) AS stage FROM funnel_out GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = SparkEntry.queries("q142_event_funnel")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val streamed = Map(
+      1 -> finals.values.count(_ >= 1).toLong,
+      2 -> finals.values.count(_ >= 2).toLong,
+      3 -> finals.values.count(_ >= 3).toLong)
+    assert(streamed == batch,
+      s"funnel stages diverged: stream $streamed vs batch $batch")
+    SparkEntry.releaseCaches(spark)
+  }
+
   test("streaming dedup keeps one row per (user, type)") {
     val stream = EventsStreaming.readEvents(spark, path)
     EventsStreaming.runToMemory(
