@@ -505,6 +505,60 @@ object DedupQueries {
         FROM cc JOIN sizes ON cc.cluster = sizes.cluster
         ORDER BY doc_id""")),
 
+    // ---- MinHash sketch-quality audit (q146): the estimator the LSH
+    //      family RESTS ON, audited in-query — per candidate pair, the
+    //      Jaccard ESTIMATE from signature agreement (matching
+    //      positions / 8, the MinHash unbiased estimator) against the
+    //      exact set Jaccard, with the signed error. The ANN tier pins
+    //      recall (q126/q130); this pins the sketch itself — the
+    //      number that justifies the band thresholds. Reads the SAME
+    //      stored index/sets blocks as q36/q37 (no recompute); the
+    //      audit join shape is q37's.
+    QueryDef(
+      "q146_minhash_estimate_audit",
+      (s, d) => {
+        val sets = shingleSets(s, d).localCheckpoint()
+        val sigs = minhashFrom(sets).localCheckpoint()
+        val pairs = candidatePairsFrom(sigs)
+        pairs
+          .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("ga")), Seq("doc_a"))
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("gb")), Seq("doc_b"))
+          .withColumn("n_match_pos",
+            expr("size(filter(zip_with(ga, gb, (x, y) -> x = y), b -> b))"))
+          .withColumn("est_j", col("n_match_pos").cast("double") / 8.0)
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+          .select(col("doc_a"), col("doc_b"),
+            col("n_match_pos").cast("int").as("n_match_pos"),
+            col("est_j"),
+            round(col("jaccard"), 4).as("jaccard_r"),
+            round(col("est_j") - col("jaccard"), 4).as("err_r"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$oracleBandsCte,
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        sets AS (SELECT DISTINCT doc_id, list_distinct(shingles) AS sd FROM sh),
+        sg AS (SELECT doc_id, sig FROM mh),
+        j AS (SELECT doc_a, doc_b,
+            len(list_filter(range(8), i -> ga.sig[i+1] = gb.sig[i+1])) AS n_match_pos,
+            CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
+              (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) AS jaccard
+          FROM cand
+          JOIN sets sa ON cand.doc_a = sa.doc_id
+          JOIN sets sb ON cand.doc_b = sb.doc_id
+          JOIN sg ga ON cand.doc_a = ga.doc_id
+          JOIN sg gb ON cand.doc_b = gb.doc_id)
+        SELECT doc_a, doc_b, CAST(n_match_pos AS INT) AS n_match_pos,
+          CAST(n_match_pos AS DOUBLE) / 8.0 AS est_j,
+          round(jaccard, 4) AS jaccard_r,
+          round(CAST(n_match_pos AS DOUBLE) / 8.0 - jaccard, 4) AS err_r
+        FROM j ORDER BY doc_a, doc_b"""),
+      doc = "MinHash estimator audit: per candidate pair, signature-agreement Jaccard estimate vs exact set Jaccard with signed error — the sketch-quality number behind the LSH thresholds"),
+
     // ---- near-dup pruning, the production keep-policy: drop every doc
     //      that has ANY smaller-id near-dup candidate; keep the rest.
     //      This is the transitive-closure-free policy real dedup
