@@ -178,7 +178,7 @@ object Bench {
       val text = Set(31, 32, 33, 34, 69, 70, 83, 88, 96, 111, 112, 115,
         123, 125, 129, 132, 138, 139, 140)
       val dedup = Set(35, 36, 37, 38, 77, 85, 102, 109, 110, 113, 118,
-        121, 122, 128, 144)
+        121, 122, 128, 144, 146)
       val ann = Set(39, 40, 41, 78, 81, 94, 104, 116, 119, 126, 130)
       val events = Set(42, 43, 44, 45, 46, 47, 48, 67, 108, 142, 143)
       val multimodal = Set(53, 54, 55, 101, 127, 131, 133, 136, 137, 141)
