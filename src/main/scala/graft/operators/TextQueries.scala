@@ -665,6 +665,147 @@ object TextQueries {
             ELSE '' END AS raw
           FROM documents) t
         ORDER BY doc_id"""),
-      doc = "Unicode NFC normalization via the native codegen expression: per-doc changed flag, codepoint-length delta, normalized-content md5")
+      doc = "Unicode NFC normalization via the native codegen expression: per-doc changed flag, codepoint-length delta, normalized-content md5"),
+
+    // ---- Count-min-sketch heavy-hitter audit (q147): the q146
+    //      symmetry extended to the FREQUENCY sketch — a d=4 × w=32
+    //      count-min sketch of the corpus token stream (Cormode &
+    //      Muthukrishnan 2005), its estimate audited against the exact
+    //      count for the top-20 heavy hitters. The overestimate
+    //      (always ≥ 0 — CMS never undercounts) is the number that
+    //      justifies sketching term frequencies in O(d·w) memory
+    //      instead of a vocabulary-sized hash table at 100 TB. The
+    //      width is deliberately SMALLER than the test vocabulary
+    //      (31 terms) so bucket collisions — the thing the audit
+    //      exists to measure — actually occur; a production sketch
+    //      sizes w ≈ e/ε for the tolerated overestimate εN.
+    //
+    //      Determinism across engines: the hash is md5('cms<r>:'||term)
+    //      with the bucket decoded from the first two hex chars via
+    //      instr('0123456789abcdef', c) arithmetic — no engine-native
+    //      hash, no fp. Everything is exact integer.
+    //
+    //      Scale: ONE corpus scan → vocabulary-sized exact counts
+    //      (the same hash agg q83 already pays); the sketch rows are a
+    //      1024-row groupBy of that vocabulary frame, broadcast back.
+    //      Nothing after the first agg touches corpus-sized data. A
+    //      streaming ingest would maintain the 1024 cells with
+    //      map-side combine and never hold the vocabulary at all.
+    QueryDef(
+      "q147_cms_heavyhitter_audit",
+      (s, d) => {
+        val exact = Tables.documents(s, d)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val hashed = exact
+          .select(col("term"), col("cnt"),
+            explode(expr("array(0, 1, 2, 3)")).as("r"))
+          .withColumn("h", md5(concat(lit("cms"), col("r"), lit(":"), col("term"))))
+          .withColumn("bucket",
+            ((expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1) * 16 +
+              (expr("instr('0123456789abcdef', substring(h, 2, 1))") - 1)) % 32)
+          .select("term", "cnt", "r", "bucket")
+        val cells = hashed.groupBy("r", "bucket").agg(sum(col("cnt")).as("bc"))
+        val est = hashed.select("term", "r", "bucket")
+          .join(broadcast(cells), Seq("r", "bucket"))
+          .groupBy("term").agg(min(col("bc")).as("cms_est"))
+        exact.join(est, Seq("term"))
+          .select(col("term"), col("cnt"), col("cms_est"),
+            (col("cms_est") - col("cnt")).as("over_est"))
+          .orderBy(col("cnt").desc, col("term").asc)
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents),
+        exact AS (SELECT term, count(*) AS cnt FROM toks WHERE term <> '' GROUP BY term),
+        hashed AS (SELECT term, cnt, r,
+            ((instr('0123456789abcdef', substring(md5('cms' || r || ':' || term), 1, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substring(md5('cms' || r || ':' || term), 2, 1)) - 1)) % 32 AS bucket
+          FROM exact CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rs),
+        cells AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS bc
+          FROM hashed GROUP BY r, bucket),
+        est AS (SELECT term, CAST(min(cells.bc) AS BIGINT) AS cms_est
+          FROM hashed JOIN cells ON hashed.r = cells.r AND hashed.bucket = cells.bucket
+          GROUP BY term)
+        SELECT exact.term, exact.cnt, est.cms_est, est.cms_est - exact.cnt AS over_est
+        FROM exact JOIN est ON exact.term = est.term
+        ORDER BY exact.cnt DESC, exact.term LIMIT 20"""),
+      doc = "Count-min sketch (d=4, w=32) frequency estimates audited against exact counts for the top-20 heavy hitters — the overestimate bound that justifies O(d·w)-memory frequency tracking at scale"),
+
+    // ---- BM25 retrieval (q148): the ranked keyword search a corpus
+    //      index actually serves (Robertson & Zaragoza 2009; k1=1.2,
+    //      b=0.75), for a fixed 3-term query. Per-doc tf comes from
+    //      size(filter(...)) — a pure per-row map, NO token explode
+    //      and NO shuffle for the scoring side; the only aggregation
+    //      is the ONE-ROW corpus-stats frame (N, Σdl, per-term df)
+    //      broadcast back. At 100 TB this is a single scan plus a
+    //      scalar attach — the classic "score everything, keep top-k"
+    //      shape with TakeOrderedAndProject instead of a global sort.
+    //
+    //      fp parity: idf/score arithmetic is written as the SAME
+    //      left-associated expression text in both engines; ln differs
+    //      in the last ulp across libms so the score is emitted on the
+    //      1e-4 rounding grid (the q83 lesson) and ties order by
+    //      doc_id.
+    QueryDef(
+      "q148_bm25_retrieval",
+      (s, d) => {
+        val qterms = Seq("spark", "hash", "window")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+          .select(
+            Seq(col("doc_id"), size(col("ts")).as("dl")) ++
+              qterms.map(t =>
+                expr(s"size(filter(ts, x -> x = '$t'))").as(s"tf_$t")): _*)
+        val statCols =
+          Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+            qterms.map(t =>
+              sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+        val stats = docs.agg(statCols.head, statCols.tail: _*)
+        val termScore = qterms.map(t =>
+          s"""ln(((n_docs - df_$t + 0.5) / (df_$t + 0.5)) + 1.0) *
+             (tf_$t * 2.2) / (tf_$t + 1.2 * (0.25 + 0.75 * (dl / avgdl)))""")
+          .mkString(" + ")
+        docs.crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .withColumn("score", expr(termScore))
+          .select(col("doc_id"),
+            col("tf_spark").cast("int").as("tf_spark"),
+            col("tf_hash").cast("int").as("tf_hash"),
+            col("tf_window").cast("int").as("tf_window"),
+            col("dl").cast("int").as("dl"),
+            round(col("score"), 4).as("score_r"))
+          .orderBy(col("score_r").desc, col("doc_id").asc)
+          .limit(15)
+      },
+      Some {
+        val termScore = Seq("spark", "hash", "window").map(t =>
+          s"""ln(((n_docs - df_$t + 0.5) / (df_$t + 0.5)) + 1.0) *
+             (tf_$t * 2.2) / (tf_$t + 1.2 * (0.25 + 0.75 * (dl / avgdl)))""")
+          .mkString(" + ")
+        s"""WITH docs AS (SELECT doc_id, len(ts) AS dl,
+            len(list_filter(ts, x -> x = 'spark')) AS tf_spark,
+            len(list_filter(ts, x -> x = 'hash')) AS tf_hash,
+            len(list_filter(ts, x -> x = 'window')) AS tf_window
+          FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+            FROM documents) t),
+        stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+            CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark,
+            CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+            CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window
+          FROM docs),
+        scored AS (SELECT doc_id, tf_spark, tf_hash, tf_window, dl,
+            $termScore AS score
+          FROM (SELECT docs.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl, n_docs,
+              df_spark, df_hash, df_window FROM docs CROSS JOIN stats) t)
+        SELECT doc_id, CAST(tf_spark AS INT) AS tf_spark,
+          CAST(tf_hash AS INT) AS tf_hash, CAST(tf_window AS INT) AS tf_window,
+          CAST(dl AS INT) AS dl, round(score, 4) AS score_r
+        FROM scored ORDER BY score_r DESC, doc_id LIMIT 15"""
+      },
+      doc = "BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query: per-row tf via array filter (no explode), one-row corpus-stats broadcast, top-15 via ordered limit")
   )
 }

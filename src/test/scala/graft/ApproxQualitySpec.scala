@@ -86,4 +86,28 @@ class ApproxQualitySpec extends SparkSpecBase {
       assert(r.getDouble(1) <= 0.02, s"p90 err ${r.getDouble(1)}")
     }
   }
+
+  test("q147 CMS estimates never undercount, see real collisions, and respect the eN/w bound") {
+    // The count-min guarantee (Cormode & Muthukrishnan 2005): est ≥
+    // exact always, and est ≤ exact + (e/w)·N with probability
+    // 1 - e^-d per query. The sketch is deterministic for fixed data
+    // (md5 bucketing), so all three facts are hard assertions here —
+    // including that at w=32 < |vocab| the audit actually observes
+    // nonzero collisions (a w ≫ vocab sketch would trivially report
+    // zero error and audit nothing).
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val out = SparkEntry.queries("q147_cms_heavyhitter_audit")(spark, sf)
+        .select("cnt", "over_est").collect()
+      assert(out.length == 20, s"$sf rows ${out.length}")
+      assert(out.forall(_.getLong(1) >= 0), s"$sf CMS undercounted")
+      assert(out.exists(_.getLong(1) > 0), s"$sf no collisions observed")
+      val n = Tables.documents(spark, sf)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+        .filter(col("t") =!= "").count()
+      val bound = math.E / 32.0 * n
+      out.foreach { r =>
+        assert(r.getLong(1) <= bound, s"$sf over ${r.getLong(1)} > eN/w $bound")
+      }
+    }
+  }
 }
