@@ -43,7 +43,8 @@ object SparkEntry {
       operators.ZOrder.defs ++
       operators.KMeans.defs ++
       operators.BpeTrain.defs ++
-      operators.ProductQuantization.defs
+      operators.ProductQuantization.defs ++
+      operators.PageRank.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1143,6 +1143,74 @@ object CurationQueries {
           round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / kept_tot, 4) AS realized_share
         FROM rates r LEFT JOIN kept k USING (source) CROSS JOIN kt
         ORDER BY r.source"""),
-      doc = "temperature-weighted sampler: q134's boosts executed as a seedless md5-hex Bernoulli gate, with the realized mixture audited per source")
+      doc = "temperature-weighted sampler: q134's boosts executed as a seedless md5-hex Bernoulli gate, with the realized mixture audited per source"),
+
+    // ---- DSIR-style importance selection (q149): the published
+    //      data-selection recipe (Xie et al. 2023, "Data Selection for
+    //      Language Models via Importance Resampling") with the
+    //      hashed-ngram feature LMs collapsed to the fully
+    //      deterministic unigram case: importance weight = per-token
+    //      mean log-ratio of an add-1-smoothed unigram LM trained on
+    //      the TARGET slice (source = 'src0' plays the high-quality
+    //      target) vs one trained on the whole raw pool; the top-100
+    //      raw-pool docs by weight are the selected training set.
+    //      q96 scores docs under ONE corpus LM; this is the
+    //      two-distribution ratio that steers a mixture toward a
+    //      target domain.
+    //
+    //      Scale: one corpus tokenize → vocabulary-sized counts for
+    //      both LMs (the target counts are a filtered agg of the SAME
+    //      scan), ratio model broadcast back, per-doc ordered double
+    //      fold (the q90/q96 lesson), top-100 via ordered limit
+    //      (TakeOrderedAndProject — never a global sort/window).
+    QueryDef(
+      "q149_dsir_importance",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .filter(col("term") =!= "")
+        val corpus = toks.groupBy("term").agg(count(lit(1)).as("cr"))
+        val target = toks.filter(col("source") === "src0")
+          .groupBy("term").agg(count(lit(1)).as("ct"))
+        // vocab-sized ratio model, pinned once: corpus vocab is the
+        // support (target counts left-joined, zero-filled)
+        val model = corpus.join(target, Seq("term"), "left")
+          .na.fill(0L, Seq("ct"))
+          .localCheckpoint()
+        val totals = model.agg(
+          sum(col("cr")).as("tr"), sum(col("ct")).as("tt"),
+          count(lit(1)).as("v"))
+        toks.join(broadcast(model), Seq("term"))
+          .crossJoin(broadcast(totals))
+          .withColumn("lr",
+            expr("ln((ct + 1.0) / (tt + v)) - ln((cr + 1.0) / (tr + v))"))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_tokens"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(term, lr))),
+                 x -> x.lr), 0D, (a, y) -> a + y)""").as("llr"))
+          .select(col("doc_id"), col("source"), col("n_tokens"),
+            round(col("llr") / col("n_tokens"), 4).as("avg_llr_r"))
+          .orderBy(col("avg_llr_r").desc, col("doc_id").asc)
+          .limit(100)
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        tk AS (SELECT * FROM toks WHERE term <> ''),
+        cr AS (SELECT term, count(*) AS cr FROM tk GROUP BY term),
+        ctt AS (SELECT term, count(*) AS ct FROM tk WHERE source = 'src0' GROUP BY term),
+        model AS (SELECT cr.term, cr.cr, coalesce(ctt.ct, 0) AS ct
+          FROM cr LEFT JOIN ctt USING (term)),
+        tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt,
+            CAST(count(*) AS BIGINT) AS v FROM model),
+        sc AS (SELECT doc_id, source, count(*) AS n_tokens,
+            list_sum(list(ln((ct + 1.0) / (tt + v)) - ln((cr + 1.0) / (tr + v))
+              ORDER BY term)) AS llr
+          FROM tk JOIN model USING (term) CROSS JOIN tot
+          GROUP BY doc_id, source)
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+          round(llr / n_tokens, 4) AS avg_llr_r
+        FROM sc ORDER BY avg_llr_r DESC, doc_id LIMIT 100"""),
+      doc = "DSIR-style importance selection: per-doc mean log-ratio of target-slice vs raw-pool add-1 unigram LMs, top-100 selected via ordered limit — the two-distribution steering signal behind targeted data mixtures")
   )
 }
