@@ -294,6 +294,61 @@ object EventQueries {
           round(CAST(n_users AS DOUBLE) / cohort_size, 4) AS retention_r
         FROM cells JOIN sizes USING (cohort_week)
         ORDER BY cohort_week, week_offset"""),
-      doc = "weekly retention cohort matrix: first-event-week cohorts × active-week offsets with exact integer week arithmetic and retention ratios")
+      doc = "weekly retention cohort matrix: first-event-week cohorts × active-week offsets with exact integer week arithmetic and retention ratios"),
+
+    // ---- watermark / late-data audit (q151): the sizing study every
+    //      Structured Streaming deployment needs BEFORE picking
+    //      `withWatermark` — replay the stream in arrival order
+    //      (event_id), carry the running event-time high-water mark,
+    //      and count, per hour, the events a 30 s watermark would have
+    //      dropped plus how late the worst one was. The generator's
+    //      events are perfectly ordered, so event-time lateness is
+    //      INJECTED deterministically (the q84/q139 synthetic-signal
+    //      pattern): every 7th event carries an event time 45 s older
+    //      than its arrival slot — the classic delayed-source shape.
+    //
+    //      The running max over arrival order is the scale-sensitive
+    //      part: a bare `max() OVER (ORDER BY …)` plans every event
+    //      through ONE partition. [[PrefixScan.runningMaxExclusive]]
+    //      range-partitions by arrival order, computes the local
+    //      running max per partition in parallel, and combines with a
+    //      broadcast partitions-sized exclusive prefix — the same
+    //      decomposition GlobalRank uses for exact ranks.
+    QueryDef(
+      "q151_late_event_audit",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"),
+            when(col("event_id") % 7 === 0,
+              col("ts") - expr("INTERVAL 45 SECOND"))
+              .otherwise(col("ts")).as("ets"))
+        PrefixScan.runningMaxExclusive(ev, Seq(col("event_id")), "ets", "hwm")
+          .withColumn("wm", col("hwm") - expr("INTERVAL 30 SECOND"))
+          .withColumn("late_us",
+            when(col("ets") < col("wm"),
+              unix_micros(col("wm")) - unix_micros(col("ets"))))
+          .groupBy(date_trunc("hour", col("ets")).as("window_start"))
+          .agg(count(lit(1)).as("n_events"),
+            count(col("late_us")).as("n_late"),
+            coalesce(expr("max(late_us) div 1000000"), lit(0L)).as("max_late_s"))
+          .orderBy("window_start")
+      },
+      Some("""WITH ev AS (SELECT event_id,
+            ts - CASE WHEN event_id % 7 = 0 THEN INTERVAL 45 SECOND
+                 ELSE INTERVAL 0 SECOND END AS ets
+          FROM events),
+        arr AS (SELECT event_id, ets,
+            max(ets) OVER (ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              - INTERVAL 30 SECOND AS wm
+          FROM ev),
+        l AS (SELECT CAST(date_trunc('hour', ets) AS TIMESTAMP) AS window_start,
+            CASE WHEN ets < wm THEN epoch_us(wm) - epoch_us(ets) END AS late_us
+          FROM arr)
+        SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(count(late_us) AS BIGINT) AS n_late,
+          CAST(coalesce(max(late_us) // 1000000, 0) AS BIGINT) AS max_late_s
+        FROM l GROUP BY window_start ORDER BY window_start"""),
+      doc = "watermark sizing audit: running event-time high-water mark over arrival order via distributed prefix scan, hourly counts of events a 30s watermark would drop and their worst lateness")
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Distributed prefix scan over a total order — the running-aggregate
+  * primitive that `agg(...) OVER (ORDER BY …)` with no PARTITION BY
+  * would plan through ONE partition (the same scale-killer GlobalRank
+  * retired for ranks). Decomposition (the GlobalRank shape):
+  *
+  *  1. range-partition by the total order, sort within partitions,
+  *     PIN (boundaries come from sampling; two jobs re-planning the
+  *     exchange could disagree — including the lazy input pin against
+  *     repartitionByRange's double execution of its child);
+  *  2. ONE cheap pass collects each partition's aggregate — a
+  *     partitions-sized array on the driver (hundreds of entries at
+  *     any scale); its exclusive prefix seeds each partition;
+  *  3. one `mapPartitionsWithIndex` pass carries the seeded running
+  *     aggregate through the sorted rows — per-partition imperative
+  *     logic, the documented legitimate RDD use.
+  *
+  * No second shuffle, no broadcast join, no window operator: the cost
+  * over a plain distributed sort is one scan of the pinned blocks.
+  * (A Window-over-partition-id formulation was measured to re-shuffle
+  * the full input on the partition key — the checkpoint hides the
+  * range placement from Catalyst, so the window's clustering
+  * requirement plans a redundant hash exchange.)
+  *
+  * The result is placement-independent: a running max over a TOTAL
+  * order has one value for any partition boundaries, because max is
+  * associative. The order must include a unique tiebreaker or
+  * "preceding" is ambiguous for equal keys.
+  */
+object PrefixScan {
+
+  private def gt(a: Any, b: Any): Boolean =
+    a.asInstanceOf[Comparable[Any]].compareTo(b.asInstanceOf[Comparable[Any]]) > 0
+
+  private def maxOf(a: Any, b: Any): Any =
+    if (a == null) b else if (b == null) a else if (gt(a, b)) a else b
+
+  /** Appends `out` = max of `value` over all STRICTLY preceding rows
+    * in the total `order` (null for the global first row — the
+    * standard `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`
+    * frame). The exclusive form is the watermark shape: each event is
+    * judged against the high-water mark of the rows that arrived
+    * before it, never itself. Nulls in `value` never advance the
+    * running max (standard SQL max semantics). */
+  def runningMaxExclusive(df: DataFrame, order: Seq[Column], value: String,
+      out: String): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.localCheckpoint(eager = false)
+    val snap = input.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
+    input.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    val idx = snap.schema.fieldIndex(value)
+    val pinned = snap.rdd
+    val partMax = pinned.mapPartitionsWithIndex { (i, it) =>
+      var m: Any = null
+      it.foreach { r => m = maxOf(m, r.get(idx)) }
+      Iterator.single(i -> m)
+    }.collect().sortBy(_._1).map(_._2)
+    // prior(i) = max over every partition before i (null for the first)
+    val prior = partMax.scanLeft(null: Any)(maxOf).dropRight(1)
+    val rdd = pinned.mapPartitionsWithIndex { (i, it) =>
+      var run: Any = prior(i)
+      it.map { r =>
+        val res = Row.fromSeq(r.toSeq :+ run)
+        run = maxOf(run, r.get(idx))
+        res
+      }
+    }
+    spark.createDataFrame(rdd,
+      snap.schema.add(out, snap.schema(idx).dataType, nullable = true))
+  }
+}

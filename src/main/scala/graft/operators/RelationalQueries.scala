@@ -490,6 +490,73 @@ object RelationalQueries {
       Some("""SELECT o_orderkey, o_orderstatus FROM orders
         WHERE NOT EXISTS (SELECT 1 FROM lineitem
           WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ---- dataset profiler (q152): the per-column QA report every
+    //      registry/ingest pipeline publishes — null count, exact
+    //      distinct cardinality, min/max — for the whole orders table
+    //      in ONE scan: a single agg computes all 6×4 metrics (the
+    //      multi-distinct agg plans one Expand over the scan — one
+    //      pass; DuckDB's oracle is free to scan per column), then a
+    //      stack() unpivots the 1-row result into the per-column
+    //      report. At 100 TB the distinct counts would swap to
+    //      approx_count_distinct with the same shape (the q66/q20
+    //      substitution, error-pinned in ApproxQualitySpec).
+    //
+    //      Engine-portable stringification: bigints/varchars cast
+    //      directly; the TIMESTAMP column through DATE; the DOUBLE
+    //      column on a fixed-point cents grid (floor(x*100) — pure
+    //      IEEE arithmetic, bit-identical in both engines, where a
+    //      double→DECIMAL cast diverges at grid midpoints: the q90
+    //      lesson).
+    QueryDef(
+      "q152_column_profile",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        def m(c: String, minS: String, maxS: String) = Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          expr(minS).as(s"${c}_mn"), expr(maxS).as(s"${c}_mx"))
+        val metrics =
+          m("o_orderkey", "CAST(min(o_orderkey) AS STRING)", "CAST(max(o_orderkey) AS STRING)") ++
+          m("o_custkey", "CAST(min(o_custkey) AS STRING)", "CAST(max(o_custkey) AS STRING)") ++
+          m("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)") ++
+          m("o_totalprice",
+            "CAST(CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS STRING)",
+            "CAST(CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS STRING)") ++
+          m("o_orderdate",
+            "CAST(CAST(min(o_orderdate) AS DATE) AS STRING)",
+            "CAST(CAST(max(o_orderdate) AS DATE) AS STRING)") ++
+          m("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)")
+        val one = o.agg(metrics.head, metrics.tail: _*)
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val stackArgs = cols
+          .map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx")
+          .mkString(", ")
+        one.select(expr(
+          s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_s, max_s)"))
+          .orderBy("col_name")
+      },
+      Some {
+        def row(c: String, minS: String, maxS: String) =
+          s"""SELECT '$c' AS col_name,
+            CAST(count(*) - count($c) AS BIGINT) AS n_null,
+            CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+            $minS AS min_s, $maxS AS max_s FROM orders"""
+        Seq(
+          row("o_orderkey", "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)"),
+          row("o_custkey", "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)"),
+          row("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+          row("o_totalprice",
+            "CAST(CAST(floor(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR)",
+            "CAST(CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)"),
+          row("o_orderdate",
+            "CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR)",
+            "CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)"),
+          row("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
+          .mkString("", " UNION ALL ", " ORDER BY col_name")
+      },
+      doc = "single-scan dataset profiler over orders: per-column null count, exact distinct cardinality, engine-portable min/max rendering — the registry QA report, swapping to approx sketches at scale")
   )
 }

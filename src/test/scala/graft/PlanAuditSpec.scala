@@ -405,6 +405,22 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q151: the arrival-order running max never plans a global " +
+      "window or a single-partition exchange") {
+    // the naive form (`max() OVER (ORDER BY event_id)` with no
+    // PARTITION BY) routes every event through one partition;
+    // PrefixScan's decomposition must leave NO Window operator and NO
+    // Exchange SinglePartition anywhere in the executed plan — the
+    // cross-partition prefix rides a driver-side partitions-sized
+    // array, not a plan node
+    val df = SparkEntry.queries("q151_late_event_audit")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    SparkEntry.releaseCaches(spark)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("no query in the battery plans a non-broadcast cartesian product") {
     // the blanket 100 TB invariant: a CartesianProduct materializes
     // |L|×|R| with NO bounded build side — at scale that's a dead job
