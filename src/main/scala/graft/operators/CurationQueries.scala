@@ -1211,6 +1211,118 @@ object CurationQueries {
         SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
           round(llr / n_tokens, 4) AS avg_llr_r
         FROM sc ORDER BY avg_llr_r DESC, doc_id LIMIT 100"""),
-      doc = "DSIR-style importance selection: per-doc mean log-ratio of target-slice vs raw-pool add-1 unigram LMs, top-100 selected via ordered limit — the two-distribution steering signal behind targeted data mixtures")
+      doc = "DSIR-style importance selection: per-doc mean log-ratio of target-slice vs raw-pool add-1 unigram LMs, top-100 selected via ordered limit — the two-distribution steering signal behind targeted data mixtures"),
+
+    // ---- global byte-offset export manifest (q153): the offset table
+    //      a WebDataset/tar-style corpus export ships — every document's
+    //      EXACT byte offset in the newline-delimited concatenation
+    //      (doc_id order), plus its 64 KiB-shard assignment and
+    //      in-shard position. q135 manifests shard populations by
+    //      counts; this is the byte-exact random-access index a
+    //      training loader seeks with.
+    //
+    //      The offset is a prefix SUM over a total order — the other
+    //      scale-killer global window (`sum() OVER (ORDER BY …)` plans
+    //      one partition). [[PrefixScan.runningSumExclusive]] computes
+    //      it with the GlobalRank decomposition: range partition +
+    //      driver-side partitions-sized prefix + one seeded pass.
+    QueryDef(
+      "q153_byte_offset_manifest",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            (octet_length(col("text")) + 1).cast("long").as("n_rec"))
+        PrefixScan
+          .runningSumExclusive(docs, Seq(col("doc_id")), "n_rec", "byte_offset")
+          .select(col("doc_id"),
+            (col("n_rec") - 1).as("n_bytes"),
+            col("byte_offset"),
+            expr("byte_offset div 65536").as("shard_id"),
+            (col("byte_offset") % 65536).as("shard_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS n_rec
+          FROM documents),
+        o AS (SELECT doc_id, n_rec,
+            coalesce(sum(n_rec) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bo
+          FROM d)
+        SELECT doc_id, n_rec - 1 AS n_bytes, CAST(bo AS BIGINT) AS byte_offset,
+          CAST(bo // 65536 AS BIGINT) AS shard_id,
+          CAST(bo % 65536 AS BIGINT) AS shard_pos
+        FROM o ORDER BY doc_id"""),
+      doc = "byte-exact export manifest: each doc's global offset in the newline-delimited concatenation plus 64KiB-shard assignment, via the distributed prefix sum (never a single-partition window)"),
+
+    // ---- dataset card (q156): the per-source summary a corpus
+    //      registry publishes with every release — doc/token/byte
+    //      volumes, language mix (dominant language + its share),
+    //      exact within-source duplicate rate (q35's normalized-text
+    //      md5), and mean document length. ONE scan computes every
+    //      per-doc signal; the per-source rollup is a 20-group hash
+    //      agg. The dup rate inside an agg: count(*) −
+    //      count(DISTINCT fp) — never a self-join.
+    //
+    //      Dominant language via deterministic max-struct: the
+    //      (count, lang) pair ordered by count then lang — the same
+    //      argmax-by-struct trick both engines implement natively
+    //      (Spark max(struct), DuckDB max_by with count+lang tiebreak
+    //      folded into arg) — here done portably with a per-(source,
+    //      lang) agg + window-free top-1 via max(struct).
+    QueryDef(
+      "q156_dataset_card",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+        val card = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_bytes")).as("n_bytes"),
+          countDistinct(col("fp")).as("n_unique"),
+          round(avg(col("n_chars").cast("double")), 4).as("mean_chars_r"))
+        val langTop = docs.groupBy("source", "lang")
+          .agg(count(lit(1)).as("nl"))
+          .groupBy("source")
+          .agg(max(struct(col("nl"), col("lang"))).as("top"))
+          .select(col("source"), col("top.lang").as("top_lang"),
+            col("top.nl").as("top_lang_docs"))
+        card.join(langTop, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("n_bytes"),
+            (col("n_docs") - col("n_unique")).as("n_dup_docs"),
+            round((col("n_docs") - col("n_unique")).cast("double") /
+              col("n_docs").cast("double"), 6).as("dup_rate_r"),
+            col("top_lang"), col("top_lang_docs"),
+            round(col("top_lang_docs").cast("double") /
+              col("n_docs").cast("double"), 6).as("top_lang_share_r"),
+            col("mean_chars_r"))
+          .orderBy("source")
+      },
+      Some("""WITH docs AS (SELECT doc_id, source, lang, n_chars,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+            CAST(strlen(text) AS BIGINT) AS n_bytes,
+            md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        card AS (SELECT source, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+            CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+            CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+            round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean_chars_r
+          FROM docs GROUP BY source),
+        lt AS (SELECT source, max(struct_pack(nl := nl, lang := lang)) AS top
+          FROM (SELECT source, lang, count(*) AS nl
+            FROM docs GROUP BY source, lang) g
+          GROUP BY source)
+        SELECT card.source, n_docs, n_tokens, n_bytes,
+          n_docs - n_unique AS n_dup_docs,
+          round(CAST(n_docs - n_unique AS DOUBLE) / n_docs, 6) AS dup_rate_r,
+          top.lang AS top_lang, CAST(top.nl AS BIGINT) AS top_lang_docs,
+          round(CAST(top.nl AS DOUBLE) / n_docs, 6) AS top_lang_share_r,
+          mean_chars_r
+        FROM card JOIN lt ON card.source = lt.source
+        ORDER BY card.source"""),
+      doc = "per-source dataset card: doc/token/byte volumes, exact within-source duplicate rate, dominant language + share, mean length — the registry release summary in one scan plus a 20-group rollup")
   )
 }

@@ -349,6 +349,41 @@ object EventQueries {
           CAST(count(late_us) AS BIGINT) AS n_late,
           CAST(coalesce(max(late_us) // 1000000, 0) AS BIGINT) AS max_late_s
         FROM l GROUP BY window_start ORDER BY window_start"""),
-      doc = "watermark sizing audit: running event-time high-water mark over arrival order via distributed prefix scan, hourly counts of events a 30s watermark would drop and their worst lateness")
+      doc = "watermark sizing audit: running event-time high-water mark over arrival order via distributed prefix scan, hourly counts of events a 30s watermark would drop and their worst lateness"),
+
+    // ---- shuffle-skew audit (q155): the diagnostic a pipeline runs
+    //      BEFORE picking a salting factor ([[SkewJoins]]) — per
+    //      grouping key: row count, share of the table, and the
+    //      ceil-division salt-bucket suggestion
+    //      `ceil(cnt / (total/parallelism))` that would spread the
+    //      key's rows to ~one task's worth each at 32-way parallelism.
+    //      event_type is the genuinely skew-prone key here (5 values
+    //      over 10k+ rows — every value is a hot key at 32 tasks).
+    //      The suggestion is computed with INTEGER ceil division
+    //      ((cnt·32 + tot − 1) div tot) — exact, engine-identical,
+    //      no fp. One hash agg + a 1-row broadcast; nothing scales
+    //      with more than the key cardinality after the agg.
+    QueryDef(
+      "q155_skew_audit",
+      (s, d) => {
+        val byKey = Tables.events(s, d)
+          .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        val tot = byKey.agg(sum(col("cnt")).as("tot"))
+        byKey.crossJoin(broadcast(tot))
+          .select(col("event_type"), col("cnt"),
+            round(col("cnt").cast("double") / col("tot").cast("double"), 6)
+              .as("share_r"),
+            expr("(cnt * 32 + tot - 1) div tot").as("salt_buckets"))
+          .orderBy(col("cnt").desc, col("event_type").asc)
+      },
+      Some("""WITH bykey AS (SELECT event_type, count(*) AS cnt
+          FROM events GROUP BY event_type),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM bykey)
+        SELECT event_type, cnt,
+          round(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share_r,
+          (cnt * 32 + tot - 1) // tot AS salt_buckets
+        FROM bykey CROSS JOIN tot
+        ORDER BY cnt DESC, event_type"""),
+      doc = "shuffle-skew audit: per-key row count, table share, and the integer ceil-division salt-bucket suggestion that sizes SkewJoins.saltedEquiJoin at 32-way parallelism")
   )
 }

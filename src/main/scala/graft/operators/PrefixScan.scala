@@ -39,15 +39,12 @@ object PrefixScan {
   private def maxOf(a: Any, b: Any): Any =
     if (a == null) b else if (b == null) a else if (gt(a, b)) a else b
 
-  /** Appends `out` = max of `value` over all STRICTLY preceding rows
-    * in the total `order` (null for the global first row — the
-    * standard `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`
-    * frame). The exclusive form is the watermark shape: each event is
-    * judged against the high-water mark of the rows that arrived
-    * before it, never itself. Nulls in `value` never advance the
-    * running max (standard SQL max semantics). */
-  def runningMaxExclusive(df: DataFrame, order: Seq[Column], value: String,
-      out: String): DataFrame = {
+  /** Shared scan core: appends `out` = fold of `value` with the
+    * associative `comb` over all STRICTLY preceding rows in the total
+    * `order`, starting from `zero`. */
+  private def scanExclusive(df: DataFrame, order: Seq[Column], value: String,
+      out: String, zero: Any, comb: (Any, Any) => Any,
+      outType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = df.sparkSession
     val input = df.localCheckpoint(eager = false)
     val snap = input.repartitionByRange(order: _*)
@@ -59,22 +56,45 @@ object PrefixScan {
     }
     val idx = snap.schema.fieldIndex(value)
     val pinned = snap.rdd
-    val partMax = pinned.mapPartitionsWithIndex { (i, it) =>
-      var m: Any = null
-      it.foreach { r => m = maxOf(m, r.get(idx)) }
+    val partAgg = pinned.mapPartitionsWithIndex { (i, it) =>
+      var m: Any = zero
+      it.foreach { r => m = comb(m, r.get(idx)) }
       Iterator.single(i -> m)
     }.collect().sortBy(_._1).map(_._2)
-    // prior(i) = max over every partition before i (null for the first)
-    val prior = partMax.scanLeft(null: Any)(maxOf).dropRight(1)
+    // prior(i) = fold over every partition before i (`zero` for the first)
+    val prior = partAgg.scanLeft(zero)(comb).dropRight(1)
     val rdd = pinned.mapPartitionsWithIndex { (i, it) =>
       var run: Any = prior(i)
       it.map { r =>
         val res = Row.fromSeq(r.toSeq :+ run)
-        run = maxOf(run, r.get(idx))
+        run = comb(run, r.get(idx))
         res
       }
     }
-    spark.createDataFrame(rdd,
-      snap.schema.add(out, snap.schema(idx).dataType, nullable = true))
+    spark.createDataFrame(rdd, snap.schema.add(out, outType, nullable = true))
   }
+
+  /** Appends `out` = max of `value` over all STRICTLY preceding rows
+    * in the total `order` (null for the global first row — the
+    * standard `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`
+    * frame). The exclusive form is the watermark shape: each event is
+    * judged against the high-water mark of the rows that arrived
+    * before it, never itself. Nulls in `value` never advance the
+    * running max (standard SQL max semantics). */
+  def runningMaxExclusive(df: DataFrame, order: Seq[Column], value: String,
+      out: String): DataFrame =
+    scanExclusive(df, order, value, out, null, maxOf,
+      df.schema(df.schema.fieldIndex(value)).dataType)
+
+  /** Appends `out` = sum of the LONG column `value` over all STRICTLY
+    * preceding rows in the total `order` (0 for the global first row —
+    * the byte-offset/record-offset convention: each row's offset is
+    * the total size of everything before it). Nulls contribute 0. */
+  def runningSumExclusive(df: DataFrame, order: Seq[Column], value: String,
+      out: String): DataFrame =
+    scanExclusive(df, order, value, out, java.lang.Long.valueOf(0L),
+      (a, b) => java.lang.Long.valueOf(
+        a.asInstanceOf[java.lang.Long].longValue +
+          (if (b == null) 0L else b.asInstanceOf[Number].longValue)),
+      org.apache.spark.sql.types.LongType)
 }

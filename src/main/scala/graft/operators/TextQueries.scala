@@ -806,6 +806,87 @@ object TextQueries {
           CAST(dl AS INT) AS dl, round(score, 4) AS score_r
         FROM scored ORDER BY score_r DESC, doc_id LIMIT 15"""
       },
-      doc = "BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query: per-row tf via array filter (no explode), one-row corpus-stats broadcast, top-15 via ordered limit")
+      doc = "BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query: per-row tf via array filter (no explode), one-row corpus-stats broadcast, top-15 via ordered limit"),
+
+    // ---- stupid-backoff LM scoring (q154): the web-scale smoothing
+    //      family (Brants et al. 2007 — "Large Language Models in
+    //      Machine Translation") q132's add-1 model doesn't cover:
+    //      bigram MLE when the bigram was SEEN in training, else back
+    //      off to 0.4 × the add-1 unigram. The CCNet deployment shape:
+    //      the LM trains on the SMALL curated slice (source = 'src0' —
+    //      the Wikipedia role) and scores the whole raw pool, so
+    //      pool-only bigrams genuinely exercise the backoff path
+    //      (~20% of instances at sf0.01; n_backoff counts them per
+    //      doc) while src0 scores in-domain.
+    //
+    //      Scale: same shape as q132 — one corpus scan for bigrams,
+    //      vocab-sized count frames broadcast back, per-doc ordered
+    //      double folds, per-row CASE arithmetic. Nothing quadratic.
+    QueryDef(
+      "q154_backoff_lm",
+      (s, d) => {
+        val bigrams = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            split(lower(trim(col("text"))), "\\s+").as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), col("source"),
+            explode(expr(
+              "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("bg"))
+          .select(col("doc_id"), col("source"),
+            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val train = bigrams.filter(col("source") === "src0")
+        val c2 = train.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          .localCheckpoint()
+        val cl = c2.groupBy("w1").agg(sum(col("c2")).as("cl"))
+        val uni = Tables.documents(s, d).filter(col("source") === "src0")
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+          .localCheckpoint()
+        val tot = uni.agg(sum(col("c1")).as("tt"), count(lit(1)).as("v"))
+        bigrams
+          .join(broadcast(c2), Seq("w1", "w2"), "left")
+          .join(broadcast(cl), Seq("w1"), "left")
+          .join(broadcast(uni.withColumnRenamed("w", "w2")), Seq("w2"), "left")
+          .crossJoin(broadcast(tot))
+          .withColumn("sc", expr(
+            """CASE WHEN coalesce(c2, 0) > 0 THEN ln(CAST(c2 AS DOUBLE) / cl)
+               ELSE ln(0.4 * ((coalesce(c1, 0) + 1.0) / (tt + v))) END"""))
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(coalesce(col("c2"), lit(0L)) === 0, 1L).otherwise(0L)).as("n_backoff"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(w1, w2, sc))),
+                 x -> x.sc), 0D, (a, y) -> a + y)""").as("tot_sc"))
+          .select(col("doc_id"), col("source"), col("n_bigrams"), col("n_backoff"),
+            round(col("tot_sc") / col("n_bigrams"), 4).as("avg_sc_r"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH bg AS (SELECT doc_id, source, ts[i] AS w1, ts[i+1] AS w2
+          FROM (SELECT doc_id, source,
+              string_split_regex(lower(trim(text)), '\s+') AS ts FROM documents) t,
+            unnest(range(1, len(ts))) AS r(i)
+          WHERE len(ts) >= 2),
+        c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE source = 'src0' GROUP BY w1, w2),
+        cl AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cl FROM c2 GROUP BY w1),
+        uni AS (SELECT w AS w2, count(*) AS c1
+          FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents WHERE source = 'src0') u
+          WHERE w <> '' GROUP BY w),
+        tot AS (SELECT CAST(sum(c1) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS v FROM uni),
+        sc AS (SELECT doc_id, source,
+            coalesce(c2.c2, 0) AS c2v,
+            CASE WHEN coalesce(c2.c2, 0) > 0 THEN ln(CAST(c2.c2 AS DOUBLE) / cl.cl)
+                 ELSE ln(0.4 * ((coalesce(uni.c1, 0) + 1.0) / (tt + v))) END AS s,
+            bg.w1, bg.w2
+          FROM bg
+          LEFT JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+          LEFT JOIN cl ON bg.w1 = cl.w1
+          LEFT JOIN uni ON bg.w2 = uni.w2
+          CROSS JOIN tot)
+        SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(CASE WHEN c2v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+          round(list_sum(list(s ORDER BY w1, w2)) / count(*), 4) AS avg_sc_r
+        FROM sc GROUP BY doc_id, source ORDER BY doc_id""")
+    , doc = "stupid-backoff bigram scoring (Brants et al. 2007): MLE bigram when seen in the curated-slice-trained model, 0.4x add-1 unigram backoff otherwise, with per-doc backoff counts — the CCNet-style cross-domain quality signal")
   )
 }

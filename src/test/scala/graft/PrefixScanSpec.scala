@@ -31,6 +31,24 @@ class PrefixScanSpec extends SparkSpecBase {
     } finally SparkEntry.releaseCaches(spark)
   }
 
+  test("runningSumExclusive equals the single-partition window form, first row 0") {
+    import spark.implicits._
+    try {
+      val df = (0L until 4000L).map(i => (i, (i * 69621L) % 131L)).toDF("seq", "v")
+        .repartition(5)
+      val got = PrefixScan
+        .runningSumExclusive(df, Seq(col("seq")), "v", "rs")
+        .select("seq", "rs")
+      val w = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, -1)
+      val want = df
+        .withColumn("rs2", coalesce(sum(col("v")).over(w), lit(0L)))
+        .select("seq", "rs2")
+      assert(got.join(want, Seq("seq"))
+        .filter(!(col("rs") <=> col("rs2"))).count() == 0)
+      assert(got.orderBy("seq").limit(1).collect()(0).getLong(1) == 0L)
+    } finally SparkEntry.releaseCaches(spark)
+  }
+
   test("result is independent of source partitioning") {
     import spark.implicits._
     try {
