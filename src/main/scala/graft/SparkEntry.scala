@@ -44,7 +44,8 @@ object SparkEntry {
       operators.KMeans.defs ++
       operators.BpeTrain.defs ++
       operators.ProductQuantization.defs ++
-      operators.PageRank.defs
+      operators.PageRank.defs ++
+      operators.LabelPropagation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -884,6 +884,76 @@ object DedupQueries {
           SELECT doc_id, $bitSums
           FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents) t
           GROUP BY doc_id) b ORDER BY doc_id"""
-      })
+      }),
+
+    // ---- cross-source near-dup matrix (q158): q37's verified pairs
+    //      rolled up to the SOURCE level — "which sources copy from
+    //      each other", the provenance view that decides whether a
+    //      source is additive or a mirror before it's admitted to a
+    //      mixture. Variants inherit their base doc's source
+    //      (doc_id mod 1,000,000); each cell reports pair volume, how
+    //      many are the planted self-variants vs genuine cross-doc
+    //      collisions, and the mean verified Jaccard (ordered fold —
+    //      the q90 lesson). The matrix is a candidate-pairs-sized
+    //      aggregation: nothing here rescans text, and the source dim
+    //      broadcasts.
+    QueryDef(
+      "q158_cross_source_matrix",
+      (s, d) => {
+        val sets = shingleSets(s, d).localCheckpoint()
+        val pairs = candidatePairsFrom(minhashFrom(sets).localCheckpoint())
+        val verified = pairs
+          .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"),
+            (col("doc_a") % 1000000L).as("base_a"),
+            (col("doc_b") % 1000000L).as("base_b"))
+        val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        verified
+          .join(broadcast(src.select(col("doc_id").as("base_a"),
+            col("source").as("sa_src"))), Seq("base_a"))
+          .join(broadcast(src.select(col("doc_id").as("base_b"),
+            col("source").as("sb_src"))), Seq("base_b"))
+          .withColumn("source_a", least(col("sa_src"), col("sb_src")))
+          .withColumn("source_b", greatest(col("sa_src"), col("sb_src")))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("base_a") === col("base_b"), 1L).otherwise(0L))
+              .as("n_self_variant"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(doc_a, doc_b, jaccard))),
+                 x -> x.jaccard), 0D, (a, y) -> a + y)""").as("sj"))
+          .select(col("source_a"), col("source_b"), col("n_pairs"),
+            col("n_self_variant"),
+            round(col("sj") / col("n_pairs"), 4).as("mean_j_r"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""$oracleBandsCte,
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        sets AS (SELECT DISTINCT doc_id, list_distinct(shingles) AS sd FROM sh),
+        ver AS (SELECT doc_a, doc_b,
+            CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
+              (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) AS jaccard
+          FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+                    JOIN sets sb ON cand.doc_b = sb.doc_id
+          WHERE CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
+              (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) >= 0.5),
+        m AS (SELECT doc_a, doc_b, jaccard,
+            doc_a % 1000000 AS base_a, doc_b % 1000000 AS base_b,
+            da.source AS sa_src, db.source AS sb_src
+          FROM ver JOIN documents da ON ver.doc_a % 1000000 = da.doc_id
+                   JOIN documents db ON ver.doc_b % 1000000 = db.doc_id)
+        SELECT least(sa_src, sb_src) AS source_a,
+          greatest(sa_src, sb_src) AS source_b,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(sum(CASE WHEN base_a = base_b THEN 1 ELSE 0 END) AS BIGINT) AS n_self_variant,
+          round(list_sum(list(jaccard ORDER BY doc_a, doc_b)) / count(*), 4) AS mean_j_r
+        FROM m GROUP BY least(sa_src, sb_src), greatest(sa_src, sb_src)
+        ORDER BY source_a, source_b"""),
+      doc = "cross-source near-dup matrix: q37's verified pairs rolled up per source pair with self-variant vs cross-doc split and mean Jaccard — the provenance/mirror-detection view over the dedup machinery")
   )
 }
