@@ -45,7 +45,8 @@ object SparkEntry {
       operators.BpeTrain.defs ++
       operators.ProductQuantization.defs ++
       operators.PageRank.defs ++
-      operators.LabelPropagation.defs
+      operators.LabelPropagation.defs ++
+      operators.TriangleCount.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1323,6 +1323,74 @@ object CurationQueries {
           mean_chars_r
         FROM card JOIN lt ON card.source = lt.source
         ORDER BY card.source"""),
-      doc = "per-source dataset card: doc/token/byte volumes, exact within-source duplicate rate, dominant language + share, mean length — the registry release summary in one scan plus a 20-group rollup")
+      doc = "per-source dataset card: doc/token/byte volumes, exact within-source duplicate rate, dominant language + share, mean length — the registry release summary in one scan plus a 20-group rollup"),
+
+    // ---- rule-based quality battery (q163): the Gopher-style
+    //      (Rae et al. 2021 §A1.1) document filter — a battery of
+    //      independent threshold rules, each reported PER RULE so the
+    //      pipeline can audit which rule rejects what before composing
+    //      them into the keep decision (the published filters always
+    //      ship per-rule reject rates, not one opaque flag).
+    //      Thresholds sit inside this corpus's feature spread, so
+    //      every discriminating rule fires both ways at sf0.01; r5 is
+    //      the structural chars-per-token guard that rarely fires on
+    //      clean data but catches encoding blowups in the wild.
+    //
+    //      The dominance feature (top token share) needs a per-doc
+    //      argmax over token counts — grouped per (doc, token) then
+    //      max per doc, both map-side combinable; everything else is
+    //      per-row array math in one codegen span. No joins: the
+    //      dominance agg re-keys by doc_id, the same key the final
+    //      projection uses.
+    QueryDef(
+      "q163_gopher_rules",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .withColumn("ts", split(trim(col("text")), "\\s+"))
+        val feat = t.select(col("doc_id"), col("source"),
+          size(col("ts")).cast("long").as("nt"),
+          (expr("size(filter(ts, t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'to' OR t = 'in' OR t = 'is'))").cast("double") /
+            size(col("ts"))).as("stop"),
+          (size(array_distinct(col("ts"))).cast("double") / size(col("ts"))).as("ttr"),
+          (length(col("text")).cast("double") / size(col("ts"))).as("cpt"))
+        val dom = t.select(col("doc_id"), explode(col("ts")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("mx"))
+        feat.join(dom, Seq("doc_id"))
+          .withColumn("dom", col("mx").cast("double") / col("nt"))
+          .select(col("doc_id"), col("source"), col("nt"),
+            when(col("nt") >= 30 && col("nt") <= 100000, 1).otherwise(0).as("r1_len"),
+            when(col("stop") >= 0.04, 1).otherwise(0).as("r2_stop"),
+            when(col("ttr") >= 0.35, 1).otherwise(0).as("r3_ttr"),
+            when(col("dom") <= 0.12, 1).otherwise(0).as("r4_dom"),
+            when(col("cpt") >= 3.0 && col("cpt") <= 10.0, 1).otherwise(0).as("r5_cpt"))
+          .withColumn("keep",
+            (col("r1_len") === 1 && col("r2_stop") === 1 && col("r3_ttr") === 1 &&
+              col("r4_dom") === 1 && col("r5_cpt") === 1).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, text,
+            string_split_regex(trim(text), '\s+') AS ts FROM documents),
+        f AS (SELECT doc_id, source, CAST(len(ts) AS BIGINT) AS nt,
+            CAST(len(list_filter(ts, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'to' OR x = 'in' OR x = 'is')) AS DOUBLE) / len(ts) AS stop,
+            CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS ttr,
+            CAST(length(text) AS DOUBLE) / len(ts) AS cpt
+          FROM t),
+        dom AS (SELECT doc_id, max(c) AS mx FROM (
+            SELECT doc_id, tok, count(*) AS c
+            FROM (SELECT doc_id, unnest(ts) AS tok FROM t) u
+            GROUP BY doc_id, tok) g GROUP BY doc_id),
+        r AS (SELECT f.doc_id, source, nt,
+            CASE WHEN nt >= 30 AND nt <= 100000 THEN 1 ELSE 0 END AS r1_len,
+            CASE WHEN stop >= 0.04 THEN 1 ELSE 0 END AS r2_stop,
+            CASE WHEN ttr >= 0.35 THEN 1 ELSE 0 END AS r3_ttr,
+            CASE WHEN CAST(mx AS DOUBLE) / nt <= 0.12 THEN 1 ELSE 0 END AS r4_dom,
+            CASE WHEN cpt >= 3.0 AND cpt <= 10.0 THEN 1 ELSE 0 END AS r5_cpt
+          FROM f JOIN dom ON f.doc_id = dom.doc_id)
+        SELECT doc_id, source, nt, r1_len, r2_stop, r3_ttr, r4_dom, r5_cpt,
+          CASE WHEN r1_len = 1 AND r2_stop = 1 AND r3_ttr = 1 AND r4_dom = 1
+               AND r5_cpt = 1 THEN 1 ELSE 0 END AS keep
+        FROM r ORDER BY doc_id"""),
+      doc = "Gopher-style rule-based quality battery: per-rule pass flags (length, stopword floor, TTR floor, top-token dominance cap, chars-per-token band) plus the composed keep bit, per-doc for rule-level audit")
   )
 }

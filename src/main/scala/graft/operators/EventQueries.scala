@@ -384,6 +384,70 @@ object EventQueries {
           (cnt * 32 + tot - 1) // tot AS salt_buckets
         FROM bykey CROSS JOIN tot
         ORDER BY cnt DESC, event_type"""),
-      doc = "shuffle-skew audit: per-key row count, table share, and the integer ceil-division salt-bucket suggestion that sizes SkewJoins.saltedEquiJoin at 32-way parallelism")
+      doc = "shuffle-skew audit: per-key row count, table share, and the integer ceil-division salt-bucket suggestion that sizes SkewJoins.saltedEquiJoin at 32-way parallelism"),
+
+    // ---- state-interval compression (q159): the SCD2/gaps-and-islands
+    //      build — collapse each user's event stream into contiguous
+    //      runs of the same event_type with [valid_from, valid_to)
+    //      interval bounds (valid_to NULL on the open current run),
+    //      the versioned-dimension shape a pipeline keeps for
+    //      point-in-time joins. Islands via the lag-change-flag +
+    //      running-sum formulation, NOT the classic double
+    //      row_number subtraction: both window passes share ONE
+    //      partitionBy(user_id) spec, so the full-size event scan
+    //      shuffles exactly once; the run-compression agg and the
+    //      closing lead() then move only runs (≪ events). Ordering is
+    //      pinned by (ts, event_id) everywhere — ties in ts cannot
+    //      flip run boundaries or run indices.
+    QueryDef(
+      "q159_state_intervals",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val flagged = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(w).isNull ||
+              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum(col("chg")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val runs = flagged.groupBy("user_id", "grp")
+          .agg(max(col("event_type")).as("event_type"),
+            min(col("ts")).as("valid_from"),
+            min(col("event_id")).as("first_event_id"),
+            count(lit(1)).as("n_events"))
+        val wr = Window.partitionBy("user_id")
+          .orderBy("valid_from", "first_event_id")
+        runs
+          .withColumn("run_idx", row_number().over(wr).cast("int"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+          .select("user_id", "run_idx", "event_type", "valid_from",
+            "valid_to", "first_event_id", "n_events")
+          .orderBy("user_id", "run_idx")
+      },
+      Some("""WITH flagged AS (SELECT user_id, event_type, ts, event_id,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+                 THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        grouped AS (SELECT *, sum(chg) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM flagged),
+        runs AS (SELECT user_id, grp, max(event_type) AS event_type,
+            min(ts) AS valid_from, min(event_id) AS first_event_id,
+            CAST(count(*) AS BIGINT) AS n_events
+          FROM grouped GROUP BY user_id, grp)
+        SELECT user_id,
+          CAST(row_number() OVER wr AS INT) AS run_idx,
+          event_type, valid_from,
+          lead(valid_from) OVER wr AS valid_to,
+          first_event_id, n_events
+        FROM runs
+        WINDOW wr AS (PARTITION BY user_id ORDER BY valid_from, first_event_id)
+        ORDER BY user_id, run_idx"""),
+      doc = "SCD2 state-interval build: gaps-and-islands run compression of each user's event stream into [valid_from, valid_to) versions via single-shuffle lag+running-sum islands, run-level lead() for interval close")
   )
 }

@@ -89,7 +89,15 @@ object KMeans {
   }
 
   /** The unrolled-T oracle: identical round template, c0 = codebook. */
-  private def oracleSql(rounds: Int): String = {
+  private def oracleSql(rounds: Int): String =
+    s"""${oracleCtes(rounds)}
+      SELECT cid, dim, n_members, c_new FROM u$rounds ORDER BY cid, dim"""
+
+  /** The unrolled CTE chain up to c<rounds> (embeddings `e`, per-round
+    * dist/assign/update/centroid CTEs) — shared by q106's final select
+    * and q164's silhouette tail so the two queries run ONE model
+    * definition. */
+  private[operators] def oracleCtes(rounds: Int): String = {
     val init = s"""WITH e AS (SELECT vec_id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings),
       c0 AS (SELECT vec_id AS cid, emb AS ce FROM e
@@ -111,8 +119,7 @@ object KMeans {
         FROM x$t GROUP BY cid, u.dim),
       c$t AS (SELECT cid, list(c_new ORDER BY dim) AS ce FROM u$t GROUP BY cid)"""
     }.mkString
-    s"""$init$roundCtes
-      SELECT cid, dim, n_members, c_new FROM u$rounds ORDER BY cid, dim"""
+    s"$init$roundCtes"
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -121,5 +128,73 @@ object KMeans {
       (s, d) => iterate(s, d, Rounds).last.orderBy("cid", "dim"),
       Some(oracleSql(Rounds)),
       doc = s"k-means: $Rounds full Lloyd rounds (pinned centroid generations, " +
-        "ordered-fold means), oracled via an unrolled-CTE twin"))
+        "ordered-fold means), oracled via an unrolled-CTE twin"),
+
+    // ---- cluster-quality audit (q164): simplified silhouette
+    //      (distance-to-centroid form) of the q106 model — per
+    //      cluster, how tight its members sit vs how close they are
+    //      to the nearest OTHER centroid. The number a pipeline reads
+    //      before trusting k-means buckets for cluster-balanced
+    //      splits (q118) or semantic dedup cells: a cluster with
+    //      mean silhouette near 0 is a partition artifact, not a
+    //      semantic group. Uses the SAME unrolled model as q106
+    //      (shared oracle CTE chain, shared iterate/pinCentroids on
+    //      the Spark side) — one model definition, two read-outs.
+    //
+    //      Shape: the final centroid frame is k rows → broadcast;
+    //      the distance pass is one scan × k per row (no shuffle);
+    //      the per-vector top-2 rank partitions by vec_id; the
+    //      roll-up is k groups with the codebase's ordered fold for
+    //      bit-exact mean sums.
+    QueryDef(
+      "q164_silhouette",
+      (s, d) => {
+        val e = embeddings(s, d).localCheckpoint()
+        val cents = pinCentroids(iterate(s, d, Rounds).last)
+        val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+        val ranked = e.crossJoin(broadcast(cents))
+          .withColumn("d2",
+            expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+        val ab = ranked.groupBy("vec_id")
+          .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
+            max(when(col("rn") === 1, sqrt(col("d2")))).as("a"),
+            max(when(col("rn") === 2, sqrt(col("d2")))).as("b"))
+          .withColumn("sil",
+            when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+              .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+        ab.groupBy("cid")
+          .agg(count(lit(1)).as("n_members"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(vec_id, a))),
+                 x -> x.a), 0D, (acc, v) -> acc + v)""").as("sa"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(vec_id, sil))),
+                 x -> x.sil), 0D, (acc, v) -> acc + v)""").as("ss"))
+          .select(col("cid"), col("n_members"),
+            round(col("sa") / col("n_members"), 4).as("mean_a_r"),
+            round(col("ss") / col("n_members"), 4).as("mean_sil_r"))
+          .orderBy("cid")
+      },
+      Some(s"""${oracleCtes(Rounds)},
+        sd AS (SELECT e.vec_id, c.cid AS cid,
+            list_sum(list_transform(range(len(e.emb)),
+              i -> (e.emb[i+1] - c.ce[i+1]) * (e.emb[i+1] - c.ce[i+1]))) AS d2
+          FROM e CROSS JOIN c$Rounds c),
+        rk AS (SELECT vec_id, cid, d2,
+            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+          FROM sd),
+        ab AS (SELECT vec_id,
+            max(CASE WHEN rn = 1 THEN cid END) AS cid,
+            max(CASE WHEN rn = 1 THEN sqrt(d2) END) AS a,
+            max(CASE WHEN rn = 2 THEN sqrt(d2) END) AS b
+          FROM rk WHERE rn <= 2 GROUP BY vec_id),
+        sil AS (SELECT vec_id, cid, a,
+            CASE WHEN greatest(a, b) = 0 THEN 0
+                 ELSE (b - a) / greatest(a, b) END AS sil
+          FROM ab)
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+          round(list_sum(list(a ORDER BY vec_id)) / count(*), 4) AS mean_a_r,
+          round(list_sum(list(sil ORDER BY vec_id)) / count(*), 4) AS mean_sil_r
+        FROM sil GROUP BY cid ORDER BY cid"""),
+      doc = "simplified silhouette over the q106 k-means model: per-cluster mean own-centroid distance and mean (b-a)/max(a,b) vs the runner-up centroid — shared model definition with q106, broadcast centroids, single-scan distance pass"))
 }

@@ -33,6 +33,40 @@ object TextQueries {
   private def orChain(v: String, words: Seq[String]): String =
     words.map(w => s"$v = '$w'").mkString(" OR ")
 
+  /** The marker-vote language labeler, factored to ONE definition (the
+    * SharedSpanSpec lesson): marker-count columns `c_<lang>` plus the
+    * deterministic majority vote `lang_pred` with fixed tie order.
+    * Feeds both q33 (the per-doc report) and q160 (the agreement
+    * audit), so the two queries cannot drift apart. */
+  private def withLangPred(df: DataFrame): DataFrame = {
+    val withCounts = langMarkers.foldLeft(
+      df.withColumn("ts", split(trim(col("text")), "\\s+"))) {
+      case (acc, (lang, words)) =>
+        acc.withColumn(s"c_$lang",
+          expr(s"size(filter(ts, t -> ${orChain("t", words)}))"))
+    }
+    withCounts.withColumn("lang_pred",
+      when(col("c_en") >= col("c_es") && col("c_en") >= col("c_fr") &&
+           col("c_en") >= col("c_de") && col("c_en") > 0, "en")
+        .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_de") &&
+              col("c_es") > 0, "es")
+        .when(col("c_fr") >= col("c_de") && col("c_fr") > 0, "fr")
+        .when(col("c_de") > 0, "de")
+        .otherwise("und"))
+  }
+
+  /** Oracle twins of [[withLangPred]]'s two pieces. */
+  private val oracleLangCounts: String = langMarkers.map { case (lang, words) =>
+    s"CAST(len(list_filter(ts, t -> ${orChain("t", words)})) AS INT) AS c_$lang"
+  }.mkString(", ")
+
+  private val oracleLangPredCase: String =
+    """CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de AND c_en > 0 THEN 'en'
+         WHEN c_es >= c_fr AND c_es >= c_de AND c_es > 0 THEN 'es'
+         WHEN c_fr >= c_de AND c_fr > 0 THEN 'fr'
+         WHEN c_de > 0 THEN 'de'
+         ELSE 'und' END"""
+
   /** q83 body, with the broadcast-vocabulary assumption GUARDED: the
     * df side is the post-agg vocabulary — Heaps-law small for curated
     * text, but a raw web-scale whitespace vocabulary (typos/URLs/
@@ -161,38 +195,17 @@ object TextQueries {
     // ---- language ID by marker-stopword voting, deterministic tiebreak
     QueryDef(
       "q33_lang_id",
-      (s, d) => {
-        val withCounts = langMarkers.foldLeft(
-          Tables.documents(s, d).withColumn("ts", split(trim(col("text")), "\\s+"))) {
-          case (df, (lang, words)) =>
-            df.withColumn(s"c_$lang",
-              expr(s"size(filter(ts, t -> ${orChain("t", words)}))"))
-        }
-        withCounts.select(col("doc_id"), col("lang").as("lang_labeled"),
-          col("c_en"), col("c_es"), col("c_fr"), col("c_de"),
-          when(col("c_en") >= col("c_es") && col("c_en") >= col("c_fr") &&
-               col("c_en") >= col("c_de") && col("c_en") > 0, "en")
-            .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_de") &&
-                  col("c_es") > 0, "es")
-            .when(col("c_fr") >= col("c_de") && col("c_fr") > 0, "fr")
-            .when(col("c_de") > 0, "de")
-            .otherwise("und").as("lang_pred"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val counts = langMarkers.map { case (lang, words) =>
-          s"CAST(len(list_filter(ts, t -> ${orChain("t", words)})) AS INT) AS c_$lang"
-        }.mkString(", ")
-        s"""SELECT doc_id, lang_labeled, c_en, c_es, c_fr, c_de,
-          CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de AND c_en > 0 THEN 'en'
-               WHEN c_es >= c_fr AND c_es >= c_de AND c_es > 0 THEN 'es'
-               WHEN c_fr >= c_de AND c_fr > 0 THEN 'fr'
-               WHEN c_de > 0 THEN 'de'
-               ELSE 'und' END AS lang_pred
-          FROM (SELECT doc_id, lang AS lang_labeled, $counts
+      (s, d) =>
+        withLangPred(Tables.documents(s, d))
+          .select(col("doc_id"), col("lang").as("lang_labeled"),
+            col("c_en"), col("c_es"), col("c_fr"), col("c_de"),
+            col("lang_pred"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang_labeled, c_en, c_es, c_fr, c_de,
+          $oracleLangPredCase AS lang_pred
+          FROM (SELECT doc_id, lang AS lang_labeled, $oracleLangCounts
             FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ts FROM documents) t0) t
-          ORDER BY doc_id"""
-      }),
+          ORDER BY doc_id""")),
 
     // ---- BPE-ish regex tokenization (subword-style token counting)
     QueryDef(
@@ -887,6 +900,127 @@ object TextQueries {
           CAST(sum(CASE WHEN c2v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
           round(list_sum(list(s ORDER BY w1, w2)) / count(*), 4) AS avg_sc_r
         FROM sc GROUP BY doc_id, source ORDER BY doc_id""")
-    , doc = "stupid-backoff bigram scoring (Brants et al. 2007): MLE bigram when seen in the curated-slice-trained model, 0.4x add-1 unigram backoff otherwise, with per-doc backoff counts — the CCNet-style cross-domain quality signal")
+    , doc = "stupid-backoff bigram scoring (Brants et al. 2007): MLE bigram when seen in the curated-slice-trained model, 0.4x add-1 unigram backoff otherwise, with per-doc backoff counts — the CCNet-style cross-domain quality signal"),
+
+    // ---- labeler-agreement audit (q160): Cohen's kappa per source
+    //      between the gold `lang` column and the [[withLangPred]]
+    //      heuristic labeler — the annotation-QC number that tells a
+    //      pipeline whether a cheap labeler is trustworthy enough to
+    //      fan out, per source (a labeler can agree on src0's clean
+    //      prose and fail on a noisy mirror). Multi-class kappa:
+    //      po = diag/n observed agreement, pe = Σ_k p_gold(k)·p_pred(k)
+    //      chance agreement from the marginals, κ = (po−pe)/(1−pe),
+    //      NULL when pe = 1 (degenerate one-class source).
+    //
+    //      Shape: ONE corpus scan folds straight into the
+    //      (source, gold, pred) confusion agg — map-side combinable,
+    //      output ≤ sources × labels², so every join after the first
+    //      agg is over kilobytes regardless of corpus size. The
+    //      confusion frame is pinned once and feeds all three
+    //      marginal branches.
+    QueryDef(
+      "q160_labeler_kappa",
+      (s, d) => {
+        val conf = withLangPred(Tables.documents(s, d))
+          .select(col("source"), col("lang").as("gold"),
+            col("lang_pred").as("pred"))
+          .groupBy("source", "gold", "pred")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val nd = conf.groupBy("source")
+          .agg(sum(col("c")).as("n"),
+            sum(when(col("gold") === col("pred"), col("c")).otherwise(0L))
+              .as("diag"))
+        val rowm = conf.groupBy(col("source"), col("gold").as("k"))
+          .agg(sum(col("c")).as("mg"))
+        val colm = conf.groupBy(col("source").as("src2"), col("pred").as("k2"))
+          .agg(sum(col("c")).as("mp"))
+        val pen = rowm
+          .join(colm, rowm("source") === colm("src2") && rowm("k") === colm("k2"))
+          .groupBy(rowm("source"))
+          .agg(sum(col("mg") * col("mp")).as("pe_num"))
+        nd.join(pen, Seq("source"), "left")
+          .select(col("source"), col("n"),
+            (col("diag").cast("double") / col("n")).as("po"),
+            (coalesce(col("pe_num"), lit(0L)).cast("double") /
+              (col("n").cast("double") * col("n"))).as("pe"))
+          .select(col("source"), col("n"),
+            round(col("po"), 4).as("po_r"),
+            round(col("pe"), 4).as("pe_r"),
+            when(col("pe") === 1.0, lit(null).cast("double"))
+              .otherwise(round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4))
+              .as("kappa_r"))
+          .orderBy("source")
+      },
+      Some(s"""WITH scored AS (SELECT source, gold, $oracleLangPredCase AS pred
+          FROM (SELECT source, lang AS gold, $oracleLangCounts
+            FROM (SELECT source, lang, string_split_regex(trim(text), '\\s+') AS ts FROM documents) t0) t),
+        conf AS (SELECT source, gold, pred, count(*) AS c
+          FROM scored GROUP BY source, gold, pred),
+        nd AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+            CAST(sum(CASE WHEN gold = pred THEN c ELSE 0 END) AS BIGINT) AS diag
+          FROM conf GROUP BY source),
+        rowm AS (SELECT source, gold AS k, sum(c) AS mg FROM conf GROUP BY source, gold),
+        colm AS (SELECT source, pred AS k, sum(c) AS mp FROM conf GROUP BY source, pred),
+        pen AS (SELECT rowm.source, sum(mg * mp) AS pe_num
+          FROM rowm JOIN colm ON rowm.source = colm.source AND rowm.k = colm.k
+          GROUP BY rowm.source),
+        j AS (SELECT nd.source, n,
+            CAST(diag AS DOUBLE) / n AS po,
+            CAST(coalesce(pe_num, 0) AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS pe
+          FROM nd LEFT JOIN pen ON nd.source = pen.source)
+        SELECT source, n, round(po, 4) AS po_r, round(pe, 4) AS pe_r,
+          CASE WHEN pe = 1 THEN NULL
+               ELSE round((po - pe) / (1 - pe), 4) END AS kappa_r
+        FROM j ORDER BY source"""),
+      doc = "annotation-QC audit: per-source multi-class Cohen's kappa between the gold lang column and the shared marker-vote labeler — one confusion-matrix agg per scan, kilobyte-sized marginal joins after"),
+
+    // ---- model-based quality filter (q162): fixed-weight logistic
+    //      inference over q32's feature family — the fasttext-style
+    //      quality-classifier INFERENCE pass every curation pipeline
+    //      runs at full corpus width (training happens offline on a
+    //      labeled slice; what must scale is scoring). Features:
+    //      stopword ratio, type-token ratio, chars-per-token, and
+    //      log token count; score = σ(w·x) with weights written as
+    //      ONE left-associated arithmetic chain replicated verbatim
+    //      in the oracle, so fp evaluation order is identical in both
+    //      engines. Pure per-row map over a single scan — no shuffle
+    //      at all until the ORDER BY; at 100 TB this is the
+    //      embarrassingly-parallel ideal and the plan should show one
+    //      WholeStageCodegen span over the scan.
+    QueryDef(
+      "q162_quality_logistic",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("ts", split(trim(col("text")), "\\s+"))
+          .select(col("doc_id"), col("source"),
+            (expr(s"size(filter(ts, t -> ${orChain("t", stopwords)}))").cast("double") /
+              size(col("ts"))).as("stop"),
+            (size(array_distinct(col("ts"))).cast("double") / size(col("ts"))).as("ttr"),
+            (length(col("text")).cast("double") / size(col("ts"))).as("cpt"),
+            log(size(col("ts")).cast("double")).as("lnt"))
+          .withColumn("z",
+            lit(-2.0) + lit(6.0) * col("stop") - lit(3.0) * col("ttr") +
+              lit(0.2) * col("cpt") + lit(0.5) * col("lnt"))
+          .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+          .select(col("doc_id"), col("source"),
+            round(col("score"), 4).as("score_r"),
+            when(col("score") >= 0.5, 1).otherwise(0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, source,
+            CAST(len(list_filter(ts, t -> ${orChain("t", stopwords)})) AS DOUBLE) / len(ts) AS stop,
+            CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS ttr,
+            CAST(length(text) AS DOUBLE) / len(ts) AS cpt,
+            ln(CAST(len(ts) AS DOUBLE)) AS lnt
+          FROM (SELECT doc_id, source, text,
+            string_split_regex(trim(text), '\\s+') AS ts FROM documents) t),
+        z AS (SELECT doc_id, source,
+            -2.0 + 6.0 * stop - 3.0 * ttr + 0.2 * cpt + 0.5 * lnt AS z FROM f),
+        s AS (SELECT doc_id, source, 1.0 / (1.0 + exp(-z)) AS score FROM z)
+        SELECT doc_id, source, round(score, 4) AS score_r,
+          CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
+        FROM s ORDER BY doc_id"""),
+      doc = "fasttext-style quality-classifier inference: fixed-weight logistic over stopword/TTR/chars-per-token/log-length features, identical left-associated fp chain in both engines, shuffle-free single-scan map")
   )
 }
