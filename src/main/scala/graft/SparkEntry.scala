@@ -46,7 +46,8 @@ object SparkEntry {
       operators.ProductQuantization.defs ++
       operators.PageRank.defs ++
       operators.LabelPropagation.defs ++
-      operators.TriangleCount.defs
+      operators.TriangleCount.defs ++
+      operators.CorpusStats.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -34,23 +34,42 @@ object TriangleCount {
   private[graft] val MaxItemsPerUser = 48
   private[graft] val KnnK = 5
 
-  /** Undirected (i < j) kNN edges of the capped co-occurrence graph. */
-  private[graft] def knnEdges(s: SparkSession, d: String): DataFrame = {
+  /** Distinct (user, item) interactions, capped at [[MaxItemsPerUser]]
+    * per user (first by item id) — the bound on the O(deg²) pair
+    * expansion, shared by q161's graph build and q165's rule mining. */
+  private[graft] def cappedInteractions(s: SparkSession, d: String): DataFrame = {
     val ui = Tables.events(s, d)
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("bigint").as("item"))
       .filter(col("item").isNotNull)
       .distinct()
-    val capped = ui
-      .withColumn("rk", row_number().over(
+    ui.withColumn("rk", row_number().over(
         Window.partitionBy("user_id").orderBy("item")))
       .filter(col("rk") <= MaxItemsPerUser)
       .select("user_id", "item")
-    val cooc = capped.as("a")
+  }
+
+  /** Pair co-occurrence counts (i < j, w = co-user count) over the
+    * capped interactions. */
+  private[graft] def coocCounts(capped: DataFrame): DataFrame =
+    capped.as("a")
       .join(capped.as("b"), Seq("user_id"))
       .filter(col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("i"), col("b.item").as("j"))
       .agg(count(lit(1)).as("w"))
+
+  /** Oracle twin of [[cappedInteractions]], as CTEs `ui`, `capped`. */
+  private[graft] val oracleCappedCtes: String =
+    s"""ui AS (SELECT DISTINCT user_id,
+          CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+      capped AS (SELECT user_id, item FROM (SELECT user_id, item,
+          row_number() OVER (PARTITION BY user_id ORDER BY item) AS rk FROM ui) t
+        WHERE rk <= $MaxItemsPerUser)"""
+
+  /** Undirected (i < j) kNN edges of the capped co-occurrence graph. */
+  private[graft] def knnEdges(s: SparkSession, d: String): DataFrame = {
+    val cooc = coocCounts(cappedInteractions(s, d))
     // symmetric view → per-node top-K → back to undirected i<j
     val sym = cooc.select(col("i").as("u"), col("j").as("v"), col("w"))
       .unionByName(cooc.select(col("j").as("u"), col("i").as("v"), col("w")))
@@ -93,12 +112,7 @@ object TriangleCount {
               .as("coef_r"))
           .orderBy("item")
       },
-      Some(s"""WITH ui AS (SELECT DISTINCT user_id,
-            CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
-          FROM events WHERE json_extract_string(props, '$$.k') IS NOT NULL),
-        capped AS (SELECT user_id, item FROM (SELECT user_id, item,
-            row_number() OVER (PARTITION BY user_id ORDER BY item) AS rk FROM ui) t
-          WHERE rk <= $MaxItemsPerUser),
+      Some(s"""WITH $oracleCappedCtes,
         cooc AS (SELECT a.item AS i, b.item AS j, count(*) AS w
           FROM capped a JOIN capped b
             ON a.user_id = b.user_id AND a.item < b.item
