@@ -1391,6 +1391,64 @@ object CurationQueries {
           CASE WHEN r1_len = 1 AND r2_stop = 1 AND r3_ttr = 1 AND r4_dom = 1
                AND r5_cpt = 1 THEN 1 ELSE 0 END AS keep
         FROM r ORDER BY doc_id"""),
-      doc = "Gopher-style rule-based quality battery: per-rule pass flags (length, stopword floor, TTR floor, top-token dominance cap, chars-per-token band) plus the composed keep bit, per-doc for rule-level audit")
+      doc = "Gopher-style rule-based quality battery: per-rule pass flags (length, stopword floor, TTR floor, top-token dominance cap, chars-per-token band) plus the composed keep bit, per-doc for rule-level audit"),
+
+    // ---- distribution drift audit (q168): Population Stability Index
+    //      of each source's length distribution against the corpus —
+    //      the drift number a pipeline alarms on when a feed's shape
+    //      moves (PSI < 0.1 stable, > 0.25 shifted, by the usual
+    //      industry reading). Buckets are fixed-width (100-char) on
+    //      n_chars; both distributions get the same +0.5 add-smoothing
+    //      over the GLOBAL bucket set, so empty source buckets are
+    //      defined and every (p−q)·ln(p/q) term is nonnegative.
+    //
+    //      Shape: one scan → (source, bucket) counts (map-side
+    //      combinable, output ≤ sources × buckets); the global bucket
+    //      frame broadcasts into the per-source grid (a small
+    //      cross/left-join lattice), and the PSI fold runs bucket-
+    //      ordered per source for a cross-engine-identical fp trace.
+    QueryDef(
+      "q168_distribution_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), expr("n_chars div 100").as("bucket"))
+        val sb = docs.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val gb = sb.groupBy("bucket").agg(sum(col("c")).as("gc"))
+        val stot = sb.groupBy("source").agg(sum(col("c")).as("st"))
+        val nb = gb.agg(count(lit(1)).as("nb"), sum(col("gc")).as("gt"))
+        val grid = stot.crossJoin(broadcast(gb)).crossJoin(broadcast(nb))
+          .join(sb, Seq("source", "bucket"), "left")
+          .withColumn("p",
+            (coalesce(col("c"), lit(0L)).cast("double") + 0.5) /
+              (col("st").cast("double") + lit(0.5) * col("nb")))
+          .withColumn("q",
+            (col("gc").cast("double") + 0.5) /
+              (col("gt").cast("double") + lit(0.5) * col("nb")))
+          .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+        grid.groupBy("source")
+          .agg(max(col("nb")).as("n_buckets"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(bucket, term))),
+                 x -> x.term), 0D, (a, v) -> a + v)""").as("psi"))
+          .select(col("source"), col("n_buckets"),
+            round(col("psi"), 4).as("psi_r"))
+          .orderBy("source")
+      },
+      Some("""WITH docs AS (SELECT source, n_chars // 100 AS bucket FROM documents),
+        sb AS (SELECT source, bucket, count(*) AS c FROM docs GROUP BY source, bucket),
+        gb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS gc FROM sb GROUP BY bucket),
+        stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM sb GROUP BY source),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS nb, CAST(sum(gc) AS BIGINT) AS gt FROM gb),
+        grid AS (SELECT stot.source, gb.bucket, st, gc, nb.nb, nb.gt, sb.c
+          FROM stot CROSS JOIN gb CROSS JOIN nb
+          LEFT JOIN sb ON sb.source = stot.source AND sb.bucket = gb.bucket),
+        terms AS (SELECT source, bucket, nb,
+            (CAST(coalesce(c, 0) AS DOUBLE) + 0.5) / (CAST(st AS DOUBLE) + 0.5 * nb) AS p,
+            (CAST(gc AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 0.5 * nb) AS q
+          FROM grid)
+        SELECT source, max(nb) AS n_buckets,
+          round(list_sum(list((p - q) * ln(p / q) ORDER BY bucket)), 4) AS psi_r
+        FROM terms GROUP BY source ORDER BY source"""),
+      doc = "Population Stability Index of each source's length histogram vs the corpus: fixed-width buckets, symmetric add-0.5 smoothing over the global bucket lattice, bucket-ordered PSI fold")
   )
 }

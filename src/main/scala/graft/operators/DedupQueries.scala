@@ -335,6 +335,22 @@ object DedupQueries {
       FROM mh)"""
   }
 
+  /** q77's cluster formation as a reusable oracle chain: LSH candidate
+    * pairs → undirected edges → recursive label spreading → min-label
+    * components (CTE `cc` = (node, cluster)). Shared by q77 and q169
+    * so cluster membership has ONE oracle definition. */
+  private val oracleCcCtes: String =
+    s"""${oracleBandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                UNION ALL SELECT doc_b, doc_a FROM cand),
+      nodes AS (SELECT DISTINCT src AS node FROM edges),
+      reach AS (SELECT node, node AS lbl FROM nodes
+                UNION
+                SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+      cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)"""
+
   /** q122/q128 core: exact cross-doc shared-span mining via the 8-gram
     * inverted-index self-join + per-(pair, offset) run-length collapse.
     * `dfCap = Some(c)` prunes grams appearing in more than `c` distinct
@@ -490,16 +506,7 @@ object DedupQueries {
           .select(col("node").as("doc_id"), col("cluster"), col("cluster_size"))
           .orderBy("doc_id")
       },
-      Some(s"""${oracleBandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-        edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-                  UNION ALL SELECT doc_b, doc_a FROM cand),
-        nodes AS (SELECT DISTINCT src AS node FROM edges),
-        reach AS (SELECT node, node AS lbl FROM nodes
-                  UNION
-                  SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
-        cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+      Some(s"""$oracleCcCtes,
         sizes AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
         SELECT cc.node AS doc_id, cc.cluster, sizes.cluster_size
         FROM cc JOIN sizes ON cc.cluster = sizes.cluster
@@ -954,6 +961,44 @@ object DedupQueries {
           round(list_sum(list(jaccard ORDER BY doc_a, doc_b)) / count(*), 4) AS mean_j_r
         FROM m GROUP BY least(sa_src, sb_src), greatest(sa_src, sb_src)
         ORDER BY source_a, source_b"""),
-      doc = "cross-source near-dup matrix: q37's verified pairs rolled up per source pair with self-variant vs cross-doc split and mean Jaccard — the provenance/mirror-detection view over the dedup machinery")
+      doc = "cross-source near-dup matrix: q37's verified pairs rolled up per source pair with self-variant vs cross-doc split and mean Jaccard — the provenance/mirror-detection view over the dedup machinery"),
+
+    // ---- cluster representative selection (q169): the step AFTER
+    //      q77's cluster formation — per near-dup cluster, keep the
+    //      best member (here: most tokens, the keep-the-longest
+    //      heuristic; ties to the min doc_id) and count what drops.
+    //      This is the actual dedup DECISION a pipeline ships: q77
+    //      says who clusters together, q169 says which row survives.
+    //      Argmax via the portable min(struct(-n_tokens, doc_id))
+    //      fold; the length frame joins on the node id (the cluster
+    //      frame's own key) and the roll-up is cluster-keyed —
+    //      nothing rescans text beyond the one token-count pass.
+    QueryDef(
+      "q169_cluster_representatives",
+      (s, d) => {
+        val edges = candidatePairsFrom(sigIndex(s, d))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val cc = ConnectedComponents.run(edges)
+        val lens = variantCorpus(s, d)
+          .select(col("doc_id").as("node"),
+            size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+        cc.join(lens, Seq("node"))
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("cluster_size"),
+            min(struct((-col("n_tokens")).as("nt"), col("node").as("doc_id"))).as("m"))
+          .select(col("cluster"), col("m.doc_id").as("rep_doc_id"),
+            (-col("m.nt")).as("rep_tokens"), col("cluster_size"),
+            (col("cluster_size") - 1).as("n_dropped"))
+          .orderBy("cluster")
+      },
+      Some(s"""$oracleCcCtes,
+        lens AS (SELECT doc_id AS node, CAST(len(ts) AS BIGINT) AS n_tokens FROM tok),
+        sel AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size,
+            min(struct_pack(nt := -n_tokens, doc_id := cc.node)) AS m
+          FROM cc JOIN lens ON cc.node = lens.node GROUP BY cluster)
+        SELECT cluster, (m).doc_id AS rep_doc_id, -(m).nt AS rep_tokens,
+          cluster_size, cluster_size - 1 AS n_dropped
+        FROM sel ORDER BY cluster"""),
+      doc = "post-dedup representative selection: per q77 cluster keep the longest member (portable min-struct argmax), report survivor and drop count — one shared cluster-membership definition with q77")
   )
 }

@@ -421,6 +421,56 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q152: the profiler plans WITHOUT an Expand (per-column aggs, not multi-distinct)") {
+    // the rewrite's claim: six per-column single-distinct aggs never
+    // trigger Catalyst's EXPAND rewrite (7× row replication). If a
+    // future edit folds the distincts back into one Aggregate, this
+    // trips before the bench does.
+    val plan = executed("q152_column_profile")
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("q159: the island windows share one user_id shuffle+sort (no exchange between them)") {
+    // the running sum consumes the lag's change flag, so Spark plans
+    // two Window execs — but both declare the same
+    // partitionBy(user_id) ORDER BY (ts, event_id) spec, so the
+    // second must sit DIRECTLY on the first with no Exchange or Sort
+    // between: the full-size event scan shuffles exactly once, the
+    // single-shuffle claim in the query's scaladoc.
+    val df = SparkEntry.queries("q159_state_intervals")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    SparkEntry.releaseCaches(spark)
+    val lines = plan.linesIterator.toVector
+    val sumIdx = lines.indexWhere(l => l.contains("Window") && l.contains("sum(chg"))
+    val lagIdx = lines.indexWhere(l => l.contains("Window") && l.contains("lag(event_type"))
+    assert(sumIdx >= 0 && lagIdx > sumIdx, s"island windows not found/ordered:\n$plan")
+    val between = lines.slice(sumIdx + 1, lagIdx)
+    assert(!between.exists(l => l.contains("Exchange") || l.trim.startsWith("Sort")),
+      s"extra exchange/sort between the island windows:\n${between.mkString("\n")}")
+  }
+
+  test("q162: classifier inference is shuffle-free up to the final sort") {
+    // σ(w·x) scoring is a pure per-row map — the only Exchange the
+    // plan may contain is the rangepartitioning for ORDER BY doc_id.
+    val df = SparkEntry.queries("q162_quality_logistic")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    SparkEntry.releaseCaches(spark)
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected at most the orderBy exchange, got $exchanges\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("q165: item supports and user count reach the pair frame by broadcast") {
+    val df = SparkEntry.queries("q165_association_rules")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    SparkEntry.releaseCaches(spark)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("no query in the battery plans a non-broadcast cartesian product") {
     // the blanket 100 TB invariant: a CartesianProduct materializes
     // |L|×|R| with NO bounded build side — at scale that's a dead job
