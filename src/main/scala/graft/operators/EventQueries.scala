@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.expressions.Window
@@ -26,6 +27,68 @@ object EventQueries {
     * join below shuffle instead of nested-loop. */
   private def bin60(tsCol: String): org.apache.spark.sql.Column =
     TimeBins.bin(tsCol, 60L)
+
+  /** q159's island compression: (user_id, event_type, ts, event_id)
+    * events → one row per contiguous same-type run. Lag-change-flag +
+    * running sum over ONE partitionBy(user_id) ORDER BY (ts, event_id)
+    * spec (single full-size shuffle — pinned by PlanAuditSpec); the
+    * run agg output is ≪ events. Shared by q159 (full recompute) and
+    * q170 (incremental merge), so the run semantics have exactly one
+    * definition. */
+  private[graft] def islandRuns(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "grp")
+      .agg(max(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"),
+        min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** The full-recompute interval oracle — q159's twin, and q170's:
+    * the incremental merge must equal the batch recompute EXACTLY, so
+    * the equivalence claim is itself oracle-gated. */
+  private val intervalsOracle: String =
+    """WITH flagged AS (SELECT user_id, event_type, ts, event_id,
+            CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+                 THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        grouped AS (SELECT *, sum(chg) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM flagged),
+        runs AS (SELECT user_id, grp, max(event_type) AS event_type,
+            min(ts) AS valid_from, min(event_id) AS first_event_id,
+            CAST(count(*) AS BIGINT) AS n_events
+          FROM grouped GROUP BY user_id, grp)
+        SELECT user_id,
+          CAST(row_number() OVER wr AS INT) AS run_idx,
+          event_type, valid_from,
+          lead(valid_from) OVER wr AS valid_to,
+          first_event_id, n_events
+        FROM runs
+        WINDOW wr AS (PARTITION BY user_id ORDER BY valid_from, first_event_id)
+        ORDER BY user_id, run_idx"""
+
+  /** Run rows → the [valid_from, valid_to) interval ledger with
+    * per-user run_idx; runs only (compressed cardinality). */
+  private[graft] def assembleIntervals(runs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy("user_id").orderBy("valid_from", "first_event_id")
+    runs
+      .withColumn("run_idx", row_number().over(wr).cast("int"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+      .select("user_id", "run_idx", "event_type", "valid_from",
+        "valid_to", "first_event_id", "n_events")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -401,53 +464,42 @@ object EventQueries {
     //      flip run boundaries or run indices.
     QueryDef(
       "q159_state_intervals",
+      (s, d) => assembleIntervals(islandRuns(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))))
+        .orderBy("user_id", "run_idx"),
+      Some(intervalsOracle),
+      doc = "SCD2 state-interval build: gaps-and-islands run compression of each user's event stream into [valid_from, valid_to) versions via single-shuffle lag+running-sum islands, run-level lead() for interval close"),
+
+    // ---- incremental SCD2 merge (q170): the nightly shape of q159 —
+    //      yesterday's run ledger is STORED (pinned frame standing in
+    //      for the persisted table); today's delta arrives; only
+    //      TOUCHED users (those with delta events) reprocess, their
+    //      fresh runs replacing their stored rows; untouched users'
+    //      rows pass through an anti-join untouched. Work scales with
+    //      the touched users' history, not the corpus — the q102/q137
+    //      incremental pattern on the intervals tier.
+    //
+    //      The oracle is the FULL RECOMPUTE (q159's own SQL): the
+    //      merge must equal the batch answer row-for-row, so the
+    //      incremental-equals-recompute claim is itself what the
+    //      correctness gate checks every round.
+    QueryDef(
+      "q170_incremental_intervals",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val flagged = Tables.events(s, d)
+        val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+        val ev = Tables.events(s, d)
           .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-          .withColumn("chg",
-            when(lag(col("event_type"), 1).over(w).isNull ||
-              lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
-              .otherwise(0L))
-          .withColumn("grp", sum(col("chg")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val runs = flagged.groupBy("user_id", "grp")
-          .agg(max(col("event_type")).as("event_type"),
-            min(col("ts")).as("valid_from"),
-            min(col("event_id")).as("first_event_id"),
-            count(lit(1)).as("n_events"))
-        val wr = Window.partitionBy("user_id")
-          .orderBy("valid_from", "first_event_id")
-        runs
-          .withColumn("run_idx", row_number().over(wr).cast("int"))
-          .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
-          .select("user_id", "run_idx", "event_type", "valid_from",
-            "valid_to", "first_event_id", "n_events")
+        // "stored" ledger: base-window runs, pinned
+        val baseRuns = islandRuns(ev.filter(col("ts") < cutoff)).localCheckpoint()
+        val touched = ev.filter(col("ts") >= cutoff)
+          .select("user_id").distinct().localCheckpoint()
+        val untouched = baseRuns.join(touched, Seq("user_id"), "left_anti")
+        val touchedRuns = islandRuns(ev.join(touched, Seq("user_id"), "left_semi"))
+        assembleIntervals(untouched.unionByName(touchedRuns))
           .orderBy("user_id", "run_idx")
       },
-      Some("""WITH flagged AS (SELECT user_id, event_type, ts, event_id,
-            CASE WHEN lag(event_type) OVER w IS NULL
-                   OR lag(event_type) OVER w <> event_type
-                 THEN 1 ELSE 0 END AS chg
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        grouped AS (SELECT *, sum(chg) OVER
-            (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-          FROM flagged),
-        runs AS (SELECT user_id, grp, max(event_type) AS event_type,
-            min(ts) AS valid_from, min(event_id) AS first_event_id,
-            CAST(count(*) AS BIGINT) AS n_events
-          FROM grouped GROUP BY user_id, grp)
-        SELECT user_id,
-          CAST(row_number() OVER wr AS INT) AS run_idx,
-          event_type, valid_from,
-          lead(valid_from) OVER wr AS valid_to,
-          first_event_id, n_events
-        FROM runs
-        WINDOW wr AS (PARTITION BY user_id ORDER BY valid_from, first_event_id)
-        ORDER BY user_id, run_idx"""),
-      doc = "SCD2 state-interval build: gaps-and-islands run compression of each user's event stream into [valid_from, valid_to) versions via single-shuffle lag+running-sum islands, run-level lead() for interval close")
+      Some(intervalsOracle),
+      doc = "incremental SCD2 merge: stored base-window run ledger + delta-touched-user reprocess, anti-join pass-through for untouched users — oracled against the full recompute, so incremental == batch is gate-checked")
   )
 }

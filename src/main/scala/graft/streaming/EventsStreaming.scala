@@ -178,6 +178,49 @@ object EventsStreaming {
         })
   }
 
+  final case class RunState(user_id: Long, event_type: String,
+      valid_from: java.sql.Timestamp, first_event_id: Long, n_events: Long)
+  final case class ClosedRun(user_id: Long, event_type: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+      first_event_id: Long, n_events: Long)
+
+  /** Ingest-time twin of q159's SCD2 interval build: per-user state
+    * carries the OPEN run (type, valid_from, first id, count); each
+    * arriving event either extends it or closes it — a closed run is
+    * emitted with valid_to = the closing event's ts, exactly the
+    * interval the batch ledger assigns. The open run stays in state
+    * across micro-batches (only runs that CLOSE are ever emitted,
+    * Append-mode clean), so the emitted set equals the batch q159
+    * rows with non-null valid_to under per-user event-time-ordered
+    * arrival — pinned by EventsStreamingSpec against the live batch
+    * query. State is one small record per active user; unbounded key
+    * churn would add a timeout, the [[runningCounts]] caveat. */
+  def intervalRuns(spark: SparkSession, events: DataFrame): Dataset[ClosedRun] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[RunState]) => {
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedRun]
+          var st = state.getOption.orNull
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st == null) {
+              st = RunState(userId, e.event_type, e.ts, e.event_id, 1L)
+            } else if (st.event_type == e.event_type) {
+              st = st.copy(n_events = st.n_events + 1)
+            } else {
+              closed += ClosedRun(userId, st.event_type, st.valid_from,
+                e.ts, st.first_event_id, st.n_events)
+              st = RunState(userId, e.event_type, e.ts, e.event_id, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+        })
+  }
+
   /** [[readEvents]] paced to `filesPerTrigger` files per micro-batch —
     * the spec's lever for exercising MULTI-batch state evolution with
     * deterministic batch boundaries. */

@@ -77,6 +77,41 @@ class EventsStreamingSpec extends SparkSpecBase {
     SparkEntry.releaseCaches(spark)
   }
 
+  test("stateful interval stream's closed runs equal the q159 batch ledger exactly") {
+    // same two-file ts-ordered pacing as the funnel twin: the OPEN run
+    // must carry across the micro-batch boundary and close correctly
+    // when a different event type arrives in the later batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_runs_stream").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("tsu", expr("unix_micros(ts)")).localCheckpoint()
+    val midTs = ev.stat.approxQuantile("tsu", Array(0.5), 0.0).head.toLong
+    def stageHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      ev.filter(pred).drop("tsu").sort("ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stage")
+      val f = new java.io.File(s"$dir/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    stageHalf(col("tsu") <= midTs, "a_early.parquet")
+    stageHalf(col("tsu") > midTs, "b_late.parquet")
+    val stream = EventsStreaming.readEventsPaced(spark, dir, 1)
+    EventsStreaming.runToMemory(
+      EventsStreaming.intervalRuns(spark, stream).toDF(), "runs_out", "append")
+    val streamed = spark.sql(
+      """SELECT user_id, event_type, valid_from, valid_to, first_event_id, n_events
+         FROM runs_out""").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4), r.getLong(5))).toSet
+    val batch = SparkEntry.queries("q159_state_intervals")(spark, "/root/testdata/sf0.001")
+      .filter(col("valid_to").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getTimestamp(3),
+        r.getTimestamp(4), r.getLong(5), r.getLong(6))).toSet
+    assert(streamed == batch,
+      s"closed runs diverged: stream-only ${(streamed -- batch).take(3)}, " +
+        s"batch-only ${(batch -- streamed).take(3)}")
+    SparkEntry.releaseCaches(spark)
+  }
+
   test("streaming dedup keeps one row per (user, type)") {
     val stream = EventsStreaming.readEvents(spark, path)
     EventsStreaming.runToMemory(
