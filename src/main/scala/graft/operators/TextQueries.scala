@@ -1021,6 +1021,46 @@ object TextQueries {
         SELECT doc_id, source, round(score, 4) AS score_r,
           CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
         FROM s ORDER BY doc_id"""),
-      doc = "fasttext-style quality-classifier inference: fixed-weight logistic over stopword/TTR/chars-per-token/log-length features, identical left-associated fp chain in both engines, shuffle-free single-scan map")
+      doc = "fasttext-style quality-classifier inference: fixed-weight logistic over stopword/TTR/chars-per-token/log-length features, identical left-associated fp chain in both engines, shuffle-free single-scan map"),
+
+    // ---- character-entropy quality signal (q172): Shannon entropy of
+    //      each document's character distribution — low entropy flags
+    //      template/repetitive junk, implausibly high entropy flags
+    //      binary-in-text encoding blowups; a standard cheap filter
+    //      feature. Computed as H = ln(n) − (Σ c·ln c)/n so the fold
+    //      needs only per-char counts (no second pass for n inside the
+    //      sum), with the Σ accumulated in character order for the
+    //      engine-identical fp trace. The (doc, char) agg is map-side
+    //      combinable and its output is bounded by docs × alphabet,
+    //      not corpus bytes.
+    QueryDef(
+      "q172_char_entropy",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n"),
+            count(lit(1)).as("n_unique_chars"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(ch, c))),
+                 x -> CAST(x.c AS DOUBLE) * ln(CAST(x.c AS DOUBLE))), 0D,
+                 (a, v) -> a + v)""").as("slc"))
+          .select(col("doc_id"), col("n"), col("n_unique_chars"),
+            round(log(col("n").cast("double")) - col("slc") / col("n"), 4)
+              .as("entropy_r"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (SELECT doc_id, unnest(list_transform(range(length(text)),
+            i -> substr(text, CAST(i + 1 AS INT), 1))) AS ch FROM documents),
+        cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+        g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS n_unique_chars,
+            list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY ch)) AS slc
+          FROM cc GROUP BY doc_id)
+        SELECT doc_id, n, n_unique_chars,
+          round(ln(CAST(n AS DOUBLE)) - slc / n, 4) AS entropy_r
+        FROM g ORDER BY doc_id"""),
+      doc = "per-document Shannon character entropy via H = ln(n) - (sum c ln c)/n: map-side-combinable (doc, char) counts bounded by alphabet size, character-ordered fold")
   )
 }
