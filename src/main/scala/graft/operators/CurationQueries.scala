@@ -1484,6 +1484,66 @@ object CurationQueries {
           FROM h)
         SELECT doc_id, source, w, round(key * 1000000.0, 4) AS key_ppm_r
         FROM k ORDER BY key DESC, doc_id LIMIT 50"""),
-      doc = "Efraimidis-Spirakis one-pass weighted sampling without replacement: deterministic hash-uniform, ln(u)/w ranking keys, exact top-k via TakeOrdered — the distributed weighted sampler")
+      doc = "Efraimidis-Spirakis one-pass weighted sampling without replacement: deterministic hash-uniform, ln(u)/w ranking keys, exact top-k via TakeOrdered — the distributed weighted sampler"),
+
+    // ---- two-sample Kolmogorov–Smirnov test (q177): the sharper
+    //      companion to q168's PSI — does src0's length distribution
+    //      differ from the rest of the corpus? KS = max |F1 − F2|
+    //      over the pooled support, with the 5%-level critical value
+    //      1.358·√((n1+n2)/(n1·n2)) and the reject decision.
+    //
+    //      Scale note: the cumulative window runs AFTER the
+    //      per-value agg, so its input cardinality is the number of
+    //      DISTINCT lengths — bounded by the longest document, not
+    //      the corpus. A single-partition window over a value-bounded
+    //      frame is the correct tool (the q151 rule targets windows
+    //      over per-ROW frames). Argmax by the portable
+    //      min(−d, v) struct so a tie lands on the smallest length.
+    QueryDef(
+      "q177_ks_test",
+      (s, d) => {
+        val byVal = Tables.documents(s, d)
+          .select(col("n_chars").as("v"),
+            when(col("source") === "src0", 1L).otherwise(0L).as("is1"))
+          .groupBy("v")
+          .agg(sum(col("is1")).as("c1"), sum(lit(1L) - col("is1")).as("c2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("v").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val cum = byVal
+          .withColumn("cum1", sum(col("c1")).over(w))
+          .withColumn("cum2", sum(col("c2")).over(w))
+        val nn = byVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        cum.crossJoin(broadcast(nn))
+          .withColumn("dd", abs(
+            col("cum1").cast("double") / col("n1") -
+              col("cum2").cast("double") / col("n2")))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            min(struct((-col("dd")).as("nd"), col("v").as("v"))).as("m"))
+          .select(col("n1"), col("n2"),
+            round(-col("m.nd"), 4).as("ks_r"),
+            col("m.v").as("ks_at"),
+            round(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1").cast("double") * col("n2"))), 4).as("crit_r"),
+            (-col("m.nd") > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+              (col("n1").cast("double") * col("n2")))).cast("int").as("reject"))
+      },
+      Some("""WITH byval AS (SELECT n_chars AS v,
+            CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+            CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) AS c2
+          FROM documents GROUP BY n_chars),
+        cum AS (SELECT v,
+            sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+            sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+          FROM byval),
+        nn AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM byval),
+        dd AS (SELECT v, abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2) AS dd,
+            n1, n2 FROM cum CROSS JOIN nn),
+        m AS (SELECT max(n1) AS n1, max(n2) AS n2,
+            min(struct_pack(nd := -dd, v := v)) AS m FROM dd)
+        SELECT n1, n2, round(-(m).nd, 4) AS ks_r, (m).v AS ks_at,
+          round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)), 4) AS crit_r,
+          CAST(-(m).nd > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) AS INT) AS reject
+        FROM m"""),
+      doc = "two-sample Kolmogorov-Smirnov test of src0's length distribution vs the rest: exact ECDF gap over the pooled support (post-agg, value-bounded cardinality), 5% critical value and reject decision")
   )
 }

@@ -541,6 +541,43 @@ object EventQueries {
           round(list_sum(list(wgt ORDER BY event_id)), 4) AS recency_r,
           round(list_sum(list(wgt * value ORDER BY event_id)), 4) AS wvalue_r
         FROM w GROUP BY user_id ORDER BY user_id"""),
-      doc = "feature-store recency fit: per-user exponential time-decayed event count and value (tau = 7 days, fixed anchor), event-id-ordered folds — one scan, one user-keyed shuffle")
+      doc = "feature-store recency fit: per-user exponential time-decayed event count and value (tau = 7 days, fixed anchor), event-id-ordered folds — one scan, one user-keyed shuffle"),
+
+    // ---- behavioral Markov chain (q178): the first-order transition
+    //      matrix of event types within each user's stream — P(next |
+    //      current) with counts, the behavioral-model fit that feeds
+    //      next-action prediction and anomaly scoring. One
+    //      partitionBy(user_id) lead() (the q159 shuffle), then a
+    //      (cur, next)-keyed agg whose output is |types|² — map-side
+    //      combinable, matrix-sized forever. Row-normalization joins
+    //      the |types|-row marginal back by broadcast.
+    QueryDef(
+      "q178_markov_transitions",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("cur_type"), col("next_type"))
+          .agg(count(lit(1)).as("c"))
+        val rowTot = trans.groupBy("cur_type").agg(sum(col("c")).as("tot"))
+        trans.join(broadcast(rowTot), Seq("cur_type"))
+          .select(col("cur_type"), col("next_type"), col("c"),
+            round(col("c").cast("double") / col("tot"), 4).as("p_r"))
+          .orderBy("cur_type", "next_type")
+      },
+      Some("""WITH t AS (SELECT user_id, event_type, ts, event_id,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+          FROM events),
+        trans AS (SELECT event_type AS cur_type, next_type, count(*) AS c
+          FROM t WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+        rt AS (SELECT cur_type, CAST(sum(c) AS BIGINT) AS tot FROM trans GROUP BY cur_type)
+        SELECT trans.cur_type, next_type, c,
+          round(CAST(c AS DOUBLE) / tot, 4) AS p_r
+        FROM trans JOIN rt ON trans.cur_type = rt.cur_type
+        ORDER BY trans.cur_type, next_type"""),
+      doc = "first-order behavioral Markov chain: per-user lead() transitions, (cur, next)-keyed matrix-sized agg, broadcast row-normalization — the next-action model fit")
   )
 }

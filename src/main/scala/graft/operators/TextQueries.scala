@@ -60,6 +60,64 @@ object TextQueries {
     s"CAST(len(list_filter(ts, t -> ${orChain("t", words)})) AS INT) AS c_$lang"
   }.mkString(", ")
 
+  /** q162's σ(w·x) scorer as a frame (doc_id, source, score) — one
+    * definition feeding the per-doc report and q176's ensemble. */
+  private def qualityScored(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ts", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), col("source"),
+        (expr(s"size(filter(ts, t -> ${orChain("t", stopwords)}))").cast("double") /
+          size(col("ts"))).as("stop"),
+        (size(array_distinct(col("ts"))).cast("double") / size(col("ts"))).as("ttr"),
+        (length(col("text")).cast("double") / size(col("ts"))).as("cpt"),
+        log(size(col("ts")).cast("double")).as("lnt"))
+      .withColumn("z",
+        lit(-2.0) + lit(6.0) * col("stop") - lit(3.0) * col("ttr") +
+          lit(0.2) * col("cpt") + lit(0.5) * col("lnt"))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+      .select("doc_id", "source", "score")
+
+  /** q172's character-entropy frame (doc_id, n, n_unique_chars,
+    * entropy, unrounded) — shared with q176. */
+  private def charEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_unique_chars"),
+        expr("""aggregate(transform(array_sort(collect_list(struct(ch, c))),
+             x -> CAST(x.c AS DOUBLE) * ln(CAST(x.c AS DOUBLE))), 0D,
+             (a, v) -> a + v)""").as("slc"))
+      .withColumn("entropy",
+        log(col("n").cast("double")) - col("slc") / col("n"))
+
+  /** Oracle twins, as CTE blocks ending in `qscore` (doc_id, source,
+    * score) and `ent` (doc_id, n, n_unique_chars, entropy). */
+  private def oracleScoreCtes: String =
+    s"""qf AS (SELECT doc_id, source,
+          CAST(len(list_filter(ts, t -> ${orChain("t", stopwords)})) AS DOUBLE) / len(ts) AS stop,
+          CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS ttr,
+          CAST(length(text) AS DOUBLE) / len(ts) AS cpt,
+          ln(CAST(len(ts) AS DOUBLE)) AS lnt
+        FROM (SELECT doc_id, source, text,
+          string_split_regex(trim(text), '\\s+') AS ts FROM documents) t),
+      qz AS (SELECT doc_id, source,
+          -2.0 + 6.0 * stop - 3.0 * ttr + 0.2 * cpt + 0.5 * lnt AS z FROM qf),
+      qscore AS (SELECT doc_id, source, 1.0 / (1.0 + exp(-z)) AS score FROM qz)"""
+
+  private val oracleEntropyCtes: String =
+    """ech AS (SELECT doc_id, unnest(list_transform(range(length(text)),
+          i -> substr(text, CAST(i + 1 AS INT), 1))) AS ch FROM documents),
+      ecc AS (SELECT doc_id, ch, count(*) AS c FROM ech GROUP BY doc_id, ch),
+      ent AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+          CAST(count(*) AS BIGINT) AS n_unique_chars,
+          ln(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)) -
+            list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY ch))
+              / CAST(sum(c) AS BIGINT) AS entropy
+        FROM ecc GROUP BY doc_id)"""
+
   private val oracleLangPredCase: String =
     """CASE WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_de AND c_en > 0 THEN 'en'
          WHEN c_es >= c_fr AND c_es >= c_de AND c_es > 0 THEN 'es'
@@ -990,37 +1048,15 @@ object TextQueries {
     //      WholeStageCodegen span over the scan.
     QueryDef(
       "q162_quality_logistic",
-      (s, d) => {
-        Tables.documents(s, d)
-          .withColumn("ts", split(trim(col("text")), "\\s+"))
-          .select(col("doc_id"), col("source"),
-            (expr(s"size(filter(ts, t -> ${orChain("t", stopwords)}))").cast("double") /
-              size(col("ts"))).as("stop"),
-            (size(array_distinct(col("ts"))).cast("double") / size(col("ts"))).as("ttr"),
-            (length(col("text")).cast("double") / size(col("ts"))).as("cpt"),
-            log(size(col("ts")).cast("double")).as("lnt"))
-          .withColumn("z",
-            lit(-2.0) + lit(6.0) * col("stop") - lit(3.0) * col("ttr") +
-              lit(0.2) * col("cpt") + lit(0.5) * col("lnt"))
-          .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("z"))))
-          .select(col("doc_id"), col("source"),
-            round(col("score"), 4).as("score_r"),
-            when(col("score") >= 0.5, 1).otherwise(0).as("keep"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH f AS (SELECT doc_id, source,
-            CAST(len(list_filter(ts, t -> ${orChain("t", stopwords)})) AS DOUBLE) / len(ts) AS stop,
-            CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS ttr,
-            CAST(length(text) AS DOUBLE) / len(ts) AS cpt,
-            ln(CAST(len(ts) AS DOUBLE)) AS lnt
-          FROM (SELECT doc_id, source, text,
-            string_split_regex(trim(text), '\\s+') AS ts FROM documents) t),
-        z AS (SELECT doc_id, source,
-            -2.0 + 6.0 * stop - 3.0 * ttr + 0.2 * cpt + 0.5 * lnt AS z FROM f),
-        s AS (SELECT doc_id, source, 1.0 / (1.0 + exp(-z)) AS score FROM z)
+      (s, d) => qualityScored(s, d)
+        .select(col("doc_id"), col("source"),
+          round(col("score"), 4).as("score_r"),
+          when(col("score") >= 0.5, 1).otherwise(0).as("keep"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $oracleScoreCtes
         SELECT doc_id, source, round(score, 4) AS score_r,
           CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS keep
-        FROM s ORDER BY doc_id"""),
+        FROM qscore ORDER BY doc_id"""),
       doc = "fasttext-style quality-classifier inference: fixed-weight logistic over stopword/TTR/chars-per-token/log-length features, identical left-associated fp chain in both engines, shuffle-free single-scan map"),
 
     // ---- character-entropy quality signal (q172): Shannon entropy of
@@ -1035,32 +1071,66 @@ object TextQueries {
     //      not corpus bytes.
     QueryDef(
       "q172_char_entropy",
+      (s, d) => charEntropy(s, d)
+        .select(col("doc_id"), col("n"), col("n_unique_chars"),
+          round(col("entropy"), 4).as("entropy_r"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $oracleEntropyCtes
+        SELECT doc_id, n, n_unique_chars, round(entropy, 4) AS entropy_r
+        FROM ent ORDER BY doc_id"""),
+      doc = "per-document Shannon character entropy via H = ln(n) - (sum c ln c)/n: map-side-combinable (doc, char) counts bounded by alphabet size, character-ordered fold"),
+
+    // ---- rank-normalized signal ensemble (q176): blend two quality
+    //      signals on incomparable scales — the q162 classifier score
+    //      and the q172 character entropy — by converting each to its
+    //      exact global percent-rank and averaging. Rank normalization
+    //      is the standard way to ensemble heterogeneous curation
+    //      signals (scores aren't calibrated against each other;
+    //      ranks are). Both rankings use [[GlobalRank.withRowIndex]]
+    //      (range partition + prefix offsets — exact global
+    //      row_number, never a single-partition window), and both
+    //      signal frames are the SAME shared definitions their own
+    //      queries run.
+    QueryDef(
+      "q176_signal_ensemble",
       (s, d) => {
-        Tables.documents(s, d)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
-          .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum(col("c")).as("n"),
-            count(lit(1)).as("n_unique_chars"),
-            expr("""aggregate(transform(array_sort(collect_list(struct(ch, c))),
-                 x -> CAST(x.c AS DOUBLE) * ln(CAST(x.c AS DOUBLE))), 0D,
-                 (a, v) -> a + v)""").as("slc"))
-          .select(col("doc_id"), col("n"), col("n_unique_chars"),
-            round(log(col("n").cast("double")) - col("slc") / col("n"), 4)
-              .as("entropy_r"))
+        // rank on the 6-decimal-ROUNDED signal: raw exp()-derived
+        // doubles can differ by 1 ulp between JVM and libm, silently
+        // swapping adjacent ranks; the rounded key collapses ulp noise
+        // and any resulting ties fall to the doc_id tiebreak.
+        val sc = qualityScored(s, d)
+          .select(col("doc_id"), round(col("score"), 6).as("rscore"))
+          .localCheckpoint()
+        val en = charEntropy(s, d)
+          .select(col("doc_id"), round(col("entropy"), 6).as("rent"))
+          .localCheckpoint()
+        val r1 = GlobalRank.withRowIndex(sc,
+          Seq(col("rscore").desc, col("doc_id").asc), "rk1", inputPinned = true)
+        val r2 = GlobalRank.withRowIndex(en,
+          Seq(col("rent").desc, col("doc_id").asc), "rk2", inputPinned = true)
+        val nn = sc.agg(count(lit(1)).as("n"))
+        r1.select("doc_id", "rk1")
+          .join(r2.select("doc_id", "rk2"), Seq("doc_id"))
+          .crossJoin(broadcast(nn))
+          .withColumn("pr1", (col("rk1") - 1).cast("double") / (col("n") - 1))
+          .withColumn("pr2", (col("rk2") - 1).cast("double") / (col("n") - 1))
+          .select(col("doc_id"),
+            round(col("pr1"), 4).as("pr_quality_r"),
+            round(col("pr2"), 4).as("pr_entropy_r"),
+            round((col("pr1") + col("pr2")) / 2.0, 4).as("ensemble_r"))
           .orderBy("doc_id")
       },
-      Some("""WITH ch AS (SELECT doc_id, unnest(list_transform(range(length(text)),
-            i -> substr(text, CAST(i + 1 AS INT), 1))) AS ch FROM documents),
-        cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
-        g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
-            CAST(count(*) AS BIGINT) AS n_unique_chars,
-            list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY ch)) AS slc
-          FROM cc GROUP BY doc_id)
-        SELECT doc_id, n, n_unique_chars,
-          round(ln(CAST(n AS DOUBLE)) - slc / n, 4) AS entropy_r
-        FROM g ORDER BY doc_id"""),
-      doc = "per-document Shannon character entropy via H = ln(n) - (sum c ln c)/n: map-side-combinable (doc, char) counts bounded by alphabet size, character-ordered fold")
+      Some(s"""WITH $oracleScoreCtes, $oracleEntropyCtes,
+        r1 AS (SELECT doc_id, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rk1 FROM qscore),
+        r2 AS (SELECT doc_id, row_number() OVER (ORDER BY round(entropy, 6) DESC, doc_id) AS rk2 FROM ent),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qscore)
+        SELECT r1.doc_id,
+          round(CAST(rk1 - 1 AS DOUBLE) / (n - 1), 4) AS pr_quality_r,
+          round(CAST(rk2 - 1 AS DOUBLE) / (n - 1), 4) AS pr_entropy_r,
+          round((CAST(rk1 - 1 AS DOUBLE) / (n - 1)
+            + CAST(rk2 - 1 AS DOUBLE) / (n - 1)) / 2.0, 4) AS ensemble_r
+        FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id CROSS JOIN nn
+        ORDER BY r1.doc_id"""),
+      doc = "rank-normalized ensemble of the classifier score and character entropy: exact global percent-ranks via the distributed row-index primitive, averaged — heterogeneous-signal blending on rank scale")
   )
 }
