@@ -578,6 +578,68 @@ object EventQueries {
           round(CAST(c AS DOUBLE) / tot, 4) AS p_r
         FROM trans JOIN rt ON trans.cur_type = rt.cur_type
         ORDER BY trans.cur_type, next_type"""),
-      doc = "first-order behavioral Markov chain: per-user lead() transitions, (cur, next)-keyed matrix-sized agg, broadcast row-normalization — the next-action model fit")
+      doc = "first-order behavioral Markov chain: per-user lead() transitions, (cur, next)-keyed matrix-sized agg, broadcast row-normalization — the next-action model fit"),
+
+    // ---- z-score anomaly audit (q180): per event_type, fit the
+    //      value distribution (mean/std, ordered event_id folds, the
+    //      q166 variance arithmetic) and flag |z| > 3 outliers —
+    //      count per type plus the worst offender (argmax on the
+    //      ROUNDED |z|, the q176 ulp rule, ties to min event_id).
+    //      The monitoring pass a pipeline runs over ingested metrics
+    //      before trusting them. Two passes over events (fit, then
+    //      score against the broadcast type-level parameters) — the
+    //      irreducible shape of fit-then-apply; everything aggregates
+    //      type-keyed.
+    QueryDef(
+      "q180_value_anomalies",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value"))
+        val st = ev.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(event_id, value))),
+                 x -> x.value), 0D, (a, v) -> a + v)""").as("sv"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(event_id, value))),
+                 x -> x.value * x.value), 0D, (a, v) -> a + v)""").as("svv"))
+          .withColumn("mean", col("sv") / col("n"))
+          .withColumn("std", sqrt(greatest(
+            col("svv") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")),
+            lit(0.0))))
+        ev.join(broadcast(st.select("event_type", "n", "mean", "std")), Seq("event_type"))
+          .withColumn("z", (col("value") - col("mean")) / col("std"))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            max(col("mean")).as("mean"), max(col("std")).as("std"),
+            sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_anom"),
+            min(struct((-round(abs(col("z")), 6)).as("nz"),
+              col("event_id").as("event_id"))).as("m"))
+          .select(col("event_type"), col("n"),
+            round(col("mean"), 4).as("mean_r"),
+            round(col("std"), 4).as("std_r"),
+            col("n_anom"),
+            col("m.event_id").as("worst_event_id"),
+            (-col("m.nz")).as("worst_absz_r"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type, event_id, value FROM events),
+        st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            list_sum(list(value ORDER BY event_id)) AS sv,
+            list_sum(list(value * value ORDER BY event_id)) AS svv
+          FROM ev GROUP BY event_type),
+        p AS (SELECT event_type, n, sv / n AS mean,
+            sqrt(greatest(svv / n - (sv / n) * (sv / n), 0)) AS std
+          FROM st),
+        z AS (SELECT ev.event_type, event_id, n, mean, std,
+            (value - mean) / std AS z
+          FROM ev JOIN p ON ev.event_type = p.event_type)
+        SELECT event_type, max(n) AS n,
+          round(max(mean), 4) AS mean_r, round(max(std), 4) AS std_r,
+          CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
+          (min(struct_pack(nz := -round(abs(z), 6), event_id := event_id))).event_id
+            AS worst_event_id,
+          -(min(struct_pack(nz := -round(abs(z), 6), event_id := event_id))).nz
+            AS worst_absz_r
+        FROM z GROUP BY event_type ORDER BY event_type"""),
+      doc = "per-type z-score anomaly audit: ordered-fold mean/std fit, broadcast apply, |z|>3 counts and rounded-argmax worst offender — the fit-then-apply metrics monitor")
   )
 }

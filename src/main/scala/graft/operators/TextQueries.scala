@@ -1131,6 +1131,92 @@ object TextQueries {
             + CAST(rk2 - 1 AS DOUBLE) / (n - 1)) / 2.0, 4) AS ensemble_r
         FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id CROSS JOIN nn
         ORDER BY r1.doc_id"""),
-      doc = "rank-normalized ensemble of the classifier score and character entropy: exact global percent-ranks via the distributed row-index primitive, averaged — heterogeneous-signal blending on rank scale")
+      doc = "rank-normalized ensemble of the classifier score and character entropy: exact global percent-ranks via the distributed row-index primitive, averaged — heterogeneous-signal blending on rank scale"),
+
+    // ---- retrieval evaluation (q179): the IR eval harness on top of
+    //      the q148 scoring model — every 25th document becomes a
+    //      QUERY (its first five tokens), the corpus is ranked for
+    //      each query by BM25, and the metric is self-retrieval: the
+    //      rank at which the source document comes back, with
+    //      reciprocal rank (MRR's per-query term) and a hit@10 bit.
+    //
+    //      The scale shape is the real retrieval one — NO
+    //      query×corpus cross join: queries explode to (qid, term),
+    //      candidates come from an equi-join against the posting
+    //      list (doc, term, tf), and scores aggregate per (qid, doc)
+    //      with the contribution fold in term order. Ranking uses
+    //      the ROUNDED score (the q176 ulp lesson) with doc_id ties,
+    //      per-qid windows over candidate sets only.
+    QueryDef(
+      "q179_retrieval_eval",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("ts"))
+          .withColumn("dl", size(col("ts")))
+          .localCheckpoint()
+        val postings = toks
+          .select(col("doc_id"), explode(col("ts")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
+        val qterms = toks.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("qid"),
+            explode(array_distinct(expr("slice(ts, 1, 5)"))).as("term"))
+        val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val cand = qterms
+          .join(postings, Seq("term"))
+          .join(broadcast(df), Seq("term"))
+          .join(toks.select(col("doc_id"), col("dl")), Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .withColumn("contrib", expr(
+            """ln(((n_docs - df + 0.5) / (df + 0.5)) + 1.0) *
+               (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"""))
+        val scored = cand.groupBy("qid", "doc_id")
+          .agg(expr("""aggregate(transform(array_sort(collect_list(struct(term, contrib))),
+               x -> x.contrib), 0D, (a, v) -> a + v)""").as("score"))
+          .withColumn("rs", round(col("score"), 4))
+        val wq = Window.partitionBy("qid").orderBy(col("rs").desc, col("doc_id").asc)
+        scored
+          .withColumn("rank", row_number().over(wq))
+          .filter(col("doc_id") === col("qid"))
+          .select(col("qid"), col("rank").cast("int").as("self_rank"),
+            round(when(col("rank") <= 10, lit(1.0) / col("rank")).otherwise(0.0), 4)
+              .as("rr_r"),
+            when(col("rank") <= 10, 1).otherwise(0).as("hit10"))
+          .orderBy("qid")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            string_split_regex(lower(trim(text)), '\s+') AS ts,
+            CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INT) AS dl
+          FROM documents),
+        postings AS (SELECT doc_id, term, count(*) AS tf
+          FROM (SELECT doc_id, unnest(ts) AS term FROM toks) u
+          GROUP BY doc_id, term),
+        qterms AS (SELECT doc_id AS qid, unnest(list_distinct(ts[1:5])) AS term
+          FROM toks WHERE doc_id % 25 = 0),
+        df AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+        stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM toks),
+        cand AS (SELECT qid, p.doc_id, p.term,
+            ln(((n_docs - df + 0.5) / (df + 0.5)) + 1.0) *
+               (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) AS contrib
+          FROM qterms q
+          JOIN postings p ON q.term = p.term
+          JOIN df ON p.term = df.term
+          JOIN toks t ON p.doc_id = t.doc_id
+          CROSS JOIN (SELECT n_docs, sum_dl,
+            CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM stats) s),
+        scored AS (SELECT qid, doc_id,
+            round(list_sum(list(contrib ORDER BY term)), 4) AS rs
+          FROM cand GROUP BY qid, doc_id),
+        ranked AS (SELECT qid, doc_id,
+            row_number() OVER (PARTITION BY qid ORDER BY rs DESC, doc_id) AS rank
+          FROM scored)
+        SELECT qid, CAST(rank AS INT) AS self_rank,
+          round(CASE WHEN rank <= 10 THEN 1.0 / rank ELSE 0.0 END, 4) AS rr_r,
+          CASE WHEN rank <= 10 THEN 1 ELSE 0 END AS hit10
+        FROM ranked WHERE doc_id = qid ORDER BY qid"""),
+      doc = "self-retrieval IR eval over the q148 BM25 model: every 25th doc queries with its first five tokens, candidates via posting-list equi-joins (no query-corpus cross join), per-query rank/reciprocal-rank/hit@10 on the rounded-score grid")
   )
 }
