@@ -1217,6 +1217,151 @@ object TextQueries {
           round(CASE WHEN rank <= 10 THEN 1.0 / rank ELSE 0.0 END, 4) AS rr_r,
           CASE WHEN rank <= 10 THEN 1 ELSE 0 END AS hit10
         FROM ranked WHERE doc_id = qid ORDER BY qid"""),
-      doc = "self-retrieval IR eval over the q148 BM25 model: every 25th doc queries with its first five tokens, candidates via posting-list equi-joins (no query-corpus cross join), per-query rank/reciprocal-rank/hit@10 on the rounded-score grid")
+      doc = "self-retrieval IR eval over the q148 BM25 model: every 25th doc queries with its first five tokens, candidates via posting-list equi-joins (no query-corpus cross join), per-query rank/reciprocal-rank/hit@10 on the rounded-score grid"),
+
+    // ---- budget-constrained mixture allocation (q181): the planning
+    //      step between scoring and training — given a token budget
+    //      (40% of the corpus) and a per-source quality signal (mean
+    //      q162 classifier score), fill the budget greedily from the
+    //      best source down: whole sources until the budget runs
+    //      short, one partial source at the boundary, zeros after.
+    //      The greedy fill is exact integer arithmetic over a
+    //      source-level prefix sum — the cumulative window runs over
+    //      the 20-row source frame (post-agg, source-bounded
+    //      cardinality), ordered by (rounded quality desc, source)
+    //      per the q176 ulp rule.
+    QueryDef(
+      "q181_budget_allocation",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val bySrc = Tables.documents(s, d)
+          .withColumn("nt", size(split(trim(col("text")), "\\s+")).cast("long"))
+          .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+        val qual = qualityScored(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(doc_id, score))),
+                 x -> x.score), 0D, (a, v) -> a + v)""").as("ss"))
+          .withColumn("q", round(col("ss") / col("n_docs"), 6))
+        val tot = bySrc.agg(sum(col("n_tokens")).as("tot"))
+        val w = Window.orderBy(col("q").desc, col("source").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        bySrc.join(qual, Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("budget", expr("tot * 2 div 5"))
+          .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("alloc", greatest(lit(0L),
+            least(col("n_tokens"), col("budget") - col("cum_before"))))
+          .select(col("source"), col("n_tokens"), round(col("q"), 4).as("q_r"),
+            col("alloc").as("alloc_tokens"),
+            round(col("alloc").cast("double") / col("n_tokens"), 4).as("frac_r"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $oracleScoreCtes,
+        bysrc AS (SELECT source,
+            CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        qual AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            round(list_sum(list(score ORDER BY doc_id)) / count(*), 6) AS q
+          FROM qscore GROUP BY source),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM bysrc),
+        g AS (SELECT bysrc.source, n_tokens, q, tot * 2 // 5 AS budget,
+            coalesce(sum(n_tokens) OVER (ORDER BY q DESC, bysrc.source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM bysrc JOIN qual ON bysrc.source = qual.source CROSS JOIN tot)
+        SELECT source, n_tokens, round(q, 4) AS q_r,
+          CAST(greatest(0, least(n_tokens, budget - cum_before)) AS BIGINT) AS alloc_tokens,
+          round(CAST(greatest(0, least(n_tokens, budget - cum_before)) AS DOUBLE)
+            / n_tokens, 4) AS frac_r
+        FROM g ORDER BY source"""),
+      doc = "greedy token-budget mixture allocation: whole best-quality sources first, one partial at the boundary — integer prefix-sum fill over the source frame, quality on the rounded grid"),
+
+    // ---- Heaps'-law fit (q182): vocabulary growth V(N) ≈ K·N^β over
+    //      the corpus in doc_id order — q167's companion (Zipf is the
+    //      frequency head, Heaps the vocabulary curve); β far from
+    //      the textbook 0.4–0.6 band flags template spam or vocabulary
+    //      truncation, and the fitted curve sizes tokenizer vocab for
+    //      a target corpus scale. The trick that keeps this ONE pass:
+    //      a term joins the vocabulary at its FIRST document
+    //      (min doc_id per term), so cumulative vocabulary at every
+    //      checkpoint is a bucket-cumsum over first-occurrence
+    //      buckets — no per-checkpoint rescans. 20 checkpoints,
+    //      regression input fixed-size at any corpus, k-ordered folds,
+    //      same least-squares text as q167.
+    QueryDef(
+      "q182_heaps_fit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .filter(col("term") =!= "")
+        val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val wB = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        val vb = toks.groupBy("term").agg(min(col("doc_id")).as("fd"))
+          .crossJoin(broadcast(nd))
+          .select(expr("fd div (n_docs div 20)").as("b"))
+          .filter(col("b") < 20)
+          .groupBy("b").agg(count(lit(1)).as("dv"))
+        val nb = toks.crossJoin(broadcast(nd))
+          .select(expr("doc_id div (n_docs div 20)").as("b"))
+          .filter(col("b") < 20)
+          .groupBy("b").agg(count(lit(1)).as("dn"))
+        // left from nb: every bucket has tokens, but a bucket could
+        // (in principle) add no NEW terms — it must still checkpoint
+        val xy = nb.join(vb, Seq("b"), "left")
+          .withColumn("v", sum(coalesce(col("dv"), lit(0L))).over(wB))
+          .withColumn("n", sum(col("dn")).over(wB))
+          .select(col("b"), log(col("n").cast("double")).as("x"),
+            log(col("v").cast("double")).as("y"))
+        def fold(e: String) = expr(
+          s"""aggregate(transform(array_sort(collect_list(struct(b, x, y))),
+             s -> $e), 0D, (a, v) -> a + v)""")
+        xy.agg(count(lit(1)).as("n"),
+            fold("s.x").as("sx"), fold("s.y").as("sy"),
+            fold("s.x * s.y").as("sxy"),
+            fold("s.x * s.x").as("sxx"), fold("s.y * s.y").as("syy"))
+          .select(col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"),
+            col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+          .select(col("n").as("n_points"),
+            (round(col("beta"), 4) + 0.0).as("beta_r"),
+            (round((col("sy") - col("beta") * col("sx")) / col("n"), 4) + 0.0)
+              .as("intercept_r"),
+            (round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+                (col("n") * col("sxy") - col("sx") * col("sy"))) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))), 4) + 0.0).as("r2_r"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, term
+          FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents) u WHERE term <> ''),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        vb AS (SELECT b, count(*) AS dv FROM (
+            SELECT fd // (n_docs // 20) AS b
+            FROM (SELECT term, min(doc_id) AS fd FROM toks GROUP BY term) f
+            CROSS JOIN nd) t
+          WHERE b < 20 GROUP BY b),
+        nb AS (SELECT b, count(*) AS dn FROM (
+            SELECT doc_id // (n_docs // 20) AS b FROM toks CROSS JOIN nd) t
+          WHERE b < 20 GROUP BY b),
+        xy AS (SELECT b,
+            ln(CAST(sum(dn) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) AS x,
+            ln(CAST(sum(coalesce(dv, 0)) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) AS y
+          FROM nb LEFT JOIN vb USING (b)),
+        sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            list_sum(list(x ORDER BY b)) AS sx,
+            list_sum(list(y ORDER BY b)) AS sy,
+            list_sum(list(x * y ORDER BY b)) AS sxy,
+            list_sum(list(x * x ORDER BY b)) AS sxx,
+            list_sum(list(y * y ORDER BY b)) AS syy
+          FROM xy),
+        fit AS (SELECT n, sx, sy, sxy, sxx, syy,
+            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta FROM sums)
+        SELECT n AS n_points, round(beta, 4) + 0.0 AS beta_r,
+          round((sy - beta * sx) / n, 4) + 0.0 AS intercept_r,
+          round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+            ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 AS r2_r
+        FROM fit"""),
+      doc = "Heaps'-law vocabulary-growth fit: first-occurrence bucketing makes cumulative vocabulary one agg + a 20-row cumsum (no per-checkpoint rescans), then the q167 least-squares text over ln V vs ln N")
   )
 }
