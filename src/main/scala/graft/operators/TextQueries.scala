@@ -1362,6 +1362,119 @@ object TextQueries {
           round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 AS r2_r
         FROM fit"""),
-      doc = "Heaps'-law vocabulary-growth fit: first-occurrence bucketing makes cumulative vocabulary one agg + a 20-row cumsum (no per-checkpoint rescans), then the q167 least-squares text over ln V vs ln N")
+      doc = "Heaps'-law vocabulary-growth fit: first-occurrence bucketing makes cumulative vocabulary one agg + a 20-row cumsum (no per-checkpoint rescans), then the q167 least-squares text over ln V vs ln N"),
+
+    // ---- token-weighted median quality (q183): per source, the
+    //      score below which half the TOKENS (not docs) sit — the
+    //      robust central-quality statistic a mixture planner reads
+    //      (mean score over-weights many short docs; the
+    //      token-weighted median answers "what quality is the typical
+    //      token"). Exact lower weighted median by integer rule:
+    //      min grid score s with 2·cumweight(s) ≥ total.
+    //
+    //      Scale shape: scores live on the 1e-6 ROUNDING GRID (the
+    //      q176 rule), so the per-(source, score) agg — and therefore
+    //      the cumulative window — is bounded by sources × grid
+    //      points, independent of corpus size. That grid bound is
+    //      what makes exact weighted order statistics distributable.
+    QueryDef(
+      "q183_weighted_median_quality",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = qualityScored(s, d)
+          .withColumn("rscore", round(col("score"), 6))
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).cast("long").as("w"))
+        val grid = scored.join(toks, Seq("doc_id"))
+          .groupBy("source", "rscore").agg(sum(col("w")).as("gw"))
+        val wc = Window.partitionBy("source").orderBy("rscore")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = grid.groupBy("source").agg(sum(col("gw")).as("tw"))
+        grid
+          .withColumn("cum", sum(col("gw")).over(wc))
+          .join(broadcast(tot), Seq("source"))
+          .filter(col("cum") * 2 >= col("tw"))
+          .groupBy("source")
+          .agg(max(col("tw")).as("total_tokens"),
+            min(col("rscore")).as("wmedian"))
+          .select(col("source"), col("total_tokens"),
+            round(col("wmedian"), 4).as("wmedian_r"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $oracleScoreCtes,
+        toks AS (SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w
+          FROM documents),
+        grid AS (SELECT source, round(score, 6) AS rscore, CAST(sum(w) AS BIGINT) AS gw
+          FROM qscore JOIN toks ON qscore.doc_id = toks.doc_id
+          GROUP BY source, round(score, 6)),
+        cum AS (SELECT source, rscore, gw,
+            sum(gw) OVER (PARTITION BY source ORDER BY rscore
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM grid),
+        tot AS (SELECT source, CAST(sum(gw) AS BIGINT) AS tw FROM grid GROUP BY source)
+        SELECT cum.source, max(tw) AS total_tokens,
+          round(min(rscore), 4) AS wmedian_r
+        FROM cum JOIN tot ON cum.source = tot.source
+        WHERE cum * 2 >= tw
+        GROUP BY cum.source ORDER BY cum.source"""),
+      doc = "per-source token-weighted median quality: exact lower weighted median by integer rule over the rounded-score grid — grid cardinality bounds the cumulative window regardless of corpus size"),
+
+    // ---- split-conformal quality threshold (q184): calibrate a
+    //      keep-threshold with 90% coverage on a held-out calibration
+    //      split (doc_id % 5 = 0) — thr = the ⌈(n_cal+1)/10⌉-th
+    //      smallest calibration score — then report realized per-source
+    //      coverage on the evaluation split. Conformal calibration is
+    //      the distribution-free way to turn a raw scorer into a
+    //      guaranteed-coverage filter. The order statistic is selected
+    //      by the SAME grid-cumsum pattern as q183 (never a global
+    //      sort-limit over row-scale data), and every comparison after
+    //      rounding is exact.
+    QueryDef(
+      "q184_conformal_coverage",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = qualityScored(s, d)
+          .withColumn("rscore", round(col("score"), 6))
+          .localCheckpoint()
+        val cal = scored.filter(col("doc_id") % 5 === 0)
+        val nc = cal.agg(count(lit(1)).as("n_cal"),
+          expr("CAST((count(1) + 1) div 10 AS BIGINT)").as("r"))
+        val wg = Window.orderBy("rscore").rowsBetween(Window.unboundedPreceding, 0)
+        val thr = cal.groupBy("rscore").agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(wg))
+          .crossJoin(broadcast(nc))
+          .filter(col("cum") >= greatest(col("r"), lit(1L)))
+          .agg(min(col("rscore")).as("thr"), max(col("n_cal")).as("n_cal"),
+            max(col("r")).as("r"))
+        scored.filter(col("doc_id") % 5 =!= 0)
+          .crossJoin(broadcast(thr))
+          .groupBy("source")
+          .agg(max(col("thr")).as("thr"), max(col("n_cal")).as("n_cal"),
+            count(lit(1)).as("n_eval"),
+            sum(when(col("rscore") >= col("thr"), 1L).otherwise(0L)).as("n_kept"))
+          .select(col("source"), col("n_cal"),
+            round(col("thr"), 4).as("thr_r"), col("n_eval"), col("n_kept"),
+            round(col("n_kept").cast("double") / col("n_eval"), 4).as("coverage_r"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $oracleScoreCtes,
+        sc AS (SELECT doc_id, source, round(score, 6) AS rscore FROM qscore),
+        cal AS (SELECT * FROM sc WHERE doc_id % 5 = 0),
+        nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+            CAST((count(*) + 1) // 10 AS BIGINT) AS r FROM cal),
+        cg AS (SELECT rscore, count(*) AS c FROM cal GROUP BY rscore),
+        cc AS (SELECT rscore, sum(c) OVER (ORDER BY rscore
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cg),
+        thr AS (SELECT min(rscore) AS thr, max(n_cal) AS n_cal
+          FROM cc CROSS JOIN nc WHERE cum >= greatest(r, 1))
+        SELECT source, n_cal, round(thr, 4) AS thr_r,
+          CAST(count(*) AS BIGINT) AS n_eval,
+          CAST(sum(CASE WHEN rscore >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          round(CAST(sum(CASE WHEN rscore >= thr THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 4) AS coverage_r
+        FROM sc CROSS JOIN thr WHERE doc_id % 5 <> 0
+        GROUP BY source, n_cal, thr ORDER BY source"""),
+      doc = "split-conformal quality calibration: grid-cumsum order statistic picks the 90%-coverage threshold on the calibration split, realized per-source coverage reported on the eval split — distribution-free filter calibration")
   )
 }
