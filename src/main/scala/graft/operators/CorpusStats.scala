@@ -188,6 +188,67 @@ object CorpusStats {
           round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2_r
         FROM fit"""),
-      doc = "Zipf rank-frequency fit over the top-100 vocabulary head: least-squares slope/intercept/R² of ln(freq) vs ln(rank), rank-ordered folds, fixed-size regression input at any corpus scale")
+      doc = "Zipf rank-frequency fit over the top-100 vocabulary head: least-squares slope/intercept/R² of ln(freq) vs ln(rank), rank-ordered folds, fixed-size regression input at any corpus scale"),
+
+    // ---- embedding covariance fit (q185): the full upper-triangle
+    //      covariance matrix of the embedding dimensions — q166's
+    //      diagonal extended to the whitening/PCA-precursor Gram
+    //      form. Distributed as Gram accumulation: each vector
+    //      contributes its d(d+1)/2 upper-triangle products, the
+    //      (i, j)-keyed agg partial-combines map-side, and the final
+    //      state is d² cells regardless of row count — the standard
+    //      scalable covariance shape. cov(i,j) = Σvᵢvⱼ/n − μᵢμⱼ with
+    //      every Σ folded in vec_id order and the means joined from a
+    //      broadcast d-row frame; −0.0 normalized (tiny negative
+    //      covariances round to signed zero in DuckDB).
+    QueryDef(
+      "q185_dim_covariance",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+          .localCheckpoint()
+        val means = e
+          .select(col("vec_id"), posexplode(col("emb")).as(Seq("dim", "v")))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
+                 x -> x.v), 0D, (a, y) -> a + y)""").as("sv"))
+          .select(col("dim"), col("n"), (col("sv") / col("n")).as("mu"))
+        val cells = e.select(col("vec_id"), explode(expr(
+          """flatten(transform(sequence(0, size(emb) - 1), i ->
+               transform(sequence(i, size(emb) - 1), j ->
+                 struct(i AS i, j AS j,
+                   element_at(emb, i + 1) * element_at(emb, j + 1) AS p))))"""))
+          .as("c"))
+          .select(col("vec_id"), col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+        cells.groupBy("i", "j")
+          .agg(count(lit(1)).as("n"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(vec_id, p))),
+                 x -> x.p), 0D, (a, y) -> a + y)""").as("sp"))
+          .join(broadcast(means.select(col("dim").as("i"), col("mu").as("mi"))), Seq("i"))
+          .join(broadcast(means.select(col("dim").as("j"), col("mu").as("mj"))), Seq("j"))
+          .select(col("i"), col("j"), col("n"),
+            (round(col("sp") / col("n") - col("mi") * col("mj"), 6) + 0.0).as("cov_r"))
+          .orderBy("i", "j")
+      },
+      Some("""WITH x AS (SELECT vec_id,
+            list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
+        md AS (SELECT CAST(u.dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+            list_sum(list(u.v ORDER BY vec_id)) / count(*) AS mu
+          FROM (SELECT vec_id, unnest(list_transform(range(len(emb)),
+              i -> {'dim': i, 'v': emb[i+1]})) AS u FROM x) t
+          GROUP BY u.dim),
+        cells AS (SELECT vec_id, CAST(u.i AS INT) AS i, CAST(u.j AS INT) AS j, u.p AS p
+          FROM (SELECT vec_id, unnest(flatten(list_transform(range(len(emb)), i ->
+              list_transform(range(i, len(emb)), j ->
+                {'i': i, 'j': j, 'p': emb[i+1] * emb[j+1]})))) AS u FROM x) t),
+        g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+            list_sum(list(p ORDER BY vec_id)) AS sp
+          FROM cells GROUP BY i, j)
+        SELECT g.i, g.j, g.n,
+          round(sp / g.n - mi.mu * mj.mu, 6) + 0.0 AS cov_r
+        FROM g JOIN md mi ON g.i = mi.dim JOIN md mj ON g.j = mj.dim
+        ORDER BY g.i, g.j"""),
+      doc = "upper-triangle embedding covariance via distributed Gram accumulation: d(d+1)/2 products per vector, (i,j)-keyed map-side-combinable agg, broadcast means, vec_id-ordered folds — the PCA/whitening precursor fit")
   )
 }

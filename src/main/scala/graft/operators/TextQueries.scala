@@ -1475,6 +1475,47 @@ object TextQueries {
             / count(*), 4) AS coverage_r
         FROM sc CROSS JOIN thr WHERE doc_id % 5 <> 0
         GROUP BY source, n_cal, thr ORDER BY source"""),
-      doc = "split-conformal quality calibration: grid-cumsum order statistic picks the 90%-coverage threshold on the calibration split, realized per-source coverage reported on the eval split — distribution-free filter calibration")
+      doc = "split-conformal quality calibration: grid-cumsum order statistic picks the 90%-coverage threshold on the calibration split, realized per-source coverage reported on the eval split — distribution-free filter calibration"),
+
+    // ---- hard-example mining (q186): per source, the five
+    //      LOWEST-quality documents by the shared q162 score — the
+    //      review queue a labeling/filter-tuning loop consumes. Runs
+    //      on the typed bounded-heap [[graft.functions.TopKAggregator]]
+    //      (the custom Aggregator the engine ships): partial state is
+    //      ≤ k rows per group per map task, so the shuffle carries
+    //      five candidates per (source, task) instead of a full
+    //      per-source sort — q71's pattern applied to the curation
+    //      tier. Scores feed the heap on the rounded grid (q176 rule)
+    //      negated, so "top" = hardest, ties to min doc_id — the
+    //      exact row_number semantics the oracle proves.
+    QueryDef(
+      "q186_hard_examples",
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.TopKAggregator.{Scored, TopK}
+        val ds = qualityScored(s, d)
+          .select(col("source"), col("doc_id"), round(col("score"), 6).as("rscore"))
+          .as[(String, Long, Double)]
+        ds.groupByKey(_._1)
+          .mapValues(t => Scored(t._2, -t._3))
+          .agg(new TopK(5).toColumn.name("top"))
+          .flatMap { case (src, buf) =>
+            buf.items.zipWithIndex.map { case (sc, i) =>
+              (src, i + 1, sc.id, -sc.score)
+            }
+          }.toDF("source", "rn", "doc_id", "rscore")
+          .select(col("source"), col("rn"), col("doc_id"),
+            round(col("rscore"), 4).as("score_r"))
+          .orderBy("source", "rn")
+      },
+      Some(s"""WITH $oracleScoreCtes,
+        sc AS (SELECT source, doc_id, round(score, 6) AS rscore FROM qscore),
+        ranked AS (SELECT source, doc_id, rscore,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY rscore ASC, doc_id ASC) AS INT) AS rn
+          FROM sc)
+        SELECT source, rn, doc_id, round(rscore, 4) AS score_r
+        FROM ranked WHERE rn <= 5 ORDER BY source, rn"""),
+      doc = "per-source hard-example mining: bottom-5 by quality score via the typed bounded-heap TopK Aggregator (partial state <= k per map task), rounded-grid scores with min-doc_id ties — the review-queue feed")
   )
 }
