@@ -1516,6 +1516,110 @@ object TextQueries {
           FROM sc)
         SELECT source, rn, doc_id, round(rscore, 4) AS score_r
         FROM ranked WHERE rn <= 5 ORDER BY source, rn"""),
-      doc = "per-source hard-example mining: bottom-5 by quality score via the typed bounded-heap TopK Aggregator (partial state <= k per map task), rounded-grid scores with min-doc_id ties — the review-queue feed")
+      doc = "per-source hard-example mining: bottom-5 by quality score via the typed bounded-heap TopK Aggregator (partial state <= k per map task), rounded-grid scores with min-doc_id ties — the review-queue feed"),
+
+    // ---- grouped regression (q187): per source, OLS of the q162
+    //      quality score on ln(token count) — "is this source's
+    //      quality a length artifact?" A positive slope says the
+    //      scorer rewards length there; near-zero says quality is
+    //      length-independent. Grouped least squares is the
+    //      analytics staple the battery's q167/q182 corpus fits
+    //      don't cover: HERE the regression is keyed, one fit per
+    //      group, all five Σs folded in doc_id order inside a single
+    //      source-keyed agg. Signed fits round to −0.0 in DuckDB
+    //      only, so every output carries the +0.0 normalization.
+    QueryDef(
+      "q187_grouped_regression",
+      (s, d) => {
+        val xy = qualityScored(s, d)
+          .join(Tables.documents(s, d)
+            .select(col("doc_id"),
+              size(split(trim(col("text")), "\\s+")).cast("long").as("nt")),
+            Seq("doc_id"))
+          .select(col("source"), col("doc_id"),
+            log(col("nt").cast("double")).as("x"), col("score").as("y"))
+        def fold(e: String) = expr(
+          s"""aggregate(transform(array_sort(collect_list(struct(doc_id, x, y))),
+             s -> $e), 0D, (a, v) -> a + v)""")
+        xy.groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            fold("s.x").as("sx"), fold("s.y").as("sy"),
+            fold("s.x * s.y").as("sxy"),
+            fold("s.x * s.x").as("sxx"), fold("s.y * s.y").as("syy"))
+          .select(col("source"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+            col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+          .select(col("source"), col("n").as("n_docs"),
+            (round(col("slope"), 4) + 0.0).as("slope_r"),
+            (round((col("sy") - col("slope") * col("sx")) / col("n"), 4) + 0.0)
+              .as("intercept_r"),
+            (round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+                (col("n") * col("sxy") - col("sx") * col("sy"))) /
+              ((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))), 4) + 0.0).as("r2_r"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $oracleScoreCtes,
+        xy AS (SELECT qscore.source AS source, qscore.doc_id AS doc_id,
+            ln(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)) AS x,
+            score AS y
+          FROM qscore JOIN documents ON qscore.doc_id = documents.doc_id),
+        sums AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            list_sum(list(x ORDER BY doc_id)) AS sx,
+            list_sum(list(y ORDER BY doc_id)) AS sy,
+            list_sum(list(x * y ORDER BY doc_id)) AS sxy,
+            list_sum(list(x * x ORDER BY doc_id)) AS sxx,
+            list_sum(list(y * y ORDER BY doc_id)) AS syy
+          FROM xy GROUP BY source),
+        fit AS (SELECT source, n, sx, sy, sxy, sxx, syy,
+            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM sums)
+        SELECT source, n AS n_docs,
+          round(slope, 4) + 0.0 AS slope_r,
+          round((sy - slope * sx) / n, 4) + 0.0 AS intercept_r,
+          round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+            ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 AS r2_r
+        FROM fit ORDER BY source"""),
+      doc = "per-source OLS of quality score on ln(token count): keyed grouped regression, all sums folded in doc_id order inside one source-keyed agg — the length-artifact audit of the scorer"),
+
+    // ---- length-inequality audit (q188): per-source Gini coefficient
+    //      of token counts — the one-number concentration measure
+    //      (G near 0: uniform lengths; near 1: a few giant docs hold
+    //      the tokens), which decides whether token-budget sampling
+    //      (q171/q181) needs doc-level weighting. ENTIRELY integer
+    //      until the final division: ranks from a source-partitioned
+    //      window on (n_tokens, doc_id), Σx and Σ(rank·x) are exact
+    //      long sums (order-independent — no fold idiom needed),
+    //      G = (2·S1 − (n+1)·S0)/(n·S0) evaluated once as a double.
+    QueryDef(
+      "q188_length_gini",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("nt", "doc_id")
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("nt")).as("s0"),
+            sum(col("rn") * col("nt")).as("s1"))
+          .select(col("source"), col("n").as("n_docs"), col("s0").as("n_tokens"),
+            round((lit(2L) * col("s1") - (col("n") + 1L) * col("s0")).cast("double") /
+              (col("n") * col("s0")).cast("double"), 4).as("gini_r"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+          FROM documents),
+        r AS (SELECT source, nt,
+            CAST(row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS BIGINT) AS rn
+          FROM t),
+        g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(nt) AS BIGINT) AS s0, CAST(sum(rn * nt) AS BIGINT) AS s1
+          FROM r GROUP BY source)
+        SELECT source, n AS n_docs, s0 AS n_tokens,
+          round(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE), 4) AS gini_r
+        FROM g ORDER BY source"""),
+      doc = "per-source Gini coefficient of token counts: integer rank/prefix arithmetic with a single final double division — the length-concentration audit that decides token-weighted sampling")
   )
 }
