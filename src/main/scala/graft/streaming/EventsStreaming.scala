@@ -221,6 +221,37 @@ object EventsStreaming {
         })
   }
 
+  final case class MomentState(event_type: String, n: Long, sum: Double, sumsq: Double)
+  final case class Moments(event_type: String, n: Long, mean: Double, std: Double)
+
+  /** Ingest-time twin of q180's distribution fit: per-type keyed
+    * state carries (n, Σv, Σv²); each micro-batch folds its values in
+    * and emits the CURRENT mean/std — the live parameters an online
+    * anomaly monitor scores against, converging to the batch fit as
+    * the stream drains. Accumulation order differs from the batch
+    * ordered fold, so equality is to fp tolerance, not bit-exact —
+    * the spec pins 1e-9 relative. State is one 3-number record per
+    * event type (alphabet-bounded, no timeout needed). */
+  def runningMoments(spark: SparkSession, events: DataFrame): Dataset[Moments] = {
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (etype: String, batch: Iterator[Event], state: GroupState[MomentState]) => {
+          var st = state.getOption.getOrElse(MomentState(etype, 0L, 0.0, 0.0))
+          batch.toSeq.sortBy(_.event_id).foreach { e =>
+            st = MomentState(etype, st.n + 1, st.sum + e.value,
+              st.sumsq + e.value * e.value)
+          }
+          state.update(st)
+          val mean = st.sum / st.n
+          val variance = math.max(st.sumsq / st.n - mean * mean, 0.0)
+          Iterator.single(Moments(etype, st.n, mean, math.sqrt(variance)))
+        })
+  }
+
   /** [[readEvents]] paced to `filesPerTrigger` files per micro-batch —
     * the spec's lever for exercising MULTI-batch state evolution with
     * deterministic batch boundaries. */

@@ -112,6 +112,30 @@ class EventsStreamingSpec extends SparkSpecBase {
     SparkEntry.releaseCaches(spark)
   }
 
+  test("running-moments stream converges to the batch distribution fit per type") {
+    val stream = EventsStreaming.readEvents(spark, path)
+    EventsStreaming.runToMemory(
+      EventsStreaming.runningMoments(spark, stream).toDF(), "moments_out", "append")
+    // append emits one row per (type, microbatch); the row with the
+    // max n per type is the final state
+    val finals = spark.sql(
+      """SELECT event_type, mean, std FROM (
+           SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n DESC) AS rk
+           FROM moments_out) t WHERE rk = 1""")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val batch = SparkEntry.queries("q180_value_anomalies")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(finals.keySet == batch.keySet)
+    finals.foreach { case (t, (m, sd)) =>
+      val (bm, bsd) = batch(t)
+      assert(math.abs(m - bm) <= 1e-4 + 1e-9 * math.abs(bm),
+        s"mean diverged for $t: stream $m vs batch $bm")
+      assert(math.abs(sd - bsd) <= 1e-4 + 1e-9 * math.abs(bsd),
+        s"std diverged for $t: stream $sd vs batch $bsd")
+    }
+    SparkEntry.releaseCaches(spark)
+  }
+
   test("streaming dedup keeps one row per (user, type)") {
     val stream = EventsStreaming.readEvents(spark, path)
     EventsStreaming.runToMemory(
