@@ -1620,6 +1620,91 @@ object TextQueries {
         SELECT source, n AS n_docs, s0 AS n_tokens,
           round(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE), 4) AS gini_r
         FROM g ORDER BY source"""),
-      doc = "per-source Gini coefficient of token counts: integer rank/prefix arithmetic with a single final double division — the length-concentration audit that decides token-weighted sampling")
+      doc = "per-source Gini coefficient of token counts: integer rank/prefix arithmetic with a single final double division — the length-concentration audit that decides token-weighted sampling"),
+
+    // ---- positional phrase search (q189): exact-phrase retrieval the
+    //      way an inverted index does it — per-term POSITIONAL
+    //      postings, then the classic adjacency intersection:
+    //      postings("table") ⋈ postings("hash") on
+    //      (doc_id, pos + 1 = pos). The join keys on (doc, position),
+    //      so the plan is two pruned posting scans and one equi-join —
+    //      never a scan-per-document regex pass. Per matching doc:
+    //      match count and first occurrence.
+    QueryDef(
+      "q189_phrase_search",
+      (s, d) => {
+        val pos = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "term")))
+        val t1 = pos.filter(col("term") === "table")
+          .select(col("doc_id"), col("pos").as("p1"))
+        val t2 = pos.filter(col("term") === "hash")
+          .select(col("doc_id"), (col("pos") - 1).as("p1"))
+        t1.join(t2, Seq("doc_id", "p1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("p1")).cast("int").as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH pos AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, ts[i] AS term
+          FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+            FROM documents) t, unnest(range(1, len(ts) + 1)) AS r(i)),
+        t1 AS (SELECT doc_id, pos AS p1 FROM pos WHERE term = 'table'),
+        t2 AS (SELECT doc_id, pos - 1 AS p1 FROM pos WHERE term = 'hash')
+        SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+          CAST(min(t1.p1) AS INT) AS first_pos
+        FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id AND t1.p1 = t2.p1
+        GROUP BY t1.doc_id ORDER BY t1.doc_id"""),
+      doc = "exact-phrase retrieval via positional posting intersection: per-term postings equi-joined on (doc, adjacent position) — the inverted-index phrase plan, not a per-document regex scan"),
+
+    // ---- token-yield funnel (q190): the per-source accounting of
+    //      what actually survives into training — gross tokens, after
+    //      exact dedup (first doc_id keeps per normalized fingerprint,
+    //      the q35 canonical form), after the q162 quality bar on the
+    //      dedup survivors — with the end-to-end yield ratio. q91
+    //      counts DOCS through a global funnel; a mixture planner
+    //      budgets TOKENS per source, which is this view. Stages
+    //      compose the battery's shared definitions; the dedup winner
+    //      is a fingerprint-keyed min (no self-join), and every stage
+    //      is a flag on one scanned row set so the funnel is one
+    //      aggregation wide.
+    QueryDef(
+      "q190_token_yield",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = qualityScored(s, d)
+          .join(Tables.documents(s, d)
+            .select(col("doc_id"),
+              size(split(trim(col("text")), "\\s+")).cast("long").as("nt"),
+              md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp")),
+            Seq("doc_id"))
+        val keeper = Window.partitionBy("fp").orderBy("doc_id")
+        base
+          .withColumn("is_first", (row_number().over(keeper) === 1).cast("long"))
+          .withColumn("q_ok", (col("score") >= 0.5).cast("long"))
+          .groupBy("source")
+          .agg(sum(col("nt")).as("t_gross"),
+            sum(col("nt") * col("is_first")).as("t_dedup"),
+            sum(col("nt") * col("is_first") * col("q_ok")).as("t_final"))
+          .select(col("source"), col("t_gross"), col("t_dedup"), col("t_final"),
+            round(col("t_final").cast("double") / col("t_gross"), 4).as("yield_r"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $oracleScoreCtes,
+        base AS (SELECT qscore.source AS source, qscore.doc_id AS doc_id, score,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+          FROM qscore JOIN documents ON qscore.doc_id = documents.doc_id),
+        flagged AS (SELECT source, nt,
+            CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+                 THEN 1 ELSE 0 END AS is_first,
+            CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS q_ok
+          FROM base)
+        SELECT source, CAST(sum(nt) AS BIGINT) AS t_gross,
+          CAST(sum(nt * is_first) AS BIGINT) AS t_dedup,
+          CAST(sum(nt * is_first * q_ok) AS BIGINT) AS t_final,
+          round(CAST(sum(nt * is_first * q_ok) AS DOUBLE) / sum(nt), 4) AS yield_r
+        FROM flagged GROUP BY source ORDER BY source"""),
+      doc = "per-source token-yield funnel: gross -> exact-dedup survivors (fingerprint-keyed first-keeper, no self-join) -> quality-kept, with the end-to-end yield ratio — the mixture planner's token accounting")
   )
 }
