@@ -1544,6 +1544,37 @@ object CurationQueries {
           round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)), 4) AS crit_r,
           CAST(-(m).nd > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) AS INT) AS reject
         FROM m"""),
-      doc = "two-sample Kolmogorov-Smirnov test of src0's length distribution vs the rest: exact ECDF gap over the pooled support (post-agg, value-bounded cardinality), 5% critical value and reject decision")
+      doc = "two-sample Kolmogorov-Smirnov test of src0's length distribution vs the rest: exact ECDF gap over the pooled support (post-agg, value-bounded cardinality), 5% critical value and reject decision"),
+
+    // ---- reproducible training order (q192): the dataloader's
+    //      shuffle-order manifest — every doc assigned its position
+    //      in a DETERMINISTIC global shuffle (order by the doc_id's
+    //      keyed md5, ties by id), then step and in-batch slot at a
+    //      fixed batch size of 8. Reproducible shuffling is a
+    //      training-run requirement (elastic restarts must resume the
+    //      same order); the global position comes from
+    //      [[GlobalRank.withRowIndex]] (range partition + prefix
+    //      offsets), so the manifest is buildable at any corpus size
+    //      without a single-partition window.
+    QueryDef(
+      "q192_training_order",
+      (s, d) => {
+        val h = Tables.documents(s, d)
+          .select(col("doc_id"),
+            md5(concat(lit("ord"), col("doc_id").cast("string"))).as("hk"))
+        GlobalRank.withRowIndex(h, Seq(col("hk"), col("doc_id")), "rk")
+          .select(col("doc_id"), col("rk"),
+            expr("(rk - 1) div 8").as("step"),
+            ((col("rk") - 1) % 8).as("slot"))
+          .orderBy("rk")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+            md5('ord' || CAST(doc_id AS VARCHAR)) AS hk FROM documents)
+        SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY hk, doc_id) AS BIGINT) AS rk,
+          (row_number() OVER (ORDER BY hk, doc_id) - 1) // 8 AS step,
+          (row_number() OVER (ORDER BY hk, doc_id) - 1) % 8 AS slot
+        FROM h ORDER BY rk"""),
+      doc = "deterministic dataloader shuffle manifest: keyed-md5 global order via the distributed row-index primitive, step and in-batch slot at fixed batch size — reproducible training order with no single-partition window")
   )
 }

@@ -1143,6 +1143,56 @@ object DedupQueries {
              WHERE doc_b - doc_a = 1000000) AS planted_lsh,
           (SELECT CAST(count(*) AS BIGINT) FROM snmver
              WHERE doc_b - doc_a = 1000000) AS planted_snm"""),
-      doc = "blocking-method recall study: LSH vs sorted-neighborhood verified pairs at the same Jaccard bar — overlap, exclusives, and planted-ground-truth recall per method, built from the two families' own shared definitions")
+      doc = "blocking-method recall study: LSH vs sorted-neighborhood verified pairs at the same Jaccard bar — overlap, exclusives, and planted-ground-truth recall per method, built from the two families' own shared definitions"),
+
+    // ---- cluster source-purity audit (q191): for each q77 near-dup
+    //      cluster, the SOURCE mix of its members — single-source
+    //      clusters are ordinary self-duplication, mixed clusters are
+    //      cross-source mirrors (q158's signal at cluster rather than
+    //      pair granularity). Per cluster: member count, distinct
+    //      sources, source-mix Shannon entropy (the q172 ln(n) −
+    //      Σc·lnc/n form, folded in source order), and the majority
+    //      source's share. Variants inherit their base doc's source
+    //      (id mod 1,000,000); the source dim broadcasts; everything
+    //      after CC is cluster-keyed.
+    QueryDef(
+      "q191_cluster_purity",
+      (s, d) => {
+        val edges = candidatePairsFrom(sigIndex(s, d))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val cc = ConnectedComponents.run(edges)
+        val srcDim = Tables.documents(s, d)
+          .select(col("doc_id").as("base"), col("source"))
+        val bySrc = cc
+          .select(col("cluster"), (col("node") % 1000000L).as("base"))
+          .join(broadcast(srcDim), Seq("base"))
+          .groupBy("cluster", "source").agg(count(lit(1)).as("c"))
+        bySrc.groupBy("cluster")
+          .agg(sum(col("c")).as("n"),
+            count(lit(1)).as("n_sources"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(source, c))),
+                 x -> CAST(x.c AS DOUBLE) * ln(CAST(x.c AS DOUBLE))), 0D,
+                 (a, v) -> a + v)""").as("slc"),
+            max(col("c")).as("mx"))
+          .select(col("cluster"), col("n").as("n_members"), col("n_sources"),
+            round(log(col("n").cast("double")) - col("slc") / col("n"), 4)
+              .as("entropy_r"),
+            round(col("mx").cast("double") / col("n"), 4).as("top_share_r"))
+          .orderBy("cluster")
+      },
+      Some(s"""$oracleCcCtes,
+        bysrc AS (SELECT cluster, source, count(*) AS c
+          FROM cc JOIN documents ON cc.node % 1000000 = documents.doc_id
+          GROUP BY cluster, source),
+        g AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n,
+            CAST(count(*) AS BIGINT) AS n_sources,
+            list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY source)) AS slc,
+            CAST(max(c) AS BIGINT) AS mx
+          FROM bysrc GROUP BY cluster)
+        SELECT cluster, n AS n_members, n_sources,
+          round(ln(CAST(n AS DOUBLE)) - slc / n, 4) AS entropy_r,
+          round(CAST(mx AS DOUBLE) / n, 4) AS top_share_r
+        FROM g ORDER BY cluster"""),
+      doc = "per-cluster source-mix purity over q77's components: distinct sources, source-ordered entropy fold, majority share — self-duplication vs cross-source mirroring at cluster granularity")
   )
 }
