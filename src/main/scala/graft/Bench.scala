@@ -176,7 +176,7 @@ object Bench {
     def qNum(r: BenchRow): Int = key(r).drop(1).toInt
     val familyOf: Int => String = {
       val text = Set(31, 32, 33, 34, 69, 70, 83, 88, 96, 111, 112, 115,
-        123, 125, 129, 132, 138, 139, 140, 147, 148, 154, 160, 162, 167, 172, 176, 179, 181, 182, 183, 184, 186, 187, 188, 189, 190)
+        123, 125, 129, 132, 138, 139, 140, 147, 148, 154, 160, 162, 167, 172, 176, 179, 181, 182, 183, 184, 186, 187, 188, 189, 190, 193)
       val dedup = Set(35, 36, 37, 38, 77, 85, 102, 109, 110, 113, 118,
         121, 122, 128, 144, 146, 158, 169, 173, 174, 191)
       val ann = Set(39, 40, 41, 78, 81, 94, 104, 116, 119, 126, 130, 164, 166, 185)

@@ -1705,6 +1705,91 @@ object TextQueries {
           CAST(sum(nt * is_first * q_ok) AS BIGINT) AS t_final,
           round(CAST(sum(nt * is_first * q_ok) AS DOUBLE) / sum(nt), 4) AS yield_r
         FROM flagged GROUP BY source ORDER BY source"""),
-      doc = "per-source token-yield funnel: gross -> exact-dedup survivors (fingerprint-keyed first-keeper, no self-join) -> quality-kept, with the end-to-end yield ratio — the mixture planner's token accounting")
+      doc = "per-source token-yield funnel: gross -> exact-dedup survivors (fingerprint-keyed first-keeper, no self-join) -> quality-kept, with the end-to-end yield ratio — the mixture planner's token accounting"),
+
+    // ---- bootstrap confidence interval (q193): uncertainty on each
+    //      source's mean quality score via the POISSON bootstrap —
+    //      the data-parallel bootstrap (each row's replica multiplicity
+    //      is Poisson(1), drawn independently, so no global resample
+    //      pass is needed; the standard trick for bootstrap-at-scale).
+    //      Everything is derandomized: multiplicities come from the
+    //      battery's hash-uniform inverted through the exact Poisson(1)
+    //      CDF thresholds, 20 replicas per row in one explode, replica
+    //      means fold in doc_id order, and the 90% CI is the 2nd/19th
+    //      order statistic of the ROUNDED replica means (q176 rule).
+    QueryDef(
+      "q193_bootstrap_ci",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val reps = qualityScored(s, d)
+          .withColumn("b", explode(expr("sequence(0, 19)")))
+          .withColumn("hv", expr(
+            "cast(conv(substring(md5(concat('bs', cast(b AS string), ':', cast(doc_id AS string))), 1, 8), 16, 10) as bigint)"))
+          .withColumn("u", (col("hv") + 1L) / lit(4294967297.0))
+          .withColumn("w",
+            when(col("u") < 0.3678794412, 0L)
+              .when(col("u") < 0.7357588823, 1L)
+              .when(col("u") < 0.9196986029, 2L)
+              .when(col("u") < 0.9810118431, 3L)
+              .when(col("u") < 0.9963401532, 4L)
+              .when(col("u") < 0.9994058152, 5L)
+              .otherwise(6L))
+        val means = reps.groupBy("source", "b")
+          .agg(sum(col("w")).as("sw"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(doc_id, w, score))),
+                 x -> CAST(x.w AS DOUBLE) * x.score), 0D, (a, v) -> a + v)""").as("sws"))
+          .filter(col("sw") > 0)
+          .withColumn("rm", round(col("sws") / col("sw"), 6))
+        val wr = Window.partitionBy("source").orderBy("rm", "b")
+        val ci = means
+          .withColumn("rn", row_number().over(wr))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_replicas"),
+            max(when(col("rn") === 2, col("rm"))).as("lo"),
+            max(when(col("rn") === 19, col("rm"))).as("hi"))
+        val full = qualityScored(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(doc_id, score))),
+                 x -> x.score), 0D, (a, v) -> a + v)""").as("ss"))
+          .withColumn("mean", col("ss") / col("n_docs"))
+        full.join(ci, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_replicas"),
+            round(col("mean"), 4).as("mean_r"),
+            round(col("lo"), 4).as("lo_r"), round(col("hi"), 4).as("hi_r"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $oracleScoreCtes,
+        reps AS (SELECT source, doc_id, score, b,
+            (CAST(('0x' || substr(md5('bs' || CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) + 1)
+              / 4294967297.0 AS u
+          FROM qscore, unnest(range(20)) AS r(b)),
+        wts AS (SELECT source, doc_id, score, b,
+            CASE WHEN u < 0.3678794412 THEN 0
+                 WHEN u < 0.7357588823 THEN 1
+                 WHEN u < 0.9196986029 THEN 2
+                 WHEN u < 0.9810118431 THEN 3
+                 WHEN u < 0.9963401532 THEN 4
+                 WHEN u < 0.9994058152 THEN 5
+                 ELSE 6 END AS w
+          FROM reps),
+        means AS (SELECT source, b, round(
+              list_sum(list(CAST(w AS DOUBLE) * score ORDER BY doc_id))
+                / sum(w), 6) AS rm
+          FROM wts GROUP BY source, b HAVING sum(w) > 0),
+        ranked AS (SELECT source, rm,
+            row_number() OVER (PARTITION BY source ORDER BY rm, b) AS rn
+          FROM means),
+        ci AS (SELECT source, CAST(count(*) AS BIGINT) AS n_replicas,
+            max(CASE WHEN rn = 2 THEN rm END) AS lo,
+            max(CASE WHEN rn = 19 THEN rm END) AS hi
+          FROM ranked GROUP BY source),
+        fullm AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            list_sum(list(score ORDER BY doc_id)) / count(*) AS mean
+          FROM qscore GROUP BY source)
+        SELECT fullm.source, n_docs, n_replicas,
+          round(mean, 4) AS mean_r, round(lo, 4) AS lo_r, round(hi, 4) AS hi_r
+        FROM fullm JOIN ci ON fullm.source = ci.source
+        ORDER BY fullm.source"""),
+      doc = "Poisson-bootstrap 90% CI on each source's mean quality: hash-derandomized Poisson(1) multiplicities, 20 replicas in one explode, doc_id-ordered replica-mean folds, order-statistic CI on the rounded grid — bootstrap without a global resample pass")
   )
 }
