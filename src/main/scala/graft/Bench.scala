@@ -176,12 +176,12 @@ object Bench {
     def qNum(r: BenchRow): Int = key(r).drop(1).toInt
     val familyOf: Int => String = {
       val text = Set(31, 32, 33, 34, 69, 70, 83, 88, 96, 111, 112, 115,
-        123, 125, 129, 132, 138, 139, 140, 147, 148, 154, 160, 162, 167, 172, 176, 179, 181, 182, 183, 184, 186, 187, 188, 189, 190, 193)
+        123, 125, 129, 132, 138, 139, 140, 147, 148, 154, 160, 162, 167, 172, 176, 179, 181, 182, 183, 184, 186, 187, 188, 189, 190, 193, 195)
       val dedup = Set(35, 36, 37, 38, 77, 85, 102, 109, 110, 113, 118,
         121, 122, 128, 144, 146, 158, 169, 173, 174, 191)
       val ann = Set(39, 40, 41, 78, 81, 94, 104, 116, 119, 126, 130, 164, 166, 185)
       val events = Set(42, 43, 44, 45, 46, 47, 48, 67, 108, 142, 143, 150, 151, 155, 157, 159, 161,
-        165, 170, 175, 178, 180)
+        165, 170, 175, 178, 180, 194)
       val multimodal = Set(53, 54, 55, 101, 127, 131, 133, 136, 137, 141)
       val curation = Set(84, 86, 87, 89, 90, 91, 92, 93, 95, 97, 98, 99,
         100, 103, 105, 106, 114, 117, 120, 124, 134, 135, 145, 149, 152, 153, 156,

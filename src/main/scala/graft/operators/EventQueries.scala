@@ -640,6 +640,79 @@ object EventQueries {
           -(min(struct_pack(nz := -round(abs(z), 6), event_id := event_id))).nz
             AS worst_absz_r
         FROM z GROUP BY event_type ORDER BY event_type"""),
-      doc = "per-type z-score anomaly audit: ordered-fold mean/std fit, broadcast apply, |z|>3 counts and rounded-argmax worst offender — the fit-then-apply metrics monitor")
+      doc = "per-type z-score anomaly audit: ordered-fold mean/std fit, broadcast apply, |z|>3 counts and rounded-argmax worst offender — the fit-then-apply metrics monitor"),
+
+    // ---- rate-stability audit (q194): per event_type, the hourly
+    //      arrival process's health numbers — Fano factor
+    //      (variance/mean of hourly counts; 1 = Poisson, higher =
+    //      bursty) and lag-1 autocorrelation (persistence of load) —
+    //      what a capacity planner reads before sizing watermarks and
+    //      triggers. The hour lattice is COMPLETED first (types ×
+    //      distinct hours, zero-filled): silently dropping empty
+    //      hours biases both statistics. Every Σ is an exact integer
+    //      sum of counts (order-independent — no fold idiom needed);
+    //      fp appears only in the final divisions, so both engines
+    //      agree bit-for-bit before rounding.
+    QueryDef(
+      "q194_rate_stability",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hc = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val hours = hc.select("h").distinct()
+        val types = hc.select("event_type").distinct()
+        val lattice = types.crossJoin(hours)
+          .join(hc, Seq("event_type", "h"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val w = Window.partitionBy("event_type").orderBy("h")
+        val paired = lattice.withColumn("p", lag(col("c"), 1).over(w))
+        val base = lattice.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+            sum(col("c") * col("c")).as("scc"))
+        val lagg = paired.filter(col("p").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("m"), sum(col("p")).as("sx"), sum(col("c")).as("sy"),
+            sum(col("p") * col("c")).as("sxy"),
+            sum(col("p") * col("p")).as("sxx"), sum(col("c") * col("c")).as("syy"))
+        base.join(lagg, Seq("event_type"))
+          .select(col("event_type"), col("n").as("n_hours"),
+            round(col("sc").cast("double") / col("n"), 4).as("mean_r"),
+            round((col("n") * col("scc") - col("sc") * col("sc")).cast("double") /
+              (col("n") * col("sc")).cast("double"), 4).as("fano_r"),
+            round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("m") * col("syy") - col("sy") * col("sy")).cast("double")), 4)
+              .as("lag1_r"))
+          .orderBy("event_type")
+      },
+      Some("""WITH hc AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+            count(*) AS c
+          FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        lattice AS (SELECT t.event_type, hrs.h, coalesce(hc.c, 0) AS c
+          FROM (SELECT DISTINCT event_type FROM hc) t
+          CROSS JOIN (SELECT DISTINCT h FROM hc) hrs
+          LEFT JOIN hc ON hc.event_type = t.event_type AND hc.h = hrs.h),
+        base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS scc
+          FROM lattice GROUP BY event_type),
+        paired AS (SELECT event_type, c,
+            lag(c) OVER (PARTITION BY event_type ORDER BY h) AS p
+          FROM lattice),
+        lagg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+            CAST(sum(p) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+            CAST(sum(p * c) AS BIGINT) AS sxy,
+            CAST(sum(p * p) AS BIGINT) AS sxx, CAST(sum(c * c) AS BIGINT) AS syy
+          FROM paired WHERE p IS NOT NULL GROUP BY event_type)
+        SELECT base.event_type, n AS n_hours,
+          round(CAST(sc AS DOUBLE) / n, 4) AS mean_r,
+          round(CAST(n * scc - sc * sc AS DOUBLE) / CAST(n * sc AS DOUBLE), 4) AS fano_r,
+          round(CAST(m * sxy - sx * sy AS DOUBLE) /
+            sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)), 4)
+            AS lag1_r
+        FROM base JOIN lagg ON base.event_type = lagg.event_type
+        ORDER BY base.event_type"""),
+      doc = "per-type arrival-process health: Fano factor and lag-1 autocorrelation over the ZERO-FILLED hourly lattice — exact integer sums, fp only in the final divisions; the watermark/trigger sizing read")
   )
 }

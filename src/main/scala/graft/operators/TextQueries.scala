@@ -1790,6 +1790,62 @@ object TextQueries {
           round(mean, 4) AS mean_r, round(lo, 4) AS lo_r, round(hi, 4) AS hi_r
         FROM fullm JOIN ci ON fullm.source = ci.source
         ORDER BY fullm.source"""),
-      doc = "Poisson-bootstrap 90% CI on each source's mean quality: hash-derandomized Poisson(1) multiplicities, 20 replicas in one explode, doc_id-ordered replica-mean folds, order-statistic CI on the rounded grid — bootstrap without a global resample pass")
+      doc = "Poisson-bootstrap 90% CI on each source's mean quality: hash-derandomized Poisson(1) multiplicities, 20 replicas in one explode, doc_id-ordered replica-mean folds, order-statistic CI on the rounded grid — bootstrap without a global resample pass"),
+
+    // ---- calibration reliability table (q195): is the marker-vote
+    //      labeler's CONFIDENCE honest? Confidence = winning marker
+    //      share; the table bins documents by confidence decile and
+    //      compares mean confidence to realized accuracy against the
+    //      gold lang column — the reliability diagram / ECE input,
+    //      the standard read before trusting a cheap labeler's scores
+    //      as probabilities. One scan into a ≤10-row bin agg:
+    //      accuracy and counts are integer-exact; mean confidence
+    //      folds in doc_id order; the labeler is the SAME shared
+    //      [[withLangPred]] definition q33/q160 run.
+    QueryDef(
+      "q195_calibration_bins",
+      (s, d) => {
+        val scored = withLangPred(Tables.documents(s, d))
+          .withColumn("tot",
+            col("c_en") + col("c_es") + col("c_fr") + col("c_de"))
+          .withColumn("conf",
+            when(col("tot") > 0,
+              greatest(col("c_en"), col("c_es"), col("c_fr"), col("c_de"))
+                .cast("double") / col("tot"))
+              .otherwise(0.0))
+          .withColumn("bin",
+            least(floor(col("conf") * 10).cast("int"), lit(9)))
+          .withColumn("ok",
+            (col("lang_pred") === col("lang")).cast("long"))
+        scored.groupBy("bin")
+          .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_correct"),
+            expr("""aggregate(transform(array_sort(collect_list(struct(doc_id, conf))),
+                 x -> x.conf), 0D, (a, v) -> a + v)""").as("sconf"))
+          .select(col("bin"), col("n"), col("n_correct"),
+            round(col("sconf") / col("n"), 4).as("mean_conf_r"),
+            round(col("n_correct").cast("double") / col("n"), 4).as("acc_r"),
+            round(abs(col("sconf") / col("n") -
+              col("n_correct").cast("double") / col("n")), 4).as("gap_r"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, lang, $oracleLangPredCase AS lang_pred,
+            c_en, c_es, c_fr, c_de, c_en + c_es + c_fr + c_de AS tot
+          FROM (SELECT doc_id, lang, $oracleLangCounts
+            FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ts FROM documents) t0) t),
+        conf AS (SELECT doc_id,
+            CASE WHEN tot > 0 THEN CAST(greatest(c_en, c_es, c_fr, c_de) AS DOUBLE) / tot
+                 ELSE 0.0 END AS conf,
+            CASE WHEN lang_pred = lang THEN 1 ELSE 0 END AS ok
+          FROM scored),
+        binned AS (SELECT doc_id, conf, ok,
+            least(CAST(floor(conf * 10) AS INT), 9) AS bin FROM conf)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(ok) AS BIGINT) AS n_correct,
+          round(list_sum(list(conf ORDER BY doc_id)) / count(*), 4) AS mean_conf_r,
+          round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS acc_r,
+          round(abs(list_sum(list(conf ORDER BY doc_id)) / count(*)
+            - CAST(sum(ok) AS DOUBLE) / count(*)), 4) AS gap_r
+        FROM binned GROUP BY bin ORDER BY bin"""),
+      doc = "reliability table for the shared marker-vote labeler: confidence deciles vs realized accuracy against gold labels with per-bin calibration gap — the ECE input; integer-exact accuracy, doc_id-ordered confidence folds")
   )
 }
