@@ -196,11 +196,19 @@ object CorpusStats {
     //      form. Distributed as Gram accumulation: each vector
     //      contributes its d(d+1)/2 upper-triangle products, the
     //      (i, j)-keyed agg partial-combines map-side, and the final
-    //      state is d² cells regardless of row count — the standard
-    //      scalable covariance shape. cov(i,j) = Σvᵢvⱼ/n − μᵢμⱼ with
-    //      every Σ folded in vec_id order and the means joined from a
-    //      broadcast d-row frame; −0.0 normalized (tiny negative
-    //      covariances round to signed zero in DuckDB).
+    //      state is d² cells regardless of row count. Every Σ is a
+    //      FIXED-POINT BIGINT sum (the q150/q126 pattern): products
+    //      land on a 10^9 grid via floor(p·1e9) — floor is bit-defined
+    //      on identical IEEE doubles in both engines — and the BIGINT
+    //      sum is commutative, map-side combinable, and bit-exact in
+    //      any shuffle order, so the agg buffer is O(1) per cell
+    //      (never an O(n) collect_list array). Headroom: |p| < 1 for
+    //      unit-scale embeddings → per-cell sums int64-safe to
+    //      n ≈ 9·10^9 vectors; beyond that drop the grid to 10^6 for
+    //      the same 10^3 headroom factor. cov(i,j) = Σvᵢvⱼ/n − μᵢμⱼ
+    //      with the means joined from a broadcast d-row frame; −0.0
+    //      normalized (tiny negative covariances round to signed zero
+    //      in DuckDB).
     QueryDef(
       "q185_dim_covariance",
       (s, d) => {
@@ -211,44 +219,44 @@ object CorpusStats {
           .select(col("vec_id"), posexplode(col("emb")).as(Seq("dim", "v")))
           .groupBy("dim")
           .agg(count(lit(1)).as("n"),
-            expr("""aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
-                 x -> x.v), 0D, (a, y) -> a + y)""").as("sv"))
-          .select(col("dim"), col("n"), (col("sv") / col("n")).as("mu"))
+            sum(expr("CAST(floor(v * 1e9) AS BIGINT)")).as("svq"))
+          .select(col("dim"), col("n"),
+            (col("svq").cast("double") / lit(1e9) / col("n")).as("mu"))
         val cells = e.select(col("vec_id"), explode(expr(
           """flatten(transform(sequence(0, size(emb) - 1), i ->
                transform(sequence(i, size(emb) - 1), j ->
                  struct(i AS i, j AS j,
                    element_at(emb, i + 1) * element_at(emb, j + 1) AS p))))"""))
           .as("c"))
-          .select(col("vec_id"), col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+          .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
         cells.groupBy("i", "j")
           .agg(count(lit(1)).as("n"),
-            expr("""aggregate(transform(array_sort(collect_list(struct(vec_id, p))),
-                 x -> x.p), 0D, (a, y) -> a + y)""").as("sp"))
+            sum(expr("CAST(floor(p * 1e9) AS BIGINT)")).as("spq"))
           .join(broadcast(means.select(col("dim").as("i"), col("mu").as("mi"))), Seq("i"))
           .join(broadcast(means.select(col("dim").as("j"), col("mu").as("mj"))), Seq("j"))
           .select(col("i"), col("j"), col("n"),
-            (round(col("sp") / col("n") - col("mi") * col("mj"), 6) + 0.0).as("cov_r"))
+            (round(col("spq").cast("double") / lit(1e9) / col("n") -
+              col("mi") * col("mj"), 6) + 0.0).as("cov_r"))
           .orderBy("i", "j")
       },
       Some("""WITH x AS (SELECT vec_id,
             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM embeddings),
         md AS (SELECT CAST(u.dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
-            list_sum(list(u.v ORDER BY vec_id)) / count(*) AS mu
+            CAST(sum(CAST(floor(u.v * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS mu
           FROM (SELECT vec_id, unnest(list_transform(range(len(emb)),
               i -> {'dim': i, 'v': emb[i+1]})) AS u FROM x) t
           GROUP BY u.dim),
-        cells AS (SELECT vec_id, CAST(u.i AS INT) AS i, CAST(u.j AS INT) AS j, u.p AS p
+        cells AS (SELECT CAST(u.i AS INT) AS i, CAST(u.j AS INT) AS j, u.p AS p
           FROM (SELECT vec_id, unnest(flatten(list_transform(range(len(emb)), i ->
               list_transform(range(i, len(emb)), j ->
                 {'i': i, 'j': j, 'p': emb[i+1] * emb[j+1]})))) AS u FROM x) t),
         g AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
-            list_sum(list(p ORDER BY vec_id)) AS sp
+            CAST(sum(CAST(floor(p * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / count(*) AS sp_n
           FROM cells GROUP BY i, j)
         SELECT g.i, g.j, g.n,
-          round(sp / g.n - mi.mu * mj.mu, 6) + 0.0 AS cov_r
+          round(sp_n - mi.mu * mj.mu, 6) + 0.0 AS cov_r
         FROM g JOIN md mi ON g.i = mi.dim JOIN md mj ON g.j = mj.dim
         ORDER BY g.i, g.j"""),
-      doc = "upper-triangle embedding covariance via distributed Gram accumulation: d(d+1)/2 products per vector, (i,j)-keyed map-side-combinable agg, broadcast means, vec_id-ordered folds — the PCA/whitening precursor fit")
+      doc = "upper-triangle embedding covariance via distributed Gram accumulation: d(d+1)/2 products per vector, (i,j)-keyed map-side-combinable BIGINT fixed-point agg (O(1) buffers), broadcast means — the PCA/whitening precursor fit")
   )
 }

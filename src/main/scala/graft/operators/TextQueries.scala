@@ -1229,7 +1229,11 @@ object TextQueries {
     //      source-level prefix sum — the cumulative window runs over
     //      the 20-row source frame (post-agg, source-bounded
     //      cardinality), ordered by (rounded quality desc, source)
-    //      per the q176 ulp rule.
+    //      per the q176 ulp rule. The per-source score sum is a
+    //      FIXED-POINT BIGINT sum on the 10^9 grid (floor(score·1e9);
+    //      the q150/q126 pattern): O(1) agg buffers, map-side
+    //      combinable, bit-exact in any order — int64-safe to ~9·10^9
+    //      docs per source for scores in (0,1).
     QueryDef(
       "q181_budget_allocation",
       (s, d) => {
@@ -1239,9 +1243,9 @@ object TextQueries {
           .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
         val qual = qualityScored(s, d).groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            expr("""aggregate(transform(array_sort(collect_list(struct(doc_id, score))),
-                 x -> x.score), 0D, (a, v) -> a + v)""").as("ss"))
-          .withColumn("q", round(col("ss") / col("n_docs"), 6))
+            sum(expr("CAST(floor(score * 1e9) AS BIGINT)")).as("ssq"))
+          .withColumn("q",
+            round(col("ssq").cast("double") / lit(1e9) / col("n_docs"), 6))
         val tot = bySrc.agg(sum(col("n_tokens")).as("tot"))
         val w = Window.orderBy(col("q").desc, col("source").asc)
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -1261,7 +1265,8 @@ object TextQueries {
             CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
           FROM documents GROUP BY source),
         qual AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-            round(list_sum(list(score ORDER BY doc_id)) / count(*), 6) AS q
+            round(CAST(sum(CAST(floor(score * 1e9) AS BIGINT)) AS DOUBLE)
+              / 1e9 / count(*), 6) AS q
           FROM qscore GROUP BY source),
         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM bysrc),
         g AS (SELECT bysrc.source, n_tokens, q, tot * 2 // 5 AS budget,
@@ -1438,8 +1443,11 @@ object TextQueries {
           .withColumn("rscore", round(col("score"), 6))
           .localCheckpoint()
         val cal = scored.filter(col("doc_id") % 5 === 0)
+        // ⌈(n_cal+1)/10⌉ via (n+10) div 10 — ceiling, not floor: the
+        // standard split-conformal rank (r13 advice closed the off-by-
+        // one where floor silently over-covered).
         val nc = cal.agg(count(lit(1)).as("n_cal"),
-          expr("CAST((count(1) + 1) div 10 AS BIGINT)").as("r"))
+          expr("CAST((count(1) + 10) div 10 AS BIGINT)").as("r"))
         val wg = Window.orderBy("rscore").rowsBetween(Window.unboundedPreceding, 0)
         val thr = cal.groupBy("rscore").agg(count(lit(1)).as("c"))
           .withColumn("cum", sum(col("c")).over(wg))
@@ -1462,7 +1470,7 @@ object TextQueries {
         sc AS (SELECT doc_id, source, round(score, 6) AS rscore FROM qscore),
         cal AS (SELECT * FROM sc WHERE doc_id % 5 = 0),
         nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
-            CAST((count(*) + 1) // 10 AS BIGINT) AS r FROM cal),
+            CAST((count(*) + 10) // 10 AS BIGINT) AS r FROM cal),
         cg AS (SELECT rscore, count(*) AS c FROM cal GROUP BY rscore),
         cc AS (SELECT rscore, sum(c) OVER (ORDER BY rscore
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM cg),
@@ -1525,8 +1533,13 @@ object TextQueries {
     //      length-independent. Grouped least squares is the
     //      analytics staple the battery's q167/q182 corpus fits
     //      don't cover: HERE the regression is keyed, one fit per
-    //      group, all five Σs folded in doc_id order inside a single
-    //      source-keyed agg. Signed fits round to −0.0 in DuckDB
+    //      group, all five Σs accumulated as FIXED-POINT BIGINT sums
+    //      on the 10^9 grid inside a single source-keyed agg (the
+    //      q150/q126 pattern: floor(v·1e9) per row, BIGINT sum —
+    //      O(1) buffers, map-side combinable, shuffle-order-exact;
+    //      |x²| ≲ 200 for ln-scale regressors → int64-safe to ~4·10^7
+    //      docs per source at this grid, drop to 10^6 beyond).
+    //      Signed fits round to −0.0 in DuckDB
     //      only, so every output carries the +0.0 normalization.
     QueryDef(
       "q187_grouped_regression",
@@ -1538,14 +1551,13 @@ object TextQueries {
             Seq("doc_id"))
           .select(col("source"), col("doc_id"),
             log(col("nt").cast("double")).as("x"), col("score").as("y"))
-        def fold(e: String) = expr(
-          s"""aggregate(transform(array_sort(collect_list(struct(doc_id, x, y))),
-             s -> $e), 0D, (a, v) -> a + v)""")
+        def fold(e: String) = sum(expr(s"CAST(floor(($e) * 1e9) AS BIGINT)"))
+          .cast("double") / lit(1e9)
         xy.groupBy("source")
           .agg(count(lit(1)).as("n"),
-            fold("s.x").as("sx"), fold("s.y").as("sy"),
-            fold("s.x * s.y").as("sxy"),
-            fold("s.x * s.x").as("sxx"), fold("s.y * s.y").as("syy"))
+            fold("x").as("sx"), fold("y").as("sy"),
+            fold("x * y").as("sxy"),
+            fold("x * x").as("sxx"), fold("y * y").as("syy"))
           .select(col("source"), col("n"),
             ((col("n") * col("sxy") - col("sx") * col("sy")) /
               (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
@@ -1566,11 +1578,11 @@ object TextQueries {
             score AS y
           FROM qscore JOIN documents ON qscore.doc_id = documents.doc_id),
         sums AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-            list_sum(list(x ORDER BY doc_id)) AS sx,
-            list_sum(list(y ORDER BY doc_id)) AS sy,
-            list_sum(list(x * y ORDER BY doc_id)) AS sxy,
-            list_sum(list(x * x ORDER BY doc_id)) AS sxx,
-            list_sum(list(y * y ORDER BY doc_id)) AS syy
+            CAST(sum(CAST(floor((x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sx,
+            CAST(sum(CAST(floor((y) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sy,
+            CAST(sum(CAST(floor((x * y) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sxy,
+            CAST(sum(CAST(floor((x * x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sxx,
+            CAST(sum(CAST(floor((y * y) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS syy
           FROM xy GROUP BY source),
         fit AS (SELECT source, n, sx, sy, sxy, sxx, syy,
             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM sums)
@@ -1580,7 +1592,7 @@ object TextQueries {
           round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 AS r2_r
         FROM fit ORDER BY source"""),
-      doc = "per-source OLS of quality score on ln(token count): keyed grouped regression, all sums folded in doc_id order inside one source-keyed agg — the length-artifact audit of the scorer"),
+      doc = "per-source OLS of quality score on ln(token count): keyed grouped regression, all five sums as fixed-point BIGINT accumulators inside one source-keyed agg (O(1) buffers, map-side combinable) — the length-artifact audit of the scorer"),
 
     // ---- length-inequality audit (q188): per-source Gini coefficient
     //      of token counts — the one-number concentration measure
@@ -1715,8 +1727,11 @@ object TextQueries {
     //      Everything is derandomized: multiplicities come from the
     //      battery's hash-uniform inverted through the exact Poisson(1)
     //      CDF thresholds, 20 replicas per row in one explode, replica
-    //      means fold in doc_id order, and the 90% CI is the 2nd/19th
-    //      order statistic of the ROUNDED replica means (q176 rule).
+    //      means accumulate as FIXED-POINT BIGINT sums on the 10^9
+    //      grid (floor(w·score·1e9); the q150/q126 pattern — O(1)
+    //      buffers, map-side combinable, shuffle-order-exact), and
+    //      the 90% CI is the 2nd/19th order statistic of the ROUNDED
+    //      replica means (q176 rule).
     QueryDef(
       "q193_bootstrap_ci",
       (s, d) => {
@@ -1736,10 +1751,11 @@ object TextQueries {
               .otherwise(6L))
         val means = reps.groupBy("source", "b")
           .agg(sum(col("w")).as("sw"),
-            expr("""aggregate(transform(array_sort(collect_list(struct(doc_id, w, score))),
-                 x -> CAST(x.w AS DOUBLE) * x.score), 0D, (a, v) -> a + v)""").as("sws"))
+            sum(expr("CAST(floor((CAST(w AS DOUBLE) * score) * 1e9) AS BIGINT)"))
+              .as("swsq"))
           .filter(col("sw") > 0)
-          .withColumn("rm", round(col("sws") / col("sw"), 6))
+          .withColumn("rm",
+            round(col("swsq").cast("double") / lit(1e9) / col("sw"), 6))
         val wr = Window.partitionBy("source").orderBy("rm", "b")
         val ci = means
           .withColumn("rn", row_number().over(wr))
@@ -1749,9 +1765,9 @@ object TextQueries {
             max(when(col("rn") === 19, col("rm"))).as("hi"))
         val full = qualityScored(s, d).groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
-            expr("""aggregate(transform(array_sort(collect_list(struct(doc_id, score))),
-                 x -> x.score), 0D, (a, v) -> a + v)""").as("ss"))
-          .withColumn("mean", col("ss") / col("n_docs"))
+            sum(expr("CAST(floor(score * 1e9) AS BIGINT)")).as("ssq"))
+          .withColumn("mean",
+            col("ssq").cast("double") / lit(1e9) / col("n_docs"))
         full.join(ci, Seq("source"))
           .select(col("source"), col("n_docs"), col("n_replicas"),
             round(col("mean"), 4).as("mean_r"),
@@ -1773,8 +1789,8 @@ object TextQueries {
                  ELSE 6 END AS w
           FROM reps),
         means AS (SELECT source, b, round(
-              list_sum(list(CAST(w AS DOUBLE) * score ORDER BY doc_id))
-                / sum(w), 6) AS rm
+              CAST(sum(CAST(floor((CAST(w AS DOUBLE) * score) * 1e9) AS BIGINT)) AS DOUBLE)
+                / 1e9 / sum(w), 6) AS rm
           FROM wts GROUP BY source, b HAVING sum(w) > 0),
         ranked AS (SELECT source, rm,
             row_number() OVER (PARTITION BY source ORDER BY rm, b) AS rn
@@ -1784,13 +1800,14 @@ object TextQueries {
             max(CASE WHEN rn = 19 THEN rm END) AS hi
           FROM ranked GROUP BY source),
         fullm AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-            list_sum(list(score ORDER BY doc_id)) / count(*) AS mean
+            CAST(sum(CAST(floor(score * 1e9) AS BIGINT)) AS DOUBLE)
+              / 1e9 / count(*) AS mean
           FROM qscore GROUP BY source)
         SELECT fullm.source, n_docs, n_replicas,
           round(mean, 4) AS mean_r, round(lo, 4) AS lo_r, round(hi, 4) AS hi_r
         FROM fullm JOIN ci ON fullm.source = ci.source
         ORDER BY fullm.source"""),
-      doc = "Poisson-bootstrap 90% CI on each source's mean quality: hash-derandomized Poisson(1) multiplicities, 20 replicas in one explode, doc_id-ordered replica-mean folds, order-statistic CI on the rounded grid — bootstrap without a global resample pass"),
+      doc = "Poisson-bootstrap 90% CI on each source's mean quality: hash-derandomized Poisson(1) multiplicities, 20 replicas in one explode, fixed-point BIGINT replica-mean sums (O(1) agg buffers), order-statistic CI on the rounded grid — bootstrap without a global resample pass"),
 
     // ---- calibration reliability table (q195): is the marker-vote
     //      labeler's CONFIDENCE honest? Confidence = winning marker
@@ -1799,9 +1816,10 @@ object TextQueries {
     //      gold lang column — the reliability diagram / ECE input,
     //      the standard read before trusting a cheap labeler's scores
     //      as probabilities. One scan into a ≤10-row bin agg:
-    //      accuracy and counts are integer-exact; mean confidence
-    //      folds in doc_id order; the labeler is the SAME shared
-    //      [[withLangPred]] definition q33/q160 run.
+    //      accuracy and counts are integer-exact; mean confidence is
+    //      a FIXED-POINT BIGINT sum on the 10^9 grid (floor(conf·1e9);
+    //      q150/q126 pattern — O(1) buffers, order-exact); the labeler
+    //      is the SAME shared [[withLangPred]] definition q33/q160 run.
     QueryDef(
       "q195_calibration_bins",
       (s, d) => {
@@ -1819,12 +1837,12 @@ object TextQueries {
             (col("lang_pred") === col("lang")).cast("long"))
         scored.groupBy("bin")
           .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_correct"),
-            expr("""aggregate(transform(array_sort(collect_list(struct(doc_id, conf))),
-                 x -> x.conf), 0D, (a, v) -> a + v)""").as("sconf"))
+            sum(expr("CAST(floor(conf * 1e9) AS BIGINT)")).as("sconfq"))
+          .withColumn("mc", col("sconfq").cast("double") / lit(1e9) / col("n"))
           .select(col("bin"), col("n"), col("n_correct"),
-            round(col("sconf") / col("n"), 4).as("mean_conf_r"),
+            round(col("mc"), 4).as("mean_conf_r"),
             round(col("n_correct").cast("double") / col("n"), 4).as("acc_r"),
-            round(abs(col("sconf") / col("n") -
+            round(abs(col("mc") -
               col("n_correct").cast("double") / col("n")), 4).as("gap_r"))
           .orderBy("bin")
       },
@@ -1841,11 +1859,13 @@ object TextQueries {
             least(CAST(floor(conf * 10) AS INT), 9) AS bin FROM conf)
         SELECT bin, CAST(count(*) AS BIGINT) AS n,
           CAST(sum(ok) AS BIGINT) AS n_correct,
-          round(list_sum(list(conf ORDER BY doc_id)) / count(*), 4) AS mean_conf_r,
+          round(CAST(sum(CAST(floor(conf * 1e9) AS BIGINT)) AS DOUBLE)
+            / 1e9 / count(*), 4) AS mean_conf_r,
           round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS acc_r,
-          round(abs(list_sum(list(conf ORDER BY doc_id)) / count(*)
+          round(abs(CAST(sum(CAST(floor(conf * 1e9) AS BIGINT)) AS DOUBLE)
+            / 1e9 / count(*)
             - CAST(sum(ok) AS DOUBLE) / count(*)), 4) AS gap_r
         FROM binned GROUP BY bin ORDER BY bin"""),
-      doc = "reliability table for the shared marker-vote labeler: confidence deciles vs realized accuracy against gold labels with per-bin calibration gap — the ECE input; integer-exact accuracy, doc_id-ordered confidence folds")
+      doc = "reliability table for the shared marker-vote labeler: confidence deciles vs realized accuracy against gold labels with per-bin calibration gap — the ECE input; integer-exact accuracy, fixed-point BIGINT confidence sums")
   )
 }

@@ -471,6 +471,25 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q181/q185/q187/q193/q195: statistics sums are fixed-point BIGINT " +
+      "partial aggs — O(1) buffers, no collect_list in any agg") {
+    // r13 verdict item 1: the ordered collect_list fold had an O(group
+    // size) aggregation buffer (the whole group as one array in the agg
+    // state) — correct at sf0.1, an executor-memory kill at 100×. The
+    // fixed-point BIGINT form (floor(v·1e9) per row, plain sum) keeps
+    // the buffer one long per cell AND partial-combines map-side.
+    val stats = Seq("q181_budget_allocation", "q185_dim_covariance",
+      "q187_grouped_regression", "q193_bootstrap_ci", "q195_calibration_bins")
+    for (name <- stats) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect() // finalize AQE so the executed stages are real
+      val plan = df.queryExecution.executedPlan.toString
+      SparkEntry.releaseCaches(spark)
+      assert(!plan.contains("collect_list"), s"$name still buffers a group array:\n$plan")
+      assert(plan.contains("partial_sum"), s"$name lost map-side combine:\n$plan")
+    }
+  }
+
   test("no query in the battery plans a non-broadcast cartesian product") {
     // the blanket 100 TB invariant: a CartesianProduct materializes
     // |L|×|R| with NO bounded build side — at scale that's a dead job
