@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -357,16 +358,45 @@ object AnalyticsQueries {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")),
 
-    // ---- approximate distinct (HLL) — engine-specific sketch, so the
-    //      driver records the weaker rows-only check; exact twin is q20
+    // ---- approximate distinct (HLL) — an engine-specific sketch can
+    //      never hash-match a DuckDB oracle NUMERICALLY, so the query
+    //      verifies the sketch against its own exact twin and outputs
+    //      the exact counts plus within-3×rsd BOOLEANS: the oracle
+    //      computes the exact counts and asserts TRUE — if Spark's
+    //      HLL++ ever drifted outside its error contract the boolean
+    //      flips and the row hash-fails. Full correctness gate, no
+    //      sketch portability pretended (r13 verdict item 7); the
+    //      numeric error magnitudes stay pinned by ApproxQualitySpec
+    //      over [[approxDistinct]].
     QueryDef(
       "q66_approx_distinct",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-             approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
-        .orderBy("l_returnflag"),
-      None,
-      doc = "HLL++ sketches; the at-scale form of the A3 distinct-set report")
+      (s, d) => {
+        val exact = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+               countDistinct(col("l_suppkey")).as("n_supps"))
+        approxDistinct(s, d).join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+            (abs(col("approx_parts") - col("n_parts")).cast("double") /
+              col("n_parts") <= 3 * 0.05).as("parts_within_3rsd"),
+            (abs(col("approx_supps") - col("n_supps")).cast("double") /
+              col("n_supps") <= 3 * 0.01).as("supps_within_3rsd"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps,
+        TRUE AS parts_within_3rsd,
+        TRUE AS supps_within_3rsd
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      doc = "HLL++ sketches self-verified against their exact twin: exact counts oracled, within-3x-rsd booleans the oracle asserts TRUE — the at-scale form of the A3 distinct-set report with a hash-checkable error contract")
   )
+
+  /** q66's raw HLL++ frame (l_returnflag, approx_parts, approx_supps) —
+    * shared with ApproxQualitySpec's numeric error pin. */
+  private[graft] def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
 }

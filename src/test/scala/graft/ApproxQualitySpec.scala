@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   */
 class ApproxQualitySpec extends SparkSpecBase {
 
-  /** relative-error ceiling = 3× the sketch's configured rsd */
+  /** relative-error ceiling = 3× the sketch's configured rsd.
+    * Uses [[operators.AnalyticsQueries.approxDistinct]] — q66's raw
+    * HLL frame — because q66 itself now outputs only the exact counts
+    * plus oracle-asserted within-bound booleans (hash-green), keeping
+    * the numeric error magnitude pinned HERE. */
   private def check(sf: String): Unit = {
-    val approx = SparkEntry.queries("q66_approx_distinct")(spark, sf)
+    val approx = operators.AnalyticsQueries.approxDistinct(spark, sf)
     val exact = SparkEntry.queries("q20_distinct_counts")(spark, sf)
     val rows = approx.join(exact, "l_returnflag")
       .select(
