@@ -71,8 +71,18 @@ object BoardPipeline {
     (p.title, p.desc, p.amount.orNull)
   }
 
-  private val taskTypeUdf = udf((n: String) =>
-    TrelloTransforms.taskType(Option(n).getOrElse("")))
+  /** [[TrelloTransforms.taskType]] as builtin expressions (r13 verdict
+    * item 6 — one fewer UDF): Java's replaceFirst("\\s*Tasks?\\s*", "")
+    * becomes ONE anchored reluctant-prefix regex — `(?s)` so a
+    * multiline name behaves exactly like the \s-crossing replaceFirst,
+    * `(.*?)` keeping the match leftmost — and a no-match passes the
+    * name through unchanged, same as replaceFirst. Null coalesces to
+    * "" first, matching the UDF's Option(n).getOrElse(""). */
+  private def taskTypeCol(n: Column): Column =
+    concat(
+      regexp_replace(coalesce(n, lit("")),
+        "(?s)^(.*?)\\s*Tasks?\\s*(.*)$", "$1$2"),
+      lit(" Task"))
 
   /** Card derivation (P3/P4/P8/P9 + J1/J3/J7): active cards with
     * card_type, card_status, custom field names, sorted default-filled
@@ -157,7 +167,7 @@ object BoardPipeline {
         col("state"), col("pos"),
         col("parsed._1").as("title"), col("parsed._2").as("desc"),
         col("parsed._3").cast("decimal(12,4)").as("amount"),
-        taskTypeUdf(col("checklist_name")).as("task_type"),
+        taskTypeCol(col("checklist_name")).as("task_type"),
         when(col("idMember").isNull, lit("!Assigned")) // P8 default
           .otherwise(col("assignee_name")).as("assignee"))
   }
