@@ -159,7 +159,11 @@ object EventsStreaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) => {
           var st = state.getOption.getOrElse(FunnelState(userId, None, None, None))
-          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          // full-precision order (getTime truncates micros — see
+          // intervalRuns): floor-second + nanos is monotone in ts
+          batch.toSeq
+            .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos, e.event_id))
+            .foreach { e =>
             e.event_type match {
               case "view" if st.t1.isEmpty =>
                 st = st.copy(t1 = Some(e.ts))
@@ -205,7 +209,14 @@ object EventsStreaming {
         (userId: Long, batch: Iterator[Event], state: GroupState[RunState]) => {
           val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedRun]
           var st = state.getOption.orNull
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // Full-precision event-time order: Timestamp.getTime truncates
+          // to millis while events carry micros, so two same-user events
+          // inside one millisecond could segment runs differently from
+          // the batch q159 ledger (which orders by full-precision ts).
+          // getNanos carries the sub-second part exactly (r13 advice).
+          batch.toSeq
+            .sortBy(e => (Math.floorDiv(e.ts.getTime, 1000L), e.ts.getNanos, e.event_id))
+            .foreach { e =>
             if (st == null) {
               st = RunState(userId, e.event_type, e.ts, e.event_id, 1L)
             } else if (st.event_type == e.event_type) {
