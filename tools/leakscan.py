@@ -97,7 +97,18 @@ def hit_ok(probe, match):
 
 
 def main():
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    # Round resolution (r13 advice: the self-scan stamped round 0 and the
+    # driver's artifact overwrite then dropped the metadata entirely):
+    # argv wins, then GRAFT_ROUND, else infer from the newest committed
+    # CORRECTNESS_r{N}.json + 1 — never silently 0.
+    if len(sys.argv) > 1:
+        rnd = int(sys.argv[1])
+    elif os.environ.get("GRAFT_ROUND"):
+        rnd = int(os.environ["GRAFT_ROUND"])
+    else:
+        prior = [int(m.group(1)) for n in os.listdir(ROOT)
+                 for m in [re.match(r"CORRECTNESS_r(\d+)\.json$", n)] if m]
+        rnd = max(prior) + 1 if prior else 0
     hits = {k: [] for k in PROBES}
     n_files = 0
     for path in iter_files():
@@ -124,11 +135,14 @@ def main():
         "n_hits": sum(len(v) for v in hits.values()),
         "hits": hits,
     }
-    with open(os.path.join(ROOT, "LEAKCHECK.json"), "w") as f:
+    # LEAKCHECK_SELF.json is the builder's durable artifact — the driver
+    # overwrites LEAKCHECK.json at round close, so the self-scan keeps
+    # its own file and both survive a round (r13 verdict item 5).
+    with open(os.path.join(ROOT, "LEAKCHECK_SELF.json"), "w") as f:
         json.dump(out, f, indent=2)
         f.write("\n")
     print(f"leakscan: {n_files} files, {out['n_hits']} hits "
-          f"({out['scanned_at']}, {PROBE_VERSION})")
+          f"({out['scanned_at']}, {PROBE_VERSION}) -> LEAKCHECK_SELF.json")
 
 
 if __name__ == "__main__":
