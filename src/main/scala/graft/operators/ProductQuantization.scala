@@ -53,28 +53,58 @@ object ProductQuantization {
   // IntVectorFunctions (int_sqdist / pq_code); the oracle's SQL twin
   // of the distance is inlined in oracleSql's `sq` template.
 
+  /** The corpus per-dim (mins, maxs) as ONE broadcastable row — the
+    * quantizer parameters a serving tier ships to its edges. */
+  private[graft] def gridStats(e: DataFrame): DataFrame =
+    e.select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mins"),
+        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("maxs"))
+
+  /** Apply the [0,255] per-dim quantizer to (vec_id, emb) rows under
+    * broadcast stats — the SAME expression for the corpus build and
+    * for arriving query vectors ([[graft.streaming.AnnServeStream]]). */
+  private[graft] def applyGrid(vecs: DataFrame, stats: DataFrame): DataFrame = {
+    val q8 = "transform(sequence(0, size(emb) - 1), i -> CAST(CASE " +
+      "WHEN maxs[i] > mins[i] THEN round((emb[i] - mins[i]) / (maxs[i] - mins[i]) * 255) " +
+      "ELSE 0 END AS INT))"
+    vecs.crossJoin(broadcast(stats)).select(col("vec_id"), expr(q8).as("qv"))
+  }
+
   /** q94's per-dim [0,255] integer grid: (vec_id, qv: array<int>). */
   private[graft] def intGrid(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val stats = e.select(posexplode(col("emb")).as(Seq("dim", "v")))
-      .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").as("mins"),
-        expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").as("maxs"))
-    val q8 = "transform(sequence(0, size(emb) - 1), i -> CAST(CASE " +
-      "WHEN maxs[i] > mins[i] THEN round((emb[i] - mins[i]) / (maxs[i] - mins[i]) * 255) " +
-      "ELSE 0 END AS INT))"
-    e.crossJoin(broadcast(stats)).select(col("vec_id"), expr(q8).as("qv"))
+    applyGrid(e, gridStats(e))
   }
 
-  /** The full PQ round-trip: encode, ADC top-k, exact-integer-L2
-    * recall audit. Output: one row per (probe, ADC rank). */
-  private[graft] def pqSearch(s: SparkSession, d: String): DataFrame = {
+  /** The m-subvector split of a gridded vector column named `qv` —
+    * ONE definition shared by the index build and the serving path
+    * (batch probes and streaming micro-batches derive bit-identical
+    * subvectors by construction). */
+  private[graft] val SubSplitExpr: String =
+    s"transform(sequence(0, ${M - 1}), j -> struct(j AS j, slice(qv, j * $SubDim + 1, $SubDim) AS sub))"
+
+  /** The static PQ serving index — what a production vector store
+    * persists and every searcher (batch q126 OR a streaming
+    * micro-batch, [[graft.streaming.AnnServeStream]]) probes:
+    * `grid` is the int-grid fetch tier for exact re-rank, `cw` the
+    * m×256 codebook, `codes` the byte codes (m rows per vector),
+    * `stats` the 1-row quantizer parameters arriving RAW query
+    * vectors pass through ([[applyGrid]]) before probing. */
+  final case class PqIndex(grid: DataFrame, cw: DataFrame, codes: DataFrame,
+      stats: DataFrame)
+
+  /** Build [[PqIndex]] once from the corpus (pinned via
+    * localCheckpoint — the parquet-persisted form in production). */
+  private[graft] def buildIndex(s: SparkSession, d: String): PqIndex = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val stats = gridStats(e).localCheckpoint()
     // grid / subvectors materialized once: encode, LUT, and the exact
     // audit all read the stored blocks (production stores the codes)
-    val grid = intGrid(s, d).localCheckpoint()
-    val subs = grid.select(col("vec_id"), explode(expr(
-      s"transform(sequence(0, ${M - 1}), j -> struct(j AS j, slice(qv, j * $SubDim + 1, $SubDim) AS sub))")).as("x"))
+    val grid = applyGrid(e, stats).localCheckpoint()
+    val subs = grid.select(col("vec_id"), explode(expr(SubSplitExpr)).as("x"))
       .select(col("vec_id"), col("x.j").as("j"), col("x.sub").as("sub"))
       .localCheckpoint()
     val cw = subs.filter(col("vec_id") < CodebookSize)
@@ -99,41 +129,60 @@ object ProductQuantization {
         graft.functions.IntVectorFunctions.pq_code(col("sub"), col("cbflat")) + 1))
       .select(col("vec_id"), col("j"), col("code"))
       .localCheckpoint()
+    PqIndex(grid, cw, codes, stats)
+  }
+
+  /** Serve a frame of gridded queries (query_id, qv) against a static
+    * [[PqIndex]]: per-query LUT, ADC equi-join shortlist, exact
+    * integer re-rank. Output: (query_id, rank, vec_id, adc_dist, l2),
+    * rank ≤ K. This is THE serving path — q126 calls it for its batch
+    * probes, [[graft.streaming.AnnServeStream]] calls it per
+    * micro-batch, so stream/batch agreement is by construction. */
+  private[graft] def serve(queries: DataFrame, idx: PqIndex): DataFrame = {
     // per-probe ADC lookup table: (query, subspace, codeword) partials
-    val lut = subs.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("j"), col("sub").as("qsub"))
-      .join(broadcast(cw), Seq("j"))
+    val lut = queries.select(col("query_id"), explode(expr(SubSplitExpr)).as("x"))
+      .select(col("query_id"), col("x.j").as("j"), col("x.sub").as("qsub"))
+      .join(broadcast(idx.cw), Seq("j"))
       .select(col("query_id"), col("j"), col("cw_id"),
         graft.functions.IntVectorFunctions.int_sqdist(col("qsub"), col("cwv")).as("pd"))
     // ADC: codes ⋈ LUT on (subspace, code) — the byte-tier search
-    val adc = codes.join(broadcast(lut),
-        codes("j") === lut("j") && codes("code") === lut("cw_id") &&
-          codes("vec_id") =!= lut("query_id"))
-      .groupBy(col("query_id"), codes("vec_id").as("vec_id"))
+    val adc = idx.codes.join(broadcast(lut),
+        idx.codes("j") === lut("j") && idx.codes("code") === lut("cw_id") &&
+          idx.codes("vec_id") =!= lut("query_id"))
+      .groupBy(col("query_id"), idx.codes("vec_id").as("vec_id"))
       .agg(sum(col("pd")).as("adc_dist"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
     val shortlist = adc.withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= Shortlist)
-    val probes = grid.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("qv").as("pqv"))
     // re-rank: fetch ONLY the shortlisted vectors (equi-join on
     // vec_id — at scale a point-lookup tier), exact integer L2
     val wRr = Window.partitionBy(col("query_id"))
       .orderBy(col("l2").asc, col("vec_id").asc)
-    val reranked = shortlist
-      .join(grid, Seq("vec_id"))
-      .join(broadcast(probes), Seq("query_id"))
+    shortlist
+      .join(idx.grid, Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv").as("pqv"))),
+        Seq("query_id"))
       .withColumn("l2",
         graft.functions.IntVectorFunctions.int_sqdist(col("pqv"), col("qv")))
       .withColumn("rank", row_number().over(wRr))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("vec_id"),
         col("adc_dist"), col("l2"))
+  }
+
+  /** The full PQ round-trip: encode, ADC top-k, exact-integer-L2
+    * recall audit. Output: one row per (probe, ADC rank). */
+  private[graft] def pqSearch(s: SparkSession, d: String): DataFrame = {
+    val idx = buildIndex(s, d)
+    val probes = idx.grid.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("pqv"))
+    val reranked = serve(
+      probes.select(col("query_id"), col("pqv").as("qv")), idx)
     // exact ground truth on the SAME integer grid (the metric ADC
     // approximates), probes broadcast over the stored grid — the audit
     val exact = broadcast(probes)
-      .join(grid, col("vec_id") =!= col("query_id"))
+      .join(idx.grid, col("vec_id") =!= col("query_id"))
       .withColumn("l2",
         graft.functions.IntVectorFunctions.int_sqdist(col("pqv"), col("qv")))
     val wEx = Window.partitionBy(col("query_id"))
