@@ -15,12 +15,13 @@ class ContractSpec extends SparkSpecBase {
     assert(prefixes.distinct.size == prefixes.size, "duplicate qNN prefix")
   }
 
-  test("the battery is fully gated: only the one documented rows-only query lacks an oracle") {
-    // q66 is approximate (HLL) by nature — hash-match impossible; its
-    // error is pinned by ApproxQualitySpec instead
+  test("the battery is fully gated: every query has a DuckDB oracle") {
+    // q66 (HLL) was the last rows-only query; since r14 it outputs
+    // exact-twin counts plus oracle-asserted within-bound booleans, so
+    // the estimate's contract is hash-gated too (magnitude still
+    // pinned by ApproxQualitySpec). Nothing ships ungated.
     val unoracled = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name).sorted
-    assert(unoracled == Seq("q66_approx_distinct"),
-      s"unexpected rows-only queries: $unoracled")
+    assert(unoracled.isEmpty, s"unexpected rows-only queries: $unoracled")
   }
 
   test("every oracle orders its rows (deterministic row order)") {

@@ -81,6 +81,10 @@ class PlanSnapshotSpec extends SparkSpecBase {
       // pinned property, not the counter
       .replaceAll("\\*\\(\\d+\\)", "*(x)")
       .replaceAll("SQLExecutionRDD\\[\\d+\\]", "SQLExecutionRDD[x]")
+      // a literal array rendered as its JVM object (e.g. the constant
+      // sequence(0, m-1) inside the shared subvector-split transform)
+      // prints an identity hash that differs every run
+      .replaceAll("@[0-9a-f]{6,}", "@x")
       .replaceAll("\\[\\d+\\] at \\w+ at [^,\\]]*", "[x]")
       .replaceAll("file:[^,\\]\\s]+", "PATH")
       .replaceAll("/root/testdata[^,\\]\\s]*", "PATH")
