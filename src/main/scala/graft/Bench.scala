@@ -74,7 +74,16 @@ object Bench {
     // queries (after the query's passes); default 1 keeps the historic
     // per-pass behavior so minima stay comparable across rounds.
     val gcEvery = math.max(1, sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "1").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+    // Focused A/B filter (comma-separated qNN prefixes or full names;
+    // the driver never sets this): times ONLY the named queries, for
+    // adjudicating one family's drift with many passes without a
+    // 195-query sweep around it. Totals from a filtered run are
+    // partial by construction — never comparable to a full sweep.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(o => o.contains(n) || o.contains(n.takeWhile(_ != '_')))
+    }
+    val results = selected.zipWithIndex.map {
       case ((name, fn), qi) =>
       val times = (1 to passes).map { _ =>
         val gc0 = gcMillis
