@@ -47,7 +47,8 @@ object SparkEntry {
       operators.PageRank.defs ++
       operators.LabelPropagation.defs ++
       operators.TriangleCount.defs ++
-      operators.CorpusStats.defs
+      operators.CorpusStats.defs ++
+      operators.AuditQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,290 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-health audit tier, round 14: sketch self-verification (the
+  * q66 pattern generalized to quantile sketches), asymmetric
+  * containment dedup (quote/subset detection — the direction Jaccard
+  * can't see), and two lexical cross-source health matrices
+  * (vocabulary overlap, unigram-distribution drift). Every query is
+  * hash-oracled; sketch outputs follow the q66 rule — exact values
+  * oracled, the approximation's error contract asserted as an
+  * oracle-TRUE boolean so drift outside the bound hash-fails.
+  */
+object AuditQueries {
+
+  /** Top-V vocabulary size for the drift lattice (q199): fixed, so the
+    * per-source lattice is sources×V regardless of corpus scale. */
+  private val DriftVocab = 500
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- quantile-sketch audit (q196): per-source token-count
+    //      quartiles through percentile_approx (the GK sketch — the
+    //      only per-group quantile a 100 TB group can afford; q99's
+    //      exact equi-depth is the full-sort form) SELF-VERIFIED
+    //      against the exact order statistics: the exact quartiles
+    //      come from the grid-cumsum pattern (q183/q184 — value-
+    //      grouped counts, cumulative window over the value grid,
+    //      never a row-scale sort-limit), and each sketch value must
+    //      land inside the GK rank window [p·n − n/acc − 1,
+    //      p·n + n/acc + 1] mapped back to values. The oracle computes
+    //      the exact quartiles and asserts the window booleans TRUE —
+    //      a sketch outside its own guarantee hash-fails the row
+    //      (the q66 rule; magnitudes pinned in ApproxQualitySpec's
+    //      percentile tests).
+    QueryDef(
+      "q196_quantile_sketch_audit",
+      (s, d) => {
+        val nt = Tables.documents(s, d)
+          .select(col("source"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+        val grp = nt.groupBy("source", "nt").agg(count(lit(1)).as("c"))
+        val tot = nt.groupBy("source").agg(count(lit(1)).as("n"))
+        val wc = Window.partitionBy("source").orderBy("nt")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = grp.withColumn("cum", sum(col("c")).over(wc))
+          .join(broadcast(tot), Seq("source"))
+        def atRank(r: org.apache.spark.sql.Column) =
+          min(when(col("cum") >= r, col("nt")))
+        def exactQ(p: Double) = atRank(ceil(lit(p) * col("n")))
+        // GK guarantee: rank error <= n/accuracy; bracket by one extra
+        // rank each side so a tie-convention difference can't flap
+        def lo(p: Double) = atRank(greatest(lit(1.0),
+          floor(lit(p) * col("n") - col("n") / lit(10000.0) - lit(1.0))))
+        def hi(p: Double) = atRank(least(col("n").cast("double"),
+          ceil(lit(p) * col("n") + col("n") / lit(10000.0) + lit(1.0))))
+        val exact = cum.groupBy("source").agg(
+          max(col("n")).as("n_docs"),
+          exactQ(0.25).as("p25"), exactQ(0.5).as("p50"), exactQ(0.75).as("p75"),
+          lo(0.25).as("lo25"), hi(0.25).as("hi25"),
+          lo(0.5).as("lo50"), hi(0.5).as("hi50"),
+          lo(0.75).as("lo75"), hi(0.75).as("hi75"))
+        val approx = nt.groupBy("source").agg(
+          expr("percentile_approx(nt, array(0.25D, 0.5D, 0.75D), 10000)").as("ap"))
+        exact.join(approx, Seq("source"))
+          .select(col("source"), col("n_docs"),
+            col("p25"), col("p50"), col("p75"),
+            (element_at(col("ap"), 1).between(col("lo25"), col("hi25")))
+              .as("ok25"),
+            (element_at(col("ap"), 2).between(col("lo50"), col("hi50")))
+              .as("ok50"),
+            (element_at(col("ap"), 3).between(col("lo75"), col("hi75")))
+              .as("ok75"))
+          .orderBy("source")
+      },
+      Some("""WITH nt AS (SELECT source,
+            CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+          FROM documents),
+        g AS (SELECT source, nt, count(*) AS c FROM nt GROUP BY source, nt),
+        t AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM nt GROUP BY source),
+        cum AS (SELECT g.source AS source, nt,
+            sum(c) OVER (PARTITION BY g.source ORDER BY nt
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, n
+          FROM g JOIN t ON g.source = t.source)
+        SELECT source, max(n) AS n_docs,
+          min(CASE WHEN cum >= ceil(0.25 * n) THEN nt END) AS p25,
+          min(CASE WHEN cum >= ceil(0.5 * n) THEN nt END) AS p50,
+          min(CASE WHEN cum >= ceil(0.75 * n) THEN nt END) AS p75,
+          TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+        FROM cum GROUP BY source ORDER BY source"""),
+      doc = "per-source token-count quartiles via the GK sketch, self-verified: exact grid-cumsum order statistics oracled, sketch values asserted inside their own rank-error window as oracle-TRUE booleans — the q66 rule for quantiles"),
+
+    // ---- containment near-dup pairs (q197): the ASYMMETRIC dedup
+    //      direction Jaccard misses — a short doc quoted inside a long
+    //      one has containment(short→long) ≈ 1 but Jaccard ≈
+    //      |short|/|long|, so a Jaccard-gated pipeline (q37) keeps
+    //      both copies. Planted structure: each doc's first-half-token
+    //      "quote" joins the corpus at doc_id + 2,000,000. Candidates
+    //      come from the SAME MinHash band join as the q35 family
+    //      (shuffle-once equi on the band key — subset pairs at
+    //      J ≈ 0.5 collide at the honest union-of-bands rate, which
+    //      both engines reproduce bit-identically); exact shingle
+    //      intersection then scores BOTH containment directions on
+    //      candidates only, and the asym_quote flag marks
+    //      high-containment/low-Jaccard pairs — the review feed a
+    //      quote-aware dedup acts on.
+    QueryDef(
+      "q197_containment_pairs",
+      (s, d) => {
+        val quotes = Tables.documents(s, d)
+          .withColumn("ts", split(trim(col("text")), "\\s+"))
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            array_join(slice(col("ts"), lit(1),
+              greatest(lit(3), (size(col("ts")) / 2))), " ").as("text"))
+        val corpus = DedupQueries.originalDocs(s, d).unionByName(quotes)
+        val sets = DedupQueries.shingleSetsOf(corpus).localCheckpoint()
+        val pairs = DedupQueries.candidatePairsFrom(
+          DedupQueries.minhashFrom(sets).localCheckpoint())
+        pairs
+          .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+          .withColumn("c_ab", col("inter").cast("double") / size(col("sa")))
+          .withColumn("c_ba", col("inter").cast("double") / size(col("sb")))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(greatest(col("c_ab"), col("c_ba")) >= 0.5)
+          .select(col("doc_a"), col("doc_b"), col("inter"),
+            round(col("jaccard"), 4).as("jaccard_r"),
+            round(col("c_ab"), 4).as("c_ab_r"),
+            round(col("c_ba"), 4).as("c_ba_r"),
+            (greatest(col("c_ab"), col("c_ba")) >= 0.8 && col("jaccard") < 0.6)
+              .cast("int").as("asym_quote"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val inter = DedupQueries.oracleInterExpr
+        s"""${DedupQueries.oracleBandsCteFor(
+          """
+        SELECT doc_id, trim(text) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+            greatest(3, len(string_split_regex(trim(text), '\s+')) // 2)), ' ')
+        FROM documents""")},
+        ${DedupQueries.oracleSetsCteShared},
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        scored AS (SELECT doc_a, doc_b,
+            CAST($inter AS BIGINT) AS inter,
+            CAST($inter AS DOUBLE) / (len(sa.sd) + len(sb.sd) - $inter) AS jaccard,
+            CAST($inter AS DOUBLE) / len(sa.sd) AS c_ab,
+            CAST($inter AS DOUBLE) / len(sb.sd) AS c_ba
+          FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+                    JOIN sets sb ON cand.doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, inter,
+          round(jaccard, 4) AS jaccard_r,
+          round(c_ab, 4) AS c_ab_r, round(c_ba, 4) AS c_ba_r,
+          CAST(CASE WHEN greatest(c_ab, c_ba) >= 0.8 AND jaccard < 0.6
+            THEN 1 ELSE 0 END AS INT) AS asym_quote
+        FROM scored WHERE greatest(c_ab, c_ba) >= 0.5
+        ORDER BY doc_a, doc_b"""
+      },
+      doc = "asymmetric containment scoring over MinHash band candidates on a planted quote corpus: both containment directions + Jaccard from one exact shingle intersection, asym_quote flags high-containment/low-Jaccard pairs — the quote/subset dedup direction Jaccard-gated pipelines miss"),
+
+    // ---- vocabulary overlap matrix (q198): |V_a ∩ V_b| Jaccard and
+    //      containment over per-source DISTINCT vocabularies — the
+    //      lexical companion to q158's doc-level provenance matrix
+    //      ("do these feeds even speak the same words?" — a mirror
+    //      source shows high vocab containment before any doc-level
+    //      dedup runs). Shape: one (source, term) distinct frame,
+    //      term-keyed self-join (per-term fan-out bounded by sources²,
+    //      NEVER docs²), sources²-sized pair agg, vocabulary sizes
+    //      broadcast back — nothing rescans text after the first
+    //      distinct.
+    QueryDef(
+      "q198_vocab_overlap_matrix",
+      (s, d) => {
+        val vt = Tables.documents(s, d)
+          .select(col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+          .filter(col("t") =!= "")
+          .distinct()
+        val vsize = vt.groupBy("source").agg(count(lit(1)).as("v"))
+        vt.select(col("source").as("src_a"), col("t"))
+          .join(vt.select(col("source").as("src_b"), col("t")), Seq("t"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+          .join(broadcast(vsize.select(col("source").as("src_a"), col("v").as("va"))),
+            Seq("src_a"))
+          .join(broadcast(vsize.select(col("source").as("src_b"), col("v").as("vb"))),
+            Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("inter"), col("va"), col("vb"),
+            round(col("inter").cast("double") /
+              (col("va") + col("vb") - col("inter")), 4).as("jaccard_r"),
+            round(col("inter").cast("double") / least(col("va"), col("vb")), 4)
+              .as("containment_r"))
+          .orderBy("src_a", "src_b")
+      },
+      Some("""WITH vt AS (SELECT DISTINCT source, t
+          FROM (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+            FROM documents) u WHERE t <> ''),
+        vs AS (SELECT source, CAST(count(*) AS BIGINT) AS v FROM vt GROUP BY source),
+        pr AS (SELECT a.source AS src_a, b.source AS src_b,
+            CAST(count(*) AS BIGINT) AS inter
+          FROM vt a JOIN vt b ON a.t = b.t AND a.source < b.source
+          GROUP BY a.source, b.source)
+        SELECT src_a, src_b, inter, va.v AS va, vb.v AS vb,
+          round(CAST(inter AS DOUBLE) / (va.v + vb.v - inter), 4) AS jaccard_r,
+          round(CAST(inter AS DOUBLE) / least(va.v, vb.v), 4) AS containment_r
+        FROM pr JOIN vs va ON pr.src_a = va.source
+                JOIN vs vb ON pr.src_b = vb.source
+        ORDER BY src_a, src_b"""),
+      doc = "per-source-pair vocabulary Jaccard + containment via one term-keyed distinct self-join (fan-out bounded by sources^2 per term) — the lexical mirror-detection companion to the doc-level provenance matrix"),
+
+    // ---- unigram-distribution drift (q199): per-source Hellinger
+    //      distance to the corpus unigram distribution over the fixed
+    //      top-V vocabulary head — q168's PSI watches the LENGTH
+    //      shape, this watches the LEXICAL shape (topic/template
+    //      drift that leaves lengths untouched). Top-V via
+    //      TakeOrderedAndProject (parallel partial top-k — the q93
+    //      rule, no single-partition vocabulary sort); the
+    //      sources×V lattice is fixed-size at any corpus scale;
+    //      +0.5 add-smoothing defines empty cells; and the
+    //      Bhattacharyya fold is a FIXED-POINT BIGINT sum
+    //      (floor(sqrt(p·q)·1e9) — sqrt/division are IEEE-identical
+    //      in both engines, the sum order-free), per the round-14
+    //      statistics rule. H = sqrt(1 − BC).
+    QueryDef(
+      "q199_unigram_hellinger",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+          .filter(col("t") =!= "")
+        val vocab = tok.groupBy("t").agg(count(lit(1)).as("gc"))
+          .orderBy(col("gc").desc, col("t").asc).limit(DriftVocab)
+        val sc = tok.join(broadcast(vocab.select("t")), Seq("t"))
+          .groupBy("source", "t").agg(count(lit(1)).as("c"))
+        val stot = sc.groupBy("source")
+          .agg(sum(col("c")).as("cs"), count(lit(1)).as("present"))
+        val gtot = vocab.agg(sum(col("gc")).as("g"))
+        stot.crossJoin(broadcast(vocab))
+          .join(sc, Seq("source", "t"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .crossJoin(broadcast(gtot))
+          .withColumn("p",
+            (col("c") + lit(0.5)) / (col("cs") + lit(DriftVocab / 2.0)))
+          .withColumn("q",
+            (col("gc") + lit(0.5)) / (col("g") + lit(DriftVocab / 2.0)))
+          .withColumn("bq", expr("CAST(floor(sqrt(p * q) * 1e9) AS BIGINT)"))
+          .groupBy("source")
+          .agg(max(col("present")).as("n_vocab_present"), sum(col("bq")).as("bcq"))
+          .withColumn("bc", col("bcq").cast("double") / lit(1e9))
+          .select(col("source"), col("n_vocab_present"),
+            round(col("bc"), 4).as("bc_r"),
+            round(sqrt(greatest(lit(1.0) - col("bc"), lit(0.0))), 4)
+              .as("hellinger_r"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tok AS (SELECT source, t
+          FROM (SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+            FROM documents) u WHERE t <> ''),
+        vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS gc FROM tok
+          GROUP BY t ORDER BY gc DESC, t LIMIT $DriftVocab),
+        sc AS (SELECT source, tok.t AS t, CAST(count(*) AS BIGINT) AS c
+          FROM tok JOIN vocab ON tok.t = vocab.t GROUP BY source, tok.t),
+        st AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs,
+            CAST(count(*) AS BIGINT) AS present FROM sc GROUP BY source),
+        gt AS (SELECT CAST(sum(gc) AS BIGINT) AS g FROM vocab),
+        lattice AS (SELECT st.source AS source, vocab.t AS t, vocab.gc AS gc,
+            st.cs AS cs, st.present AS present, coalesce(sc.c, 0) AS c, gt.g AS g
+          FROM st CROSS JOIN vocab CROSS JOIN gt
+          LEFT JOIN sc ON sc.source = st.source AND sc.t = vocab.t),
+        folded AS (SELECT source, max(present) AS n_vocab_present,
+            CAST(sum(CAST(floor(sqrt(
+              ((c + 0.5) / (cs + ${DriftVocab / 2.0})) *
+              ((gc + 0.5) / (g + ${DriftVocab / 2.0}))) * 1e9) AS BIGINT)) AS BIGINT)
+              AS bcq
+          FROM lattice GROUP BY source)
+        SELECT source, n_vocab_present,
+          round(CAST(bcq AS DOUBLE) / 1e9, 4) AS bc_r,
+          round(sqrt(greatest(1.0 - CAST(bcq AS DOUBLE) / 1e9, 0.0)), 4)
+            AS hellinger_r
+        FROM folded ORDER BY source"""),
+      doc = "per-source Hellinger distance to the corpus unigram distribution over the fixed top-V head: parallel top-k vocabulary, fixed sources x V smoothed lattice, fixed-point BIGINT Bhattacharyya fold — the lexical drift alarm beside q168's length PSI")
+  )
+}

@@ -209,7 +209,7 @@ object DedupQueries {
   /** Candidate near-dup pairs from band collisions over a
     * (materialized) signature frame: equi self-join on the band key —
     * the classic shuffle-once LSH plan. */
-  private def candidatePairsFrom(sigs: DataFrame): DataFrame = {
+  private[operators] def candidatePairsFrom(sigs: DataFrame): DataFrame = {
     val b = bandKeys(sigs)
     b.select(col("doc_id").as("doc_a"), col("band"))
       .join(b.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
@@ -316,15 +316,15 @@ object DedupQueries {
     withBlockKeys(sigs)
   }
 
-  /** Shared oracle CTE prefix mirroring [[bandedCorpus]]. */
-  private val oracleBandsCte: String = {
+  /** [[oracleBandsCte]] parameterized over the corpus SELECT — one
+    * shingle/minhash/band oracle definition serving every corpus
+    * variant (the q35-family's, q197's quote corpus). The SELECT must
+    * yield (doc_id, text) with text already trimmed. */
+  private[operators] def oracleBandsCteFor(corpusSelect: String): String = {
     val sig = (for { j <- 0 until NumMd5; k <- 0 until LanesPerMd5 }
       yield s"list_min(list_transform(shingles, s -> substr(md5('mh' || $j || ':' || s), ${1 + 8 * k}, 8)))")
       .mkString("[", ", ", "]")
-    s"""WITH corpus AS (
-      SELECT doc_id, trim(text) AS text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents),
+    s"""WITH corpus AS ($corpusSelect),
     tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM corpus),
     sh AS (SELECT doc_id,
         list_transform(range(len(ts) - 2), i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) AS shingles
@@ -334,6 +334,21 @@ object DedupQueries {
         unnest(list_transform(range(${Bands}), b -> b || ':' || md5(sig[2*b+1] || sig[2*b+2]))) AS band
       FROM mh)"""
   }
+
+  /** Shared oracle CTE prefix mirroring [[bandedCorpus]]. */
+  private val oracleBandsCte: String = oracleBandsCteFor(
+    """
+      SELECT doc_id, trim(text) AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents""")
+
+  /** The shared Jaccard/containment intersection expression, exposed
+    * for the audit tier (q197) — assumes `sa`/`sb` alias [[oracleSetsCte]]. */
+  private[operators] val oracleInterExpr: String =
+    "len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))"
+
+  private[operators] val oracleSetsCteShared: String =
+    "sets AS (SELECT doc_id, list_distinct(shingles) AS sd FROM sh)"
 
   /** q77's cluster formation as a reusable oracle chain: LSH candidate
     * pairs → undirected edges → recursive label spreading → min-label
