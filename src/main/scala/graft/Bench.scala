@@ -212,8 +212,13 @@ object Bench {
       .mkString("{", ",", "}")
     val control = results
       .collect { case r if r.minS >= 0 && qNum(r) <= 30 => r.minS }.sum
+    // a FILTERED run's sidecar must not clobber the committed full-sweep
+    // BENCH_DETAIL.json (a 5-row file silently replacing the 195-row
+    // round artifact) — partial runs get their own default filename
+    val detailDefault =
+      if (only.isDefined) "BENCH_DETAIL_ONLY.json" else "BENCH_DETAIL.json"
     val detailFile = new java.io.File(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", detailDefault))
     val dw = new java.io.PrintWriter(detailFile, "UTF-8")
     try dw.println(
       s"""{"sf":"$sfDir","warm":$warmed,"passes":$passes,"gc_every":$gcEvery,""" +
