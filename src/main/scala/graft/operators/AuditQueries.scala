@@ -285,6 +285,142 @@ object AuditQueries {
           round(sqrt(greatest(1.0 - CAST(bcq AS DOUBLE) / 1e9, 0.0)), 4)
             AS hellinger_r
         FROM folded ORDER BY source"""),
-      doc = "per-source Hellinger distance to the corpus unigram distribution over the fixed top-V head: parallel top-k vocabulary, fixed sources x V smoothed lattice, fixed-point BIGINT Bhattacharyya fold — the lexical drift alarm beside q168's length PSI")
+      doc = "per-source Hellinger distance to the corpus unigram distribution over the fixed top-V head: parallel top-k vocabulary, fixed sources x V smoothed lattice, fixed-point BIGINT Bhattacharyya fold — the lexical drift alarm beside q168's length PSI"),
+
+    // ---- per-source Heaps fit (q200): vocabulary-growth exponent β
+    //      PER SOURCE — q182's corpus curve keyed by feed, the
+    //      template-source detector (a boilerplate feed's vocabulary
+    //      saturates: β well under the 0.4–0.6 natural-text band; a
+    //      spam feed of random tokens runs β → 1). Same one-pass
+    //      trick as q182: a term enters source s's vocabulary at its
+    //      FIRST doc within s (min doc_id per (source, term)), so
+    //      cumulative V at each of the 20 global doc_id checkpoints
+    //      is a bucket-cumsum — no per-checkpoint rescan. The
+    //      regression input is sources×20 (fixed at any corpus), and
+    //      all Σs are fixed-point BIGINT folds (the round-14 rule).
+    QueryDef(
+      "q200_source_heaps",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val toks = docs.select(col("source"), col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+          .filter(col("term") =!= "")
+        val vb = toks.groupBy("source", "term").agg(min(col("doc_id")).as("fd"))
+          .crossJoin(broadcast(nd))
+          .select(col("source"), expr("fd div (n_docs div 20)").as("b"))
+          .filter(col("b") < 20)
+          .groupBy("source", "b").agg(count(lit(1)).as("dv"))
+        val nb = toks.crossJoin(broadcast(nd))
+          .select(col("source"), expr("doc_id div (n_docs div 20)").as("b"))
+          .filter(col("b") < 20)
+          .groupBy("source", "b").agg(count(lit(1)).as("dn"))
+        val wB = Window.partitionBy("source").orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val xy = nb.join(vb, Seq("source", "b"), "left")
+          .withColumn("v", sum(coalesce(col("dv"), lit(0L))).over(wB))
+          .withColumn("n", sum(col("dn")).over(wB))
+          .filter(col("v") > 0)
+          .select(col("source"), log(col("n").cast("double")).as("x"),
+            log(col("v").cast("double")).as("y"))
+        def fold(e: String) = sum(expr(s"CAST(floor(($e) * 1e9) AS BIGINT)"))
+          .cast("double") / lit(1e9)
+        xy.groupBy("source")
+          .agg(count(lit(1)).as("k"),
+            fold("x").as("sx"), fold("y").as("sy"),
+            fold("x * y").as("sxy"), fold("x * x").as("sxx"))
+          .withColumn("beta",
+            (col("k") * col("sxy") - col("sx") * col("sy")) /
+              (col("k") * col("sxx") - col("sx") * col("sx")))
+          .select(col("source"), col("k").as("n_points"),
+            (round(col("beta"), 4) + 0.0).as("beta_r"),
+            (round((col("sy") - col("beta") * col("sx")) / col("k"), 4) + 0.0)
+              .as("lnk_r"))
+          .orderBy("source")
+      },
+      Some("""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        tk AS (SELECT source, doc_id, t
+          FROM (SELECT source, doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+            FROM documents) u WHERE t <> ''),
+        ft AS (SELECT source, t, min(doc_id) AS fd FROM tk GROUP BY source, t),
+        vb AS (SELECT source, CAST(fd // (n_docs // 20) AS BIGINT) AS b,
+            CAST(count(*) AS BIGINT) AS dv
+          FROM ft CROSS JOIN nd WHERE fd // (n_docs // 20) < 20 GROUP BY 1, 2),
+        nb AS (SELECT source, CAST(doc_id // (n_docs // 20) AS BIGINT) AS b,
+            CAST(count(*) AS BIGINT) AS dn
+          FROM tk CROSS JOIN nd WHERE doc_id // (n_docs // 20) < 20 GROUP BY 1, 2),
+        cumxy AS (SELECT nb.source AS source, nb.b AS b,
+            sum(dn) OVER w AS n, sum(coalesce(dv, 0)) OVER w AS v
+          FROM nb LEFT JOIN vb ON nb.source = vb.source AND nb.b = vb.b
+          WINDOW w AS (PARTITION BY nb.source ORDER BY nb.b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        xy AS (SELECT source, ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y
+          FROM cumxy WHERE v > 0),
+        sums AS (SELECT source, CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(CAST(floor((x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sx,
+            CAST(sum(CAST(floor((y) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sy,
+            CAST(sum(CAST(floor((x * y) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sxy,
+            CAST(sum(CAST(floor((x * x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sxx
+          FROM xy GROUP BY source),
+        fit AS (SELECT source, k, sx, sy,
+            (k * sxy - sx * sy) / (k * sxx - sx * sx) AS beta FROM sums)
+        SELECT source, k AS n_points,
+          round(beta, 4) + 0.0 AS beta_r,
+          round((sy - beta * sx) / k, 4) + 0.0 AS lnk_r
+        FROM fit ORDER BY source"""),
+      doc = "per-source Heaps-law vocabulary-growth fit over 20 first-occurrence bucket checkpoints (one pass, no rescans): beta under the natural-text band flags template feeds — fixed sources x 20 regression input, fixed-point BIGINT folds"),
+
+    // ---- dedup threshold curve (q201): what each Jaccard gate would
+    //      COST — pairs flagged, docs removed under the q85 greedy
+    //      keep-smallest rule, and tokens saved — swept over
+    //      thresholds 0.5–0.9 from ONE verified-pair frame (the
+    //      shared q37 chain; candidates are computed once, the sweep
+    //      is a 5× explode of the candidate-scale frame, never a
+    //      corpus rescan). The tuning artifact that turns "pick a
+    //      threshold" from folklore into a read-off.
+    QueryDef(
+      "q201_dedup_threshold_curve",
+      (s, d) => {
+        val v = DedupQueries.lshVerified(s, d).localCheckpoint()
+        val nts = DedupQueries.variantCorpus(s, d)
+          .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("nt"))
+        val tot = nts.agg(sum(col("nt")).as("tt"))
+        val hits = v.withColumn("thr",
+            explode(array(lit(0.5), lit(0.6), lit(0.7), lit(0.8), lit(0.9))))
+          .filter(col("jaccard") >= col("thr"))
+        val pairs = hits.groupBy("thr").agg(count(lit(1)).as("n_pairs"))
+        val rem = hits.select(col("thr"), col("doc_b")).distinct()
+          .join(nts, col("doc_b") === nts("doc_id"))
+          .groupBy("thr")
+          .agg(count(lit(1)).as("n_removed"), sum(col("nt")).as("tokens_removed"))
+        pairs.join(rem, Seq("thr"))
+          .crossJoin(broadcast(tot))
+          .select(col("thr"), col("n_pairs"), col("n_removed"),
+            col("tokens_removed"),
+            round(col("tokens_removed").cast("double") / col("tt"), 4)
+              .as("frac_removed_r"))
+          .orderBy("thr")
+      },
+      Some {
+        s"""${DedupQueries.oracleBandsCteFor(DedupQueries.oracleVariantCorpusSelect)},
+        ${DedupQueries.oracleSetsCteShared},
+        ${DedupQueries.oracleLshVerCte},
+        nts AS (SELECT doc_id,
+            CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt FROM corpus),
+        tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt FROM nts),
+        thrs AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS thr),
+        hits AS (SELECT thr, doc_a, doc_b, jaccard
+          FROM lshver CROSS JOIN thrs WHERE jaccard >= thr),
+        p AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs FROM hits GROUP BY thr),
+        rem AS (SELECT DISTINCT thr, doc_b FROM hits),
+        rs AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_removed,
+            CAST(sum(nt) AS BIGINT) AS tokens_removed
+          FROM rem JOIN nts ON rem.doc_b = nts.doc_id GROUP BY thr)
+        SELECT p.thr AS thr, n_pairs, n_removed, tokens_removed,
+          round(CAST(tokens_removed AS DOUBLE) / tt, 4) AS frac_removed_r
+        FROM p JOIN rs ON p.thr = rs.thr CROSS JOIN tot ORDER BY thr"""
+      },
+      doc = "Jaccard-threshold sweep over the shared verified-pair frame: pairs flagged, greedy keep-smallest removals, and tokens saved per gate (0.5-0.9) — candidates computed once, the sweep is candidate-scale, never a corpus rescan")
   )
 }

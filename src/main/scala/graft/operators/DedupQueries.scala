@@ -335,12 +335,16 @@ object DedupQueries {
       FROM mh)"""
   }
 
-  /** Shared oracle CTE prefix mirroring [[bandedCorpus]]. */
-  private val oracleBandsCte: String = oracleBandsCteFor(
+  /** The variant-corpus SELECT — ONE definition for every oracle that
+    * mirrors [[variantCorpus]]. */
+  private[operators] val oracleVariantCorpusSelect: String =
     """
       SELECT doc_id, trim(text) AS text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents""")
+      SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents"""
+
+  /** Shared oracle CTE prefix mirroring [[bandedCorpus]]. */
+  private val oracleBandsCte: String = oracleBandsCteFor(oracleVariantCorpusSelect)
 
   /** The shared Jaccard/containment intersection expression, exposed
     * for the audit tier (q197) — assumes `sa`/`sb` alias [[oracleSetsCte]]. */
@@ -420,7 +424,7 @@ object DedupQueries {
     """CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
        (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x))))"""
 
-  private val oracleLshVerCte: String =
+  private[operators] val oracleLshVerCte: String =
     s"""lshcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
       lshver AS (SELECT doc_a, doc_b, jaccard FROM (
