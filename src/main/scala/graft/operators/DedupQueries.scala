@@ -72,7 +72,7 @@ object DedupQueries {
   /** [[shingleSets]] over an arbitrary (doc_id, text) frame — the
     * entry point [[DedupIndex]] uses to hash a corpus and an incoming
     * batch SEPARATELY with the identical expression chain. */
-  private[operators] def shingleSetsOf(docs: DataFrame): DataFrame =
+  private[graft] def shingleSetsOf(docs: DataFrame): DataFrame =
     Tables.fanOut(docs)
       .withColumn("ts", split(col("text"), "\\s+"))
       .filter(size(col("ts")) >= 3)
@@ -90,7 +90,7 @@ object DedupQueries {
     * exact: min over the distinct shingle set equals min over the raw
     * shingle sequence, so this matches the oracle's non-distinct
     * formulation bit-for-bit. */
-  private[operators] def minhashFrom(sets: DataFrame): DataFrame = {
+  private[graft] def minhashFrom(sets: DataFrame): DataFrame = {
     val hashed = sets.select(col("doc_id"), explode(col("sd")).as("sh"))
     // two-step projection: digests once, then lane substrings. The
     // physical projection collapses both steps and whole-stage codegen's
@@ -152,7 +152,13 @@ object DedupQueries {
     * scale); per-row here each doc hashes only its own shingles once
     * per md5 family — the right trade for per-batch streaming rows.
     * DedupStreamSpec proves the two formulations band-identical. */
-  private[graft] def rowBands(docs: DataFrame): DataFrame = {
+  private[graft] def rowBands(docs: DataFrame): DataFrame =
+    rowBandsWithSets(docs).select(col("doc_id"), col("band"))
+
+  /** [[rowBands]] keeping the per-row shingle set alongside each band
+    * key — the containment stream needs the arriving doc's `sd` for
+    * the exact-intersection verify after the band probe. */
+  private[graft] def rowBandsWithSets(docs: DataFrame): DataFrame = {
     val withSd = docs
       .withColumn("ts", split(trim(col("text")), "\\s+"))
       .filter(size(col("ts")) >= 3)
@@ -163,7 +169,7 @@ object DedupQueries {
       yield expr(s"array_min(transform(H$j, h -> substring(h, ${1 + 8 * k}, 8)))")
     withDigests
       .withColumn("sig", array(sigCols: _*))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("sd"),
         explode(expr(bandExpr)).as("band"))
   }
 

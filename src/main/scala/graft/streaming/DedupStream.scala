@@ -61,6 +61,35 @@ object DedupStream {
       .select(col("doc_id"), col("dup_of"), col("hamming"))
   }
 
+  /** The CONTAINMENT twin of [[flagAgainstCorpus]] — q197's asymmetric
+    * quote detection at ingest time: an arriving doc probes the static
+    * corpus band index (same stateless band derivation,
+    * [[DedupQueries.rowBandsWithSets]] — bit-for-bit the batch hash
+    * family), and the exact containment verify — |arriving ∩ corpus| /
+    * |arriving| — runs INLINE on the join output against the corpus
+    * shingle-set frame (at scale: the persisted `sd` column of the
+    * dedup index, fetched by the equi join). A flag means "this doc is
+    * mostly a quote of something we already hold" — the admission
+    * decision Jaccard-gated ingest misses (a short quote of a long doc
+    * has low Jaccard). Stateless, no watermark; a pair may surface
+    * once per colliding band with an IDENTICAL containment value —
+    * consumers dedup as their sink requires (the [[flagAgainstCorpus]]
+    * convention; an in-stream distinct would need state). */
+  def flagQuotesAgainstCorpus(stream: DataFrame, corpusBands: DataFrame,
+      corpusSets: DataFrame, minContainment: Double = 0.8): DataFrame =
+    DedupQueries.rowBandsWithSets(stream)
+      .join(corpusBands.select(col("doc_id").as("quoted_from"), col("band")),
+        Seq("band"))
+      .filter(col("doc_id") =!= col("quoted_from"))
+      .join(corpusSets.select(col("doc_id").as("quoted_from"),
+        col("sd").as("corpus_sd")), Seq("quoted_from"))
+      .withColumn("containment",
+        size(array_intersect(col("sd"), col("corpus_sd"))).cast("double") /
+          size(col("sd")))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_id"), col("quoted_from"),
+        round(col("containment"), 4).as("containment_r"))
+
   // ---- self-maintaining index: within-stream twins ----------------
 
   /** Probe-index ledger schema: every band of every SURVIVING (non-

@@ -75,6 +75,57 @@ class DedupStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("stream-static containment flags equal q197's planted quote pairs " +
+      "across micro-batches (containment values included)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // corpus = the originals (their bands + shingle sets are the static
+    // index); the planted q197 quotes arrive as the stream. Ground
+    // truth: q197's (orig, orig+2M) rows at containment >= 0.8 on the
+    // quote side — the stream must reproduce pair AND value exactly.
+    val originals = DedupQueries.originalDocs(spark, sf)
+    val corpusSets = DedupQueries.shingleSetsOf(originals).localCheckpoint()
+    val corpusBands = DedupQueries.bandKeys(
+      DedupQueries.minhashFrom(corpusSets)).localCheckpoint()
+    val quotes = Tables.documents(spark, sf)
+      .withColumn("ts", split(trim(col("text")), "\\s+"))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(col("ts"), lit(1),
+          greatest(lit(3), (size(col("ts")) / 2))), " ").as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // every orig↔quote batch pair at quote-side containment >= 0.8 —
+    // planted or cross-doc — is in the stream's probe scope (orig ids
+    // < 2M sort to doc_a, quote ids to doc_b); quote-quote and
+    // orig-orig batch pairs are not
+    val expected = SparkEntry.queries("q197_containment_pairs")(spark, sf)
+      .filter(col("doc_a") < 2000000L && col("doc_b") >= 2000000L &&
+        col("c_ba_r") >= 0.8)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(5))).toSet
+    assert(expected.nonEmpty)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = DedupStream.flagQuotesAgainstCorpus(stream, corpusBands, corpusSets)
+      .writeStream.format("memory").queryName("quote_flags")
+      .outputMode("append").start()
+    try {
+      val (first, second) = quotes.splitAt(quotes.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("quote_flags").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // the stream probes quotes against ORIGINALS only, so its flag
+      // set is exactly the planted slice of the batch pair set
+      assert(got == expected,
+        s"stream-only=${(got -- expected).take(3)} batch-only=${(expected -- got).take(3)}")
+    } finally {
+      q.stop()
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
   test("stream-static join flags exactly the batch new-vs-corpus collisions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
