@@ -308,11 +308,14 @@ object AuditQueries {
           .filter(col("term") =!= "")
         val vb = toks.groupBy("source", "term").agg(min(col("doc_id")).as("fd"))
           .crossJoin(broadcast(nd))
-          .select(col("source"), expr("fd div (n_docs div 20)").as("b"))
+          // greatest(1, …) guards corpora under 20 docs: Spark's
+          // div-by-zero yields NULL (silently empty) while DuckDB's //
+          // raises — the guard keeps both engines on one finite bucket
+          .select(col("source"), expr("fd div greatest(1, n_docs div 20)").as("b"))
           .filter(col("b") < 20)
           .groupBy("source", "b").agg(count(lit(1)).as("dv"))
         val nb = toks.crossJoin(broadcast(nd))
-          .select(col("source"), expr("doc_id div (n_docs div 20)").as("b"))
+          .select(col("source"), expr("doc_id div greatest(1, n_docs div 20)").as("b"))
           .filter(col("b") < 20)
           .groupBy("source", "b").agg(count(lit(1)).as("dn"))
         val wB = Window.partitionBy("source").orderBy("b")
@@ -344,12 +347,12 @@ object AuditQueries {
               unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
             FROM documents) u WHERE t <> ''),
         ft AS (SELECT source, t, min(doc_id) AS fd FROM tk GROUP BY source, t),
-        vb AS (SELECT source, CAST(fd // (n_docs // 20) AS BIGINT) AS b,
+        vb AS (SELECT source, CAST(fd // greatest(1, n_docs // 20) AS BIGINT) AS b,
             CAST(count(*) AS BIGINT) AS dv
-          FROM ft CROSS JOIN nd WHERE fd // (n_docs // 20) < 20 GROUP BY 1, 2),
-        nb AS (SELECT source, CAST(doc_id // (n_docs // 20) AS BIGINT) AS b,
+          FROM ft CROSS JOIN nd WHERE fd // greatest(1, n_docs // 20) < 20 GROUP BY 1, 2),
+        nb AS (SELECT source, CAST(doc_id // greatest(1, n_docs // 20) AS BIGINT) AS b,
             CAST(count(*) AS BIGINT) AS dn
-          FROM tk CROSS JOIN nd WHERE doc_id // (n_docs // 20) < 20 GROUP BY 1, 2),
+          FROM tk CROSS JOIN nd WHERE doc_id // greatest(1, n_docs // 20) < 20 GROUP BY 1, 2),
         cumxy AS (SELECT nb.source AS source, nb.b AS b,
             sum(dn) OVER w AS n, sum(coalesce(dv, 0)) OVER w AS v
           FROM nb LEFT JOIN vb ON nb.source = vb.source AND nb.b = vb.b

@@ -84,7 +84,7 @@ class PlanSnapshotSpec extends SparkSpecBase {
       // a literal array rendered as its JVM object (e.g. the constant
       // sequence(0, m-1) inside the shared subvector-split transform)
       // prints an identity hash that differs every run
-      .replaceAll("@[0-9a-f]{6,}", "@x")
+      .replaceAll("@[0-9a-f]+", "@x")
       .replaceAll("\\[\\d+\\] at \\w+ at [^,\\]]*", "[x]")
       .replaceAll("file:[^,\\]\\s]+", "PATH")
       .replaceAll("/root/testdata[^,\\]\\s]*", "PATH")

@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Repo-side leak self-scan — regenerates LEAKCHECK.json WITH scan
+"""Repo-side leak self-scan — regenerates LEAKCHECK_SELF.json WITH scan
 metadata (timestamp, file inventory, probe version) so each round's
 artifact is self-evidencing rather than a bare {round, hits} blob
 (round-11/12 advice): a fresh scan is now distinguishable from a
@@ -13,7 +13,7 @@ builds on, placeholder domains (*.example, example.invalid, localhost),
 and public github.com/apache.org references.
 
 Usage: python3 tools/leakscan.py [round_number]
-Writes LEAKCHECK.json at the repo root and prints a one-line summary.
+Writes LEAKCHECK_SELF.json at the repo root and prints a one-line summary.
 """
 import json
 import os
