@@ -19,6 +19,65 @@ object AuditQueries {
     * per-source lattice is sources×V regardless of corpus scale. */
   private val DriftVocab = 500
 
+  /** The planted quote corpus the containment family (q197/q202) runs
+    * on: originals plus each doc's first-half-token "quote" at
+    * doc_id + 2,000,000 — deterministic subset pairs with
+    * containment(quote→original) ≈ 1 at Jaccard ≈ 0.5. */
+  private def quoteCorpus(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val quotes = Tables.documents(s, d)
+      .withColumn("ts", split(trim(col("text")), "\\s+"))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(col("ts"), lit(1),
+          greatest(lit(3), (size(col("ts")) / 2))), " ").as("text"))
+    DedupQueries.originalDocs(s, d).unionByName(quotes)
+  }
+
+  /** Band candidates over the quote corpus scored with the exact
+    * shingle intersection: (doc_a, doc_b, inter, jaccard, c_ab, c_ba),
+    * unrounded — ONE definition feeding q197's review feed and q202's
+    * policy sweep, so the two can't drift. */
+  private def containmentScored(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sets = DedupQueries.shingleSetsOf(quoteCorpus(s, d)).localCheckpoint()
+    val pairs = DedupQueries.candidatePairsFrom(
+      DedupQueries.minhashFrom(sets).localCheckpoint())
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("c_ab", col("inter").cast("double") / size(col("sa")))
+      .withColumn("c_ba", col("inter").cast("double") / size(col("sb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .select("doc_a", "doc_b", "inter", "jaccard", "c_ab", "c_ba")
+  }
+
+  /** Oracle mirror of [[quoteCorpus]] — the corpus SELECT fed to
+    * [[DedupQueries.oracleBandsCteFor]]. */
+  private val oracleQuoteCorpusSelect: String =
+    """
+        SELECT doc_id, trim(text) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + 2000000,
+          array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
+            greatest(3, len(string_split_regex(trim(text), '\s+')) // 2)), ' ')
+        FROM documents"""
+
+  /** Oracle mirror of [[containmentScored]]: bands + sets + capped
+    * cand + the `scored` CTE, shared by q197/q202. */
+  private def oracleQuoteScoredCtes: String = {
+    val inter = DedupQueries.oracleInterExpr
+    s"""${DedupQueries.oracleBandsCteFor(oracleQuoteCorpusSelect)},
+        ${DedupQueries.oracleSetsCteShared},
+        ${DedupQueries.oracleCandCte()},
+        scored AS (SELECT doc_a, doc_b,
+            CAST($inter AS BIGINT) AS inter,
+            CAST($inter AS DOUBLE) / (len(sa.sd) + len(sb.sd) - $inter) AS jaccard,
+            CAST($inter AS DOUBLE) / len(sa.sd) AS c_ab,
+            CAST($inter AS DOUBLE) / len(sb.sd) AS c_ba
+          FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+                    JOIN sets sb ON cand.doc_b = sb.doc_id)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- quantile-sketch audit (q196): per-source token-count
@@ -108,62 +167,85 @@ object AuditQueries {
     //      quote-aware dedup acts on.
     QueryDef(
       "q197_containment_pairs",
-      (s, d) => {
-        val quotes = Tables.documents(s, d)
-          .withColumn("ts", split(trim(col("text")), "\\s+"))
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            array_join(slice(col("ts"), lit(1),
-              greatest(lit(3), (size(col("ts")) / 2))), " ").as("text"))
-        val corpus = DedupQueries.originalDocs(s, d).unionByName(quotes)
-        val sets = DedupQueries.shingleSetsOf(corpus).localCheckpoint()
-        val pairs = DedupQueries.candidatePairsFrom(
-          DedupQueries.minhashFrom(sets).localCheckpoint())
-        pairs
-          .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
-          .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
-          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-          .withColumn("c_ab", col("inter").cast("double") / size(col("sa")))
-          .withColumn("c_ba", col("inter").cast("double") / size(col("sb")))
-          .withColumn("jaccard", col("inter").cast("double") /
-            (size(col("sa")) + size(col("sb")) - col("inter")))
-          .filter(greatest(col("c_ab"), col("c_ba")) >= 0.5)
-          .select(col("doc_a"), col("doc_b"), col("inter"),
-            round(col("jaccard"), 4).as("jaccard_r"),
-            round(col("c_ab"), 4).as("c_ab_r"),
-            round(col("c_ba"), 4).as("c_ba_r"),
-            (greatest(col("c_ab"), col("c_ba")) >= 0.8 && col("jaccard") < 0.6)
-              .cast("int").as("asym_quote"))
-          .orderBy("doc_a", "doc_b")
-      },
-      Some {
-        val inter = DedupQueries.oracleInterExpr
-        s"""${DedupQueries.oracleBandsCteFor(
-          """
-        SELECT doc_id, trim(text) AS text FROM documents
-        UNION ALL
-        SELECT doc_id + 2000000,
-          array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1,
-            greatest(3, len(string_split_regex(trim(text), '\s+')) // 2)), ' ')
-        FROM documents""")},
-        ${DedupQueries.oracleSetsCteShared},
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-        scored AS (SELECT doc_a, doc_b,
-            CAST($inter AS BIGINT) AS inter,
-            CAST($inter AS DOUBLE) / (len(sa.sd) + len(sb.sd) - $inter) AS jaccard,
-            CAST($inter AS DOUBLE) / len(sa.sd) AS c_ab,
-            CAST($inter AS DOUBLE) / len(sb.sd) AS c_ba
-          FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
-                    JOIN sets sb ON cand.doc_b = sb.doc_id)
+      (s, d) => containmentScored(s, d)
+        .filter(greatest(col("c_ab"), col("c_ba")) >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("jaccard"), 4).as("jaccard_r"),
+          round(col("c_ab"), 4).as("c_ab_r"),
+          round(col("c_ba"), 4).as("c_ba_r"),
+          (greatest(col("c_ab"), col("c_ba")) >= 0.8 && col("jaccard") < 0.6)
+            .cast("int").as("asym_quote"))
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""$oracleQuoteScoredCtes
         SELECT doc_a, doc_b, inter,
           round(jaccard, 4) AS jaccard_r,
           round(c_ab, 4) AS c_ab_r, round(c_ba, 4) AS c_ba_r,
           CAST(CASE WHEN greatest(c_ab, c_ba) >= 0.8 AND jaccard < 0.6
             THEN 1 ELSE 0 END AS INT) AS asym_quote
         FROM scored WHERE greatest(c_ab, c_ba) >= 0.5
-        ORDER BY doc_a, doc_b"""
-      },
+        ORDER BY doc_a, doc_b"""),
       doc = "asymmetric containment scoring over MinHash band candidates on a planted quote corpus: both containment directions + Jaccard from one exact shingle intersection, asym_quote flags high-containment/low-Jaccard pairs — the quote/subset dedup direction Jaccard-gated pipelines miss"),
+
+    // ---- containment-gated keep policy, PRICED (q202): q201's
+    //      threshold sweep re-run in the containment direction. The
+    //      policy a quote-aware dedup ships: at gate t, a pair fires
+    //      when max(c_ab, c_ba) ≥ t, and the CONTAINED side is removed
+    //      (c_ab = |A∩B|/|A| ≥ t means A is mostly inside B → drop A;
+    //      both directions over t — near-identical twins — drop the
+    //      larger doc_id, keeping the min-id rep like q85). Swept over
+    //      0.5–0.9 from the ONE scored frame shared with q197
+    //      (candidates computed once; the sweep is a 5× explode of the
+    //      candidate-scale frame, never a corpus rescan); prices
+    //      pairs flagged, docs removed, tokens removed, and the
+    //      corpus-token fraction — the read-off that shows the
+    //      containment gate reclaiming the quotes a Jaccard gate
+    //      (q201) leaves in the corpus.
+    QueryDef(
+      "q202_containment_policy_curve",
+      (s, d) => {
+        val scored = containmentScored(s, d).localCheckpoint()
+        val nts = quoteCorpus(s, d)
+          .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long").as("nt"))
+        val tot = nts.agg(sum(col("nt")).as("tt"))
+        val hits = scored.withColumn("thr",
+            explode(array(lit(0.5), lit(0.6), lit(0.7), lit(0.8), lit(0.9))))
+          .filter(greatest(col("c_ab"), col("c_ba")) >= col("thr"))
+        val victims = hits.select(col("thr"),
+          when(col("c_ab") >= col("thr") && col("c_ba") >= col("thr"),
+            greatest(col("doc_a"), col("doc_b")))
+            .when(col("c_ab") >= col("thr"), col("doc_a"))
+            .otherwise(col("doc_b")).as("doc_id")).distinct()
+        val pairs = hits.groupBy("thr").agg(count(lit(1)).as("n_pairs"))
+        val rem = victims.join(nts, Seq("doc_id"))
+          .groupBy("thr")
+          .agg(count(lit(1)).as("n_removed"), sum(col("nt")).as("tokens_removed"))
+        pairs.join(rem, Seq("thr"))
+          .crossJoin(broadcast(tot))
+          .select(col("thr"), col("n_pairs"), col("n_removed"),
+            col("tokens_removed"),
+            round(col("tokens_removed").cast("double") / col("tt"), 4)
+              .as("frac_removed_r"))
+          .orderBy("thr")
+      },
+      Some(s"""$oracleQuoteScoredCtes,
+        nts AS (SELECT doc_id,
+            CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt FROM corpus),
+        tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt FROM nts),
+        thrs AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS thr),
+        hits AS (SELECT thr, doc_a, doc_b, c_ab, c_ba
+          FROM scored CROSS JOIN thrs WHERE greatest(c_ab, c_ba) >= thr),
+        victims AS (SELECT DISTINCT thr,
+            CASE WHEN c_ab >= thr AND c_ba >= thr THEN greatest(doc_a, doc_b)
+                 WHEN c_ab >= thr THEN doc_a ELSE doc_b END AS doc_id
+          FROM hits),
+        p AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs FROM hits GROUP BY thr),
+        rs AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_removed,
+            CAST(sum(nt) AS BIGINT) AS tokens_removed
+          FROM victims JOIN nts ON victims.doc_id = nts.doc_id GROUP BY thr)
+        SELECT p.thr AS thr, n_pairs, n_removed, tokens_removed,
+          round(CAST(tokens_removed AS DOUBLE) / tt, 4) AS frac_removed_r
+        FROM p JOIN rs ON p.thr = rs.thr CROSS JOIN tot ORDER BY thr"""),
+      doc = "containment-threshold policy sweep over the shared q197 scored frame: per gate 0.5-0.9, pairs flagged, contained-side removals (min-id rep kept on two-way hits), tokens removed and corpus fraction — prices the quote-aware keep policy the Jaccard sweep (q201) cannot see"),
 
     // ---- vocabulary overlap matrix (q198): |V_a ∩ V_b| Jaccard and
     //      containment over per-source DISTINCT vocabularies — the

@@ -130,8 +130,8 @@ object CorpusStats {
     //      is map-side combinable; the head extraction is a top-k
     //      (TakeOrdered, never a full sort); the regression then runs
     //      on a FIXED 100-row frame whatever the corpus size, with
-    //      every Σ accumulated in rank order so the fp trace is
-    //      engine-identical.
+    //      every Σ a fixed-point BIGINT fold (order-free, O(1)
+    //      buffers — the q185/q200 rule).
     QueryDef(
       "q167_zipf_fit",
       (s, d) => {
@@ -147,13 +147,18 @@ object CorpusStats {
               .orderBy(col("c").desc, col("term").asc)))
           .select(col("rank"), log(col("rank").cast("double")).as("x"),
             log(col("c").cast("double")).as("y"))
-        def fold(e: String) = expr(
-          s"""aggregate(transform(array_sort(collect_list(struct(rank, x, y))),
-             s -> $e), 0D, (a, v) -> a + v)""")
+        // fixed-point BIGINT folds (the q185/q200 rule): each term
+        // lands on a 10^9 grid — floor is bit-defined on identical
+        // IEEE doubles in both engines — and the integer sum is
+        // order-free and O(1)-buffered, vs the former O(head)
+        // collect_list array (head is fixed at 100, so this is
+        // uniformity, not necessity)
+        def fold(e: String) = sum(expr(s"CAST(floor(($e) * 1e9) AS BIGINT)"))
+          .cast("double") / lit(1e9)
         xy.agg(count(lit(1)).as("n"),
-            fold("s.x").as("sx"), fold("s.y").as("sy"),
-            fold("s.x * s.y").as("sxy"),
-            fold("s.x * s.x").as("sxx"), fold("s.y * s.y").as("syy"))
+            fold("x").as("sx"), fold("y").as("sy"),
+            fold("x * y").as("sxy"),
+            fold("x * x").as("sxx"), fold("y * y").as("syy"))
           .select(col("n"),
             ((col("n") * col("sxy") - col("sx") * col("sy")) /
               (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
@@ -175,11 +180,11 @@ object CorpusStats {
           FROM (SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rank
             FROM counts) r),
         sums AS (SELECT CAST(count(*) AS BIGINT) AS n,
-            list_sum(list(x ORDER BY rank)) AS sx,
-            list_sum(list(y ORDER BY rank)) AS sy,
-            list_sum(list(x * y ORDER BY rank)) AS sxy,
-            list_sum(list(x * x ORDER BY rank)) AS sxx,
-            list_sum(list(y * y ORDER BY rank)) AS syy
+            CAST(sum(CAST(floor((x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sx,
+            CAST(sum(CAST(floor((y) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sy,
+            CAST(sum(CAST(floor((x * y) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sxy,
+            CAST(sum(CAST(floor((x * x) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sxx,
+            CAST(sum(CAST(floor((y * y) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS syy
           FROM xy),
         fit AS (SELECT n, sx, sy, sxy, sxx, syy,
             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM sums)

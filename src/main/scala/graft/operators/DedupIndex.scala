@@ -113,7 +113,19 @@ object DedupIndex {
       minJaccard: Double, withinBatch: Boolean): DataFrame = {
     val batchB = DedupQueries.bandKeys(DedupQueries.minhashFrom(batchSets))
       .select(col("doc_id").as("new_id"), col("band"))
-    val corpusB = DedupQueries.bandKeys(ledger.select("doc_id", "sig")) // columnar: sd unread
+    // hot-band cap on the CORPUS posting lists (the incremental
+    // analogue of candidatePairsFrom's cap): a band with m corpus
+    // members fans EVERY probing doc out m ways, so a boilerplate
+    // crowd makes each delivery O(batch × m). Bands over the cap are
+    // excluded from the probe — their members are exact-dup-dominated
+    // crowds the exact-hash pass collapses first, and a genuine near
+    // twin still collides through its colder bands. One semi-join over
+    // the ledger's (doc_id, sig)-derived bands; the sd column stays
+    // unread on this side either way (columnar). The q102 oracle
+    // mirrors the cap (ikept CTE); it never trips at fixture scale.
+    val corpusB = DedupQueries.cappedBands(
+      DedupQueries.bandKeys(ledger.select("doc_id", "sig")), // columnar: sd unread
+      DedupQueries.DefaultBandCap)
       .select(col("doc_id").as("corpus_id"), col("band"))
     // the self-pair guard (new_id != corpus_id) is what makes a
     // REDELIVERED ingest safe: after a crash-after-fold retry the batch
@@ -122,8 +134,16 @@ object DedupIndex {
     val candCorpus = batchB.join(corpusB, Seq("band"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id")
+    // the within-batch arm gets the same cap over the BATCH band
+    // population — one delivery can carry its own boilerplate crowd.
+    // One side pruned suffices: the join is equi on band, so pruning
+    // the left side prunes the pair
+    val batchSelfB = DedupQueries.cappedBands(
+      batchB.select(col("new_id").as("doc_id"), col("band")),
+      DedupQueries.DefaultBandCap)
     val cand = (if (!withinBatch) candCorpus else candCorpus.unionByName(
-      batchB.join(batchB.select(col("new_id").as("corpus_id"), col("band")), Seq("band"))
+      batchSelfB.select(col("doc_id").as("new_id"), col("band"))
+        .join(batchB.select(col("new_id").as("corpus_id"), col("band")), Seq("band"))
         .filter(col("corpus_id") < col("new_id"))
         .select("new_id", "corpus_id"))).distinct()
     // verify side of the candidates: corpus shingles from the ledger,

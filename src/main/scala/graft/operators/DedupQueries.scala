@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * Scale design: MinHash signatures are per-row maps (no shuffle);
   * banding explodes to (bands × docs) rows and the candidate join is an
   * equi self-join on the band key — the classic shuffle-once LSH plan.
-  * At 100 TB, band keys partition evenly (they are md5 outputs) and the
-  * Jaccard verification only touches candidate pairs, never the n²
-  * cross product. Hash functions are 8-hex-char (32-bit) lanes carved
+  * At 100 TB, band keys PLACE evenly across partitions (they are md5
+  * outputs), but per-KEY fan-out is the corpus's to dictate: a
+  * boilerplate crowd puts m near-identical docs in one band and m² in
+  * its self-join, so the production chain caps per-band membership
+  * ([[DefaultBandCap]], one semi-join — see [[candidatePairsFrom]]),
+  * and the Jaccard verification only touches candidate pairs, never
+  * the n² cross product. Hash functions are 8-hex-char (32-bit) lanes carved
   * out of md5 digests (lexicographic min = minhash; disjoint substrings
   * of a crypto hash are independent), so Spark and the DuckDB oracle
   * agree bit-for-bit with zero UDFs at a quarter of the crypto calls.
@@ -212,13 +216,56 @@ object DedupQueries {
         Seq("doc_b"))
       .filter(col("split_a") =!= col("split_b"))
 
+  /** Production per-band candidate cap. A band key shared by m
+    * documents yields m(m−1)/2 candidate rows from that ONE key, and
+    * md5-even *partition* placement does nothing about per-key fan-out:
+    * a real corpus's boilerplate crowds (empty pages, templates, truncated
+    * docs) put thousands of near-identical members in one band — the m²
+    * skew mode that kills a 100 TB dedup run. The remedy is the same
+    * shape as q128's hot-gram DF cap: one semi-join keeps only bands
+    * with ≤ cap members before the self-join, bounding any key's
+    * fan-out at cap² by construction. Dropped-band members are not
+    * lost: an exact-duplicate crowd of size m makes ALL of its bands
+    * hot simultaneously, so the cap routes the whole crowd to the
+    * exact-hash pass (q35) that precedes LSH in the production policy,
+    * while a genuinely-similar-but-distinct pair still meets through
+    * its other, colder bands (pair loss requires EVERY shared band to
+    * exceed the cap). 64 never trips at fixture scale (max band
+    * population 20 at sf0.1), so the q35-family hashes are unchanged —
+    * but every oracle mirrors the cap (HAVING count(*) <= cap), so the
+    * capped semantics stay hash-verified wherever they trip, and
+    * q203 verifies the tripping regime end-to-end with cap = 4. */
+  private[graft] val DefaultBandCap = 64
+
+  /** The cap that DOES trip on the fixtures (bands of 6–20 members
+    * exist at every SF) — q203's end-to-end tripping-regime check. */
+  private[graft] val TrippingBandCap = 4
+
+  /** Band rows restricted to bands with ≤ cap members: ONE left-semi
+    * join against the under-cap band set (PlanAuditSpec pins exactly
+    * one added semi-join vs the uncapped plan). */
+  private[graft] def cappedBands(b: DataFrame, cap: Int): DataFrame =
+    b.join(
+      b.groupBy("band").agg(count(lit(1)).as("n_band"))
+        .filter(col("n_band") <= cap).select("band"),
+      Seq("band"), "left_semi")
+
   /** Candidate near-dup pairs from band collisions over a
     * (materialized) signature frame: equi self-join on the band key —
-    * the classic shuffle-once LSH plan. */
-  private[operators] def candidatePairsFrom(sigs: DataFrame): DataFrame = {
-    val b = bandKeys(sigs)
-    b.select(col("doc_id").as("doc_a"), col("band"))
-      .join(b.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
+    * the classic shuffle-once LSH plan — with the hot-band cap applied
+    * by default ([[DefaultBandCap]]; `None` = uncapped, the exact-LSH
+    * reference the capped plan is spec-compared against). */
+  private[graft] def candidatePairsFrom(sigs: DataFrame,
+      bandCap: Option[Int] = Some(DefaultBandCap)): DataFrame = {
+    val b0 = bandKeys(sigs)
+    // prune ONE side only: the self-join is equi on band, so a pair
+    // survives iff its band survives the left side's semi-join —
+    // filtering both sides would run the band-count aggregate twice
+    // for the identical result (the oracle's WHERE a.band IN kept is
+    // the same one-sided form)
+    val left = bandCap.fold(b0)(cappedBands(b0, _))
+    left.select(col("doc_id").as("doc_a"), col("band"))
+      .join(b0.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
@@ -352,6 +399,21 @@ object DedupQueries {
   /** Shared oracle CTE prefix mirroring [[bandedCorpus]]. */
   private val oracleBandsCte: String = oracleBandsCteFor(oracleVariantCorpusSelect)
 
+  /** Oracle mirror of [[cappedBands]]: the under-cap band set (assumes
+    * the `bands` CTE is in scope). `name` parameterizes the CTE label
+    * so two capped chains can coexist in one statement. */
+  private[operators] def oracleKeptCte(cap: Int, name: String = "kept"): String =
+    s"$name AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= $cap)"
+
+  /** Oracle mirror of [[candidatePairsFrom]] with the band cap applied:
+    * `kept` + the band self-join restricted to kept bands, emitting the
+    * standard `cand(doc_a, doc_b)` CTE every dedup oracle builds on. */
+  private[operators] def oracleCandCte(cap: Int = DefaultBandCap): String =
+    s"""${oracleKeptCte(cap)},
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+          WHERE a.band IN (SELECT band FROM kept))"""
+
   /** The shared Jaccard/containment intersection expression, exposed
     * for the audit tier (q197) — assumes `sa`/`sb` alias [[oracleSetsCte]]. */
   private[operators] val oracleInterExpr: String =
@@ -366,8 +428,7 @@ object DedupQueries {
     * so cluster membership has ONE oracle definition. */
   private val oracleCcCtes: String =
     s"""${oracleBandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      ${oracleCandCte()},
       edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
                 UNION ALL SELECT doc_b, doc_a FROM cand),
       nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -431,8 +492,10 @@ object DedupQueries {
        (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x))))"""
 
   private[operators] val oracleLshVerCte: String =
-    s"""lshcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    s"""${oracleKeptCte(DefaultBandCap, "lshkept")},
+      lshcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        WHERE a.band IN (SELECT band FROM lshkept)),
       lshver AS (SELECT doc_a, doc_b, jaccard FROM (
           SELECT doc_a, doc_b, $oracleJaccardExpr AS jaccard
           FROM lshcand JOIN sets sa ON lshcand.doc_a = sa.doc_id
@@ -556,9 +619,9 @@ object DedupQueries {
     QueryDef(
       "q36_dedup_minhash_lsh",
       (s, d) => candidatePairsFrom(sigIndex(s, d)).orderBy("doc_a", "doc_b"),
-      Some(s"""$oracleBandsCte
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+      Some(s"""$oracleBandsCte,
+        ${oracleCandCte()}
+        SELECT doc_a, doc_b FROM cand
         ORDER BY doc_a, doc_b""")),
 
     // ---- n-gram Jaccard verification of the LSH candidates (LSH → verify)
@@ -582,8 +645,7 @@ object DedupQueries {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""$oracleBandsCte,
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        ${oracleCandCte()},
         sets AS (SELECT DISTINCT doc_id, list_distinct(shingles) AS sd FROM sh)
         SELECT doc_a, doc_b,
           CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
@@ -593,6 +655,49 @@ object DedupQueries {
         WHERE CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
             (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) >= 0.5
         ORDER BY doc_a, doc_b""")),
+
+    // ---- the hot-band cap's TRIPPING regime, end-to-end: q37's
+    //      verified-pair chain under a cap the fixtures actually
+    //      exceed (bands of 6–20 members exist at every SF, so the
+    //      semi-join genuinely prunes here). The production chain runs
+    //      [[DefaultBandCap]] = 64, which never trips at fixture scale
+    //      — this query is the proof that when the cap DOES bite, both
+    //      engines agree on exactly which pairs survive: the oracle
+    //      applies the identical HAVING-count prune, so the capped
+    //      semantics (pair dropped only when EVERY shared band is
+    //      over-cap) are hash-verified, not aspirational. CappedLshSpec
+    //      pins the set algebra (capped = uncapped minus
+    //      only-hot-band pairs; a non-tripping cap is row-identical),
+    //      PlanAuditSpec pins the plan delta (exactly one added
+    //      semi-join).
+    QueryDef(
+      "q203_dedup_lsh_cap_tripped",
+      (s, d) => {
+        val sets = shingleSets(s, d).localCheckpoint()
+        val pairs = candidatePairsFrom(minhashFrom(sets).localCheckpoint(),
+          Some(TrippingBandCap))
+        pairs
+          .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
+          .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("jaccard",
+            col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""$oracleBandsCte,
+        ${oracleCandCte(TrippingBandCap)},
+        sets AS (SELECT DISTINCT doc_id, list_distinct(shingles) AS sd FROM sh)
+        SELECT doc_a, doc_b,
+          CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
+            (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) AS jaccard
+        FROM cand JOIN sets sa ON cand.doc_a = sa.doc_id
+                  JOIN sets sb ON cand.doc_b = sb.doc_id
+        WHERE CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
+            (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      doc = "q37's LSH-verified pairs under a band cap that trips on the fixture: hot bands (> 4 members) pruned by one semi-join before the candidate self-join, oracle-mirrored via the identical HAVING prune"),
 
     // ---- duplicate-cluster formation: connected components over the
     //      LSH candidate graph (pairs → clusters → keep min-id rep)
@@ -647,8 +752,7 @@ object DedupQueries {
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""$oracleBandsCte,
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        ${oracleCandCte()},
         sets AS (SELECT DISTINCT doc_id, list_distinct(shingles) AS sd FROM sh),
         sg AS (SELECT doc_id, sig FROM mh),
         j AS (SELECT doc_a, doc_b,
@@ -685,8 +789,7 @@ object DedupQueries {
           .orderBy("doc_id")
       },
       Some(s"""$oracleBandsCte,
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+        ${oracleCandCte()}
         SELECT doc_id FROM corpus
         WHERE doc_id NOT IN (SELECT doc_b FROM cand)
         ORDER BY doc_id""")),
@@ -719,9 +822,12 @@ object DedupQueries {
         DedupIndex.dedupBatch(s, variantDocs(s, d), dir)
       },
       Some(s"""$oracleBandsCte,
+        ikept AS (SELECT band FROM bands WHERE doc_id < 1000000
+          GROUP BY band HAVING count(*) <= $DefaultBandCap),
         cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
           FROM bands n JOIN bands c ON n.band = c.band
-          WHERE n.doc_id >= 1000000 AND c.doc_id < 1000000),
+          WHERE n.doc_id >= 1000000 AND c.doc_id < 1000000
+            AND c.band IN (SELECT band FROM ikept)),
         sets AS (SELECT DISTINCT doc_id, list_distinct(shingles) AS sd FROM sh),
         ver AS (SELECT new_id, corpus_id,
             CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
@@ -755,8 +861,7 @@ object DedupQueries {
           .filter(col("split_a") =!= col("split_b"))
           .orderBy("doc_a", "doc_b"),
       Some(s"""$oracleBandsCte,
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        ${oracleCandCte()},
         sp AS (SELECT doc_a, doc_b,
             ${Splits.splitSql("doc_a")} AS split_a,
             ${Splits.splitSql("doc_b")} AS split_b
@@ -788,8 +893,7 @@ object DedupQueries {
       "q118_cluster_split",
       (s, d) => clusterSplitAssignment(s, d).orderBy("doc_id"),
       Some(s"""${oracleBandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        ${oracleCandCte()},
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
                   UNION ALL SELECT doc_b, doc_a FROM cand),
         nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -824,8 +928,7 @@ object DedupQueries {
         .join(clusterSplitAssignmentOf(s, d, originalDocs(s, d)), Seq("doc_id"))
         .orderBy("doc_id", "chunk_idx"),
       Some(s"""${oracleBandsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        ${oracleCandCte()},
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
                   UNION ALL SELECT doc_b, doc_a FROM cand),
         nodes AS (SELECT DISTINCT src AS node FROM edges),
@@ -1032,8 +1135,7 @@ object DedupQueries {
           .orderBy("source_a", "source_b")
       },
       Some(s"""$oracleBandsCte,
-        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        ${oracleCandCte()},
         sets AS (SELECT DISTINCT doc_id, list_distinct(shingles) AS sd FROM sh),
         ver AS (SELECT doc_a, doc_b,
             CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /

@@ -248,10 +248,20 @@ object DedupStream {
           "checkpoint? Reuse the original checkpoint or rebuild the index.")
     val ledger = full.filter(col("added_batch") < batchId)
     val batchBands = DedupQueries.rowBands(batchDocs).localCheckpoint()
+    // hot-band cap, the same family as the batch chain
+    // (candidatePairsFrom / DedupIndex.flagsAgainst): a ledger band
+    // with m members fans every probing doc out m ways, and a
+    // boilerplate crowd inside one micro-batch self-joins m² — both
+    // sides prune bands over the cap with one semi-join. Replay-exact:
+    // the cap is a pure function of the same stamp-filtered ledger the
+    // probe reads, so a replayed batch computes the identical kept set.
+    val cappedLedger = DedupQueries.cappedBands(
+      ledger.select(col("doc_id"), col("band")), DedupQueries.DefaultBandCap)
     val corpusFlags = batchBands
-      .join(ledger.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
+      .join(cappedLedger.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
       .select(col("doc_id"), col("dup_of"), col("band"))
-    val withinBatch = batchBands
+    val cappedBatch = DedupQueries.cappedBands(batchBands, DedupQueries.DefaultBandCap)
+    val withinBatch = cappedBatch
       .join(batchBands.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
       .filter(col("dup_of") < col("doc_id"))
       .select(col("doc_id"), col("dup_of"), col("band"))
