@@ -76,7 +76,8 @@ object EtlCli {
       spark: SparkSession,
       env: Map[String, String],
       transport: Transport,
-      secondaryAdminFieldId: String): EtlConfig = {
+      secondaryAdminFieldId: String,
+      fields0: Option[org.apache.spark.sql.DataFrame] = None): EtlConfig = {
     // required-env lookups go through the same remediation report as the
     // field-name checks — a missing var must not surface as a bare
     // NoSuchElementException (gh.js:92-115 reports every missing env)
@@ -95,8 +96,8 @@ object EtlCli {
           s"automatically via the API. Please go create it at: " +
           s"https://github.com/orgs/$org/projects?type=beta")))
 
-    val fields = ApiSource.fetchTable(spark, transport, "/project/fields",
-      ApiSource.fieldSchema)
+    val fields = fields0.getOrElse(ApiSource.fetchTable(spark, transport,
+      "/project/fields", ApiSource.fieldSchema))
     val byName: Map[String, String] = fields.select("name", "id").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
 
@@ -158,13 +159,36 @@ object EtlCli {
       fieldIds = named.map { case (_, key, name) => key -> byName(name) }.toMap)
   }
 
-  /** Assemble config from env + dim files and run the migration. */
+  /** The project-fields dim read as the DSv2 `graft-api` source:
+    * pages fetched on EXECUTORS as real input partitions (vs the
+    * driver-side one-shot `ApiSource.fetchTable`) — the right shape
+    * once the dim endpoint is big enough to page. The stub/real server
+    * contract is the DSv2 one: `?page=N` 0-based, empty array past the
+    * end. Wired into the full migration via [[run]]'s `apiFields`. */
+  def dsv2Fields(
+      spark: SparkSession,
+      endpoint: String,
+      headers: Map[String, String] = Map.empty,
+      partitions: Int = 2): org.apache.spark.sql.DataFrame = {
+    val r = spark.read.format("graft-api")
+      .schema(ApiSource.fieldSchema)
+      .option("endpoint", endpoint)
+      .option("urlTemplate", "/project/fields?page={page}")
+      .option("partitions", partitions.toString)
+    headers.foldLeft(r) { case (b, (k, v)) => b.option(s"header.$k", v) }.load()
+  }
+
+  /** Assemble config from env + dim files and run the migration.
+    * `apiFields` (e.g. [[dsv2Fields]]) replaces BOTH field-dim reads —
+    * mustInit's name→id resolution here and the id validation inside
+    * [[EtlMain.run]] — with the executor-side DSv2 scan. */
   def run(
       spark: SparkSession,
       env: Map[String, String],
       transport: Transport,
       boardPath: String,
-      trelloFieldsPath: Option[String] = None): EtlResult = {
+      trelloFieldsPath: Option[String] = None,
+      apiFields: Option[org.apache.spark.sql.DataFrame] = None): EtlResult = {
     // trello-fields.json supplies the board-side custom-field ids
     // (lib/transform.js:10, README "trello-fields.json") — only
     // `secondaryAdmin` feeds the migration (fallback-owner extraction)
@@ -172,7 +196,7 @@ object EtlCli {
       .map(p => DimFiles.asMap(DimFiles.trelloFields(spark, p)))
       .flatMap(_.get("secondaryAdmin"))
       .getOrElse("")
-    val config = resolveConfig(spark, env, transport, secondaryAdmin)
+    val config = resolveConfig(spark, env, transport, secondaryAdmin, apiFields)
     // durable ledgers — the reference persists db.json automatically
     // between runs (etl.js:14-19); with GRAFT_STATE_DIR set the CLI
     // does the same: load before, save after, so a re-run sends only
@@ -186,7 +210,8 @@ object EtlCli {
           issueLedger0 =
             Some(StateStore.load(spark, issuePath, EtlMain.issueLedgerSchema)),
           fieldLedger0 =
-            Some(StateStore.load(spark, fieldPath, EtlMain.fieldLedgerSchema)))
+            Some(StateStore.load(spark, fieldPath, EtlMain.fieldLedgerSchema)),
+          fields0 = apiFields)
         StateStore.save(result.issueLedger, issuePath,
           bucketCols = Seq("entity_kind", "entity_id"))
         StateStore.save(result.fieldLedger, fieldPath,
@@ -194,7 +219,8 @@ object EtlCli {
         result.copy(
           issueLedger = StateStore.load(spark, issuePath, EtlMain.issueLedgerSchema),
           fieldLedger = StateStore.load(spark, fieldPath, EtlMain.fieldLedgerSchema))
-      case None => EtlMain.run(spark, boardPath, config, transport)
+      case None =>
+        EtlMain.run(spark, boardPath, config, transport, fields0 = apiFields)
     }
   }
 
@@ -208,14 +234,22 @@ object EtlCli {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     try {
-      val transport = new JdkTransport(
-        sys.env.getOrElse("GITHUB_API_URL", "https://api.github.com"),
-        Map(
-          "accept" -> "application/vnd.github.v3+json",
-          "Authorization" -> s"token ${sys.env.getOrElse("GITHUB_TOKEN", "")}"))
+      val apiUrl = sys.env.getOrElse("GITHUB_API_URL", "https://api.github.com")
+      val headers = Map(
+        "accept" -> "application/vnd.github.v3+json",
+        "Authorization" -> s"token ${sys.env.getOrElse("GITHUB_TOKEN", "")}")
+      val transport = new JdkTransport(apiUrl, headers)
+      // GRAFT_API_FIELDS_DSV2=1 routes the field-dim reads through the
+      // partition-per-page DSv2 scan (the server must answer the
+      // ?page=N contract); default stays the driver-side fetch
+      val fieldsFrame =
+        if (sys.env.get("GRAFT_API_FIELDS_DSV2").exists(_.nonEmpty))
+          Some(dsv2Fields(spark, apiUrl, headers))
+        else None
       val result = run(spark, sys.env.toMap, transport,
         boardPath = args.lift(0).getOrElse("./board.json"),
-        trelloFieldsPath = args.lift(1))
+        trelloFieldsPath = args.lift(1),
+        apiFields = fieldsFrame)
       println(s"sent=${result.report.sent} retried=${result.report.retried} " +
         s"failed=${result.report.failed}")
     } catch {

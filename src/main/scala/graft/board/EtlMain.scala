@@ -127,7 +127,8 @@ object EtlMain {
       transport: Transport,
       issueLedger0: Option[DataFrame] = None,
       fieldLedger0: Option[DataFrame] = None,
-      sleeper: Long => Unit = Thread.sleep): EtlResult = {
+      sleeper: Long => Unit = Thread.sleep,
+      fields0: Option[DataFrame] = None): EtlResult = {
     import spark.implicits._
     val writer = new RateLimitedWriter(transport, config.policy, sleeper)
     var totalSent = 0; var totalRetried = 0; var totalFailed = 0
@@ -135,9 +136,14 @@ object EtlMain {
       totalSent += r.sent; totalRetried += r.retried; totalFailed += r.failed
     }
 
-    // ---- mustInit (S3/J10): configured field ids must exist remotely
-    val fields = ApiSource.fetchTable(spark, transport, "/project/fields",
-      ApiSource.fieldSchema)
+    // ---- mustInit (S3/J10): configured field ids must exist remotely.
+    //      `fields0` lets the caller supply the dim through the DSv2
+    //      `graft-api` source (partition-per-page executor-side scan —
+    //      EtlCli wires it when the endpoint is HTTP); the default
+    //      stays the driver-side one-shot fetch, right for a
+    //      page-capped dim read over an opaque Transport.
+    val fields = fields0.getOrElse(ApiSource.fetchTable(spark, transport,
+      "/project/fields", ApiSource.fieldSchema))
     ConfigValidation.requireAllPresent(
       config.fieldIds.values.toSeq.toDF("id"), fields.select("id"), "id",
       "project field")

@@ -72,6 +72,10 @@ class EtlCliSpec extends SparkSpecBase {
           HttpResponse(200,
             s"""{"data":{"organization":{"projectsNext":{"nodes":[$nodes]}}}}""")
         case ("GET", "/project/fields") => HttpResponse(200, fieldsJson)
+        // the DSv2 paged contract (?page=N 0-based, empty past the end)
+        case ("GET", url) if url.startsWith("/project/fields?page=") =>
+          val page = url.substring("/project/fields?page=".length).toInt
+          HttpResponse(200, if (page == 0) fieldsJson else "[]")
         case ("GET", "/repos/org1/repo1") =>
           if (repoExists) HttpResponse(200, """{"name":"repo1","full_name":"org1/repo1"}""")
           else HttpResponse(404, """{"message":"Not Found"}""")
@@ -208,6 +212,61 @@ class EtlCliSpec extends SparkSpecBase {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+  }
+
+  test("DSv2 graft-api field source drives the full migration over live HTTP") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    // the scripted backend served over a REAL socket: the DSv2 field
+    // scan (executor-side page fetches) and the mutation transport both
+    // hit the same live server, so this is the end-to-end CLI flow with
+    // `spark.read.format("graft-api")` as the dim source
+    val gh = new FakeGithub
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val url = ex.getRequestURI.getPath +
+          Option(ex.getRequestURI.getQuery).map("?" + _).getOrElse("")
+        // page fetches arrive concurrently from executor threads; the
+        // scripted backend mutates counters, so serialize at the door
+        val resp = gh.synchronized {
+          gh.send(HttpRequest(ex.getRequestMethod, url, body))
+        }
+        val bytes = resp.body.getBytes("UTF-8")
+        ex.sendResponseHeaders(resp.status, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val endpoint = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val transport = new graft.sinks.JdkTransport(endpoint)
+      val fieldsFrame = EtlCli.dsv2Fields(spark, endpoint, partitions = 2)
+      // partition-per-page planning: the scan is real input partitions,
+      // not a driver loop
+      assert(fieldsFrame.rdd.getNumPartitions == 2)
+      assert(fieldsFrame.queryExecution.executedPlan.toString.contains("BatchScan"))
+
+      val result = EtlCli.run(spark, env, transport, boardPath,
+        apiFields = Some(fieldsFrame))
+      // same migration as the Transport-only run: 4 creates, 30 field
+      // sets, resolved remote ids in payloads
+      val creates = gh.log.filter(r =>
+        r.method == "POST" && r.url == "/repos/org1/repo1/issues")
+      assert(creates.size == 4)
+      val sets = gh.log.filter(_.body.contains("updateProjectNextItemField"))
+      assert(sets.size == 30)
+      assert(sets.exists(_.body.contains(""""fieldId":"F_DASH"""")))
+      assert(result.report.failed == 0)
+      assert(result.issueLedger.count() == 4)
+      // the dim reads went through the paged DSv2 contract — and the
+      // driver-side one-shot fetch never fired (BOTH field reads were
+      // replaced, resolveConfig's and EtlMain.run's)
+      assert(gh.log.exists(r => r.url == "/project/fields?page=0"))
+      assert(!gh.log.exists(r => r.url == "/project/fields"))
+    } finally server.stop(0)
   }
 
   test("parseBoardLists mirrors the reference split (gh.js:78-80)") {
