@@ -1,0 +1,133 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-executor shuffle-parity probe: runs the shuffle-heavy dedup
+  * family twice in one JVM — once on `local[*]` (threads, shared heap,
+  * no serialization boundary) and once on `local-cluster[4,8,4096]`
+  * (a real standalone master + 4 forked executor JVMs, real netty
+  * shuffle transport, real task/broadcast serialization) — and diffs
+  * the order-canonicalized result hashes. Identical hashes prove the
+  * plans carry no thread-shared state: every operator survives the
+  * executor-process boundary a 1000-node cluster imposes.
+  *
+  * local-cluster executors are forked with the launching JVM's full
+  * classpath (`spark.testing` routes `java.class.path` into the
+  * executor command — the same mechanism Spark's own test suite uses),
+  * so the probe needs no packaged jar; `SPARK_HOME` must point at the
+  * Spark dist (defaulted to /opt/spark here).
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.ClusterProbe"
+  */
+object ClusterProbe {
+
+  /** Same heavy tier as SpillProbe, minus nothing: the families whose
+    * 100 TB story lives or dies on real shuffle behavior. */
+  private val Targets = Seq(
+    "q35_dedup_exact",
+    "q36_dedup_minhash_lsh",
+    "q37_dedup_jaccard_verify",
+    "q77_dedup_clusters",
+    "q102_incremental_dedup",
+    "q113_simhash_hamming_pairs",
+    "q122_shared_span_pairs",
+    "q130_ann_ivf_pq",
+    "q136_media_dedup_clusters")
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  private def session(master: String): SparkSession = {
+    val b = SparkSession.builder().master(master)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+    val withExec =
+      if (master.startsWith("local-cluster"))
+        b.config("spark.executor.extraJavaOptions", addOpens)
+          // the probe's point is the process boundary; keep executor
+          // heaps modest so broadcast/shuffle actually move bytes
+          .config("spark.executor.memory", "3g")
+      else b
+    withExec.getOrCreate()
+  }
+
+  private def hashOf(df: DataFrame): (String, Int, Double) = {
+    val t0 = System.nanoTime()
+    val rows = df.collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val md = MessageDigest.getInstance("MD5")
+    rows.map(_.toString).sorted.foreach(s => md.update(s.getBytes("UTF-8")))
+    (md.digest().map(b => f"$b%02x").mkString, rows.length, sec)
+  }
+
+  /** Count AQE skew-split reads in the executed plan — nonzero means
+    * the runtime re-planner actually split a skewed partition. */
+  private def skewSplits(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan.toString
+    plan.sliding("skewed=true".length).count(_ == "skewed=true")
+  }
+
+  private def runAll(spark: SparkSession, sfDir: String)
+      : Map[String, (String, Int, Double, Int)] = {
+    Targets.map { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val (h, n, sec) = hashOf(df)
+      val skew = skewSplits(df)
+      println(f"CLUSTERPROBE ${spark.sparkContext.master}%-26s $name%-28s " +
+        f"sec=$sec%7.2f rows=$n%7d skewSplits=$skew%d hash=$h")
+      SparkEntry.releaseCaches(spark)
+      System.gc()
+      name -> ((h, n, sec, skew))
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val clusterMaster =
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER", "local-cluster[4,8,4096]")
+    require(sys.env.contains("SPARK_HOME"),
+      "local-cluster executors are forked via the Spark dist launcher — " +
+        "run with SPARK_HOME=/opt/spark")
+    System.setProperty("spark.testing", "true")
+
+    val local = session("local[8]")
+    local.sparkContext.setLogLevel("WARN")
+    println(s"CLUSTERPROBE phase=local sf=$sfDir")
+    val ref = runAll(local, sfDir)
+    local.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    val cluster = session(clusterMaster)
+    cluster.sparkContext.setLogLevel("WARN")
+    println(s"CLUSTERPROBE phase=cluster master=$clusterMaster executors=" +
+      cluster.sparkContext.getExecutorMemoryStatus.size)
+    val got = runAll(cluster, sfDir)
+    cluster.stop()
+
+    var ok = true
+    Targets.foreach { name =>
+      val (rh, rn, _, _) = ref(name)
+      val (ch, cn, _, skew) = got(name)
+      val parity = rh == ch && rn == cn
+      ok &&= parity
+      println(f"PARITY $name%-28s ${if (parity) "IDENTICAL" else "MISMATCH"}%-10s " +
+        f"rows=$cn%7d skewSplits=$skew%d")
+    }
+    println(s"CLUSTERPROBE verdict=${if (ok) "ALL-IDENTICAL" else "MISMATCH"}")
+    if (!ok) sys.exit(1)
+  }
+}
