@@ -20,8 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Spark dist (defaulted to /opt/spark here).
   *
   * Usage:
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *     sbt "runMain graft.ClusterProbe"
+  * (SPARK_SCALA_VERSION short-circuits the launcher's getScalaVersion,
+  * which under spark.testing otherwise demands a source-build
+  * launcher/target/scala-2.13 directory the binary dist lacks.)
   */
 object ClusterProbe {
 
@@ -102,6 +106,9 @@ object ClusterProbe {
       "local-cluster executors are forked via the Spark dist launcher — " +
         "run with SPARK_HOME=/opt/spark")
     System.setProperty("spark.testing", "true")
+    // spark.testing makes the forked Worker assert its dist root from
+    // spark.test.home instead of SPARK_HOME — point it at the same dist
+    System.setProperty("spark.test.home", sys.env("SPARK_HOME"))
 
     val local = session("local[8]")
     local.sparkContext.setLogLevel("WARN")
