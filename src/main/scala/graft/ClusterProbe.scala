@@ -40,7 +40,12 @@ object ClusterProbe {
     "q113_simhash_hamming_pairs",
     "q122_shared_span_pairs",
     "q130_ann_ivf_pq",
-    "q136_media_dedup_clusters")
+    "q136_media_dedup_clusters",
+    // the r16 rep-keeping band cap in its TRIPPING regime (cap = 4
+    // genuinely prunes at every SF), so cluster parity covers the
+    // pruned path — hot-band rep windows + star joins across a real
+    // process boundary — not just the never-trips default
+    "q203_dedup_lsh_cap_tripped")
 
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",

@@ -24,6 +24,9 @@ object SparkEntry {
     * consumed; the result's lineage may be truncated, so do not call
     * while a returned DataFrame is still to be re-computed. */
   def releaseCaches(spark: SparkSession): Unit = {
+    // memo first: a memoized frame whose checkpoint blocks have been
+    // unpersisted cannot recompute (truncated lineage)
+    operators.DedupQueries.clearChainMemo()
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))

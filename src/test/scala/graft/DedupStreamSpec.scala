@@ -126,6 +126,74 @@ class DedupStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("admission decisions equal q202's batch containment policy on the cross slice") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val thr = 0.8
+    // corpus = originals; the planted q202/q197 quotes arrive as the
+    // stream. Ground truth: the batch policy rule (both directions over
+    // the gate -> drop the larger id; else drop the contained side)
+    // applied to the SAME scored chain q202 runs — quoteCorpus
+    // candidates restricted to the orig x quote slice the stream probes
+    val originals = DedupQueries.originalDocs(spark, sf)
+    val corpusSets = DedupQueries.shingleSetsOf(originals).localCheckpoint()
+    val corpusBands = DedupQueries.bandKeys(
+      DedupQueries.minhashFrom(corpusSets)).localCheckpoint()
+    val quotesDf = Tables.documents(spark, sf)
+      .withColumn("ts", split(trim(col("text")), "\\s+"))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(col("ts"), lit(1),
+          greatest(lit(3), (size(col("ts")) / 2))), " ").as("text"))
+    val allSets = DedupQueries.shingleSetsOf(
+      originals.unionByName(quotesDf)).localCheckpoint()
+    val scored = DedupQueries.candidatePairsFrom(DedupQueries.minhashFrom(allSets))
+      .filter(col("doc_a") < 2000000L && col("doc_b") >= 2000000L)
+      .join(allSets.select(col("doc_id").as("doc_a"), col("sd").as("sa")), Seq("doc_a"))
+      .join(allSets.select(col("doc_id").as("doc_b"), col("sd").as("sb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("c_ab", col("inter").cast("double") / size(col("sa")))
+      .withColumn("c_ba", col("inter").cast("double") / size(col("sb")))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= thr)
+      .withColumn("victim",
+        when(col("c_ab") >= thr && col("c_ba") >= thr,
+          greatest(col("doc_a"), col("doc_b")))
+          .when(col("c_ab") >= thr, col("doc_a"))
+          .otherwise(col("doc_b")))
+    val expected = scored.select("doc_a", "doc_b", "victim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty)
+    // the planted structure guarantees quote-side victims; the rule is
+    // only fully exercised if at least one pair exists at all
+    val quotes = quotesDf.collect().map(r => (r.getLong(0), r.getString(1)))
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = DedupStream.admitQuotesAgainstCorpus(stream, corpusBands, corpusSets, thr)
+      .writeStream.format("memory").queryName("admit_decisions")
+      .outputMode("append").start()
+    try {
+      val (first, second) = quotes.splitAt(quotes.length / 2)
+      mem.addData(first.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(second.toIndexedSeq: _*)
+      q.processAllAvailable()
+      // stream rows are (arriving=quote, quoted_from=orig, ..., victim);
+      // map to the batch orientation (doc_a=orig < doc_b=quote)
+      val got = spark.table("admit_decisions")
+        .select(col("quoted_from"), col("doc_id"), col("victim"), col("drop_arriving"))
+        .distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(got.map(t => (t._1, t._2, t._3)).toSet == expected,
+        s"stream-only=${(got.map(t => (t._1, t._2, t._3)).toSet -- expected).take(3)} " +
+          s"batch-only=${(expected -- got.map(t => (t._1, t._2, t._3)).toSet).take(3)}")
+      // the admission verdict is consistent with the victim column
+      assert(got.forall(t => t._4 == (t._3 == t._2)))
+    } finally {
+      q.stop()
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
   test("stream-static join flags exactly the batch new-vs-corpus collisions") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -298,6 +366,39 @@ class DedupStreamSpec extends SparkSpecBase {
       val ledger = DedupStream.loadIndex(spark, path)
       val flaggedIds = flags.map(_._1).toSet
       assert(ledger.collect().forall(r => !flaggedIds.contains(r.getLong(0))))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
+  test("an over-cap identical crowd collapses to one survivor and does not poison the ledger") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-crowd").toString
+    try {
+      val path = s"$dir/bands"
+      val text = "sphinx of black quartz judge my vow said the quiet archivist"
+      val n = DedupQueries.DefaultBandCap + 1L
+      // the round-15 advice's high finding, end-to-end: ONE micro-batch
+      // delivers > DefaultBandCap identical docs, so every band of the
+      // crowd is hot. Drop-the-band semantics emitted ZERO flags, folded
+      // the WHOLE crowd into the ledger, and then hid the over-cap
+      // ledger band from every future probe — unbounded duplicate
+      // admission. Rep-keeping must flag all but the min id now…
+      val crowd = (100L until (100L + n)).map(i => (i, text))
+      val f0 = DedupStream.processBatch(spark, toDf(crowd), path, 0L)
+        .select("doc_id", "dup_of").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(f0.size == (n - 1).toInt, s"expected ${n - 1} flags, got ${f0.size}")
+      assert(f0.forall(_._2 == 100L), "every crowd member must flag against the min id")
+      // …fold exactly one survivor…
+      val ledger = DedupStream.loadIndex(spark, path)
+      assert(ledger.select("doc_id").distinct().count() == 1)
+      // …and keep the ledger band probe-visible: a twin in a LATER
+      // micro-batch is still flagged against the survivor
+      val f1 = DedupStream.processBatch(spark, toDf(Seq((900000L, text))), path, 1L)
+        .select("doc_id", "dup_of").distinct().collect()
+      assert(f1.length == 1 && f1(0).getLong(1) == 100L,
+        "a later twin must flag against the folded survivor")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       SparkEntry.releaseCaches(spark)
