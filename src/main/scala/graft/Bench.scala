@@ -286,7 +286,24 @@ object Bench {
     // timed passes the per-query min covers — cross-round comparisons
     // must not silently mix cold and steady-state measurements
     val extraTotal = results.map(_.extraPasses).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes,"extra_passes":$extraTotal,"gc_every":$gcEvery,"control":${fmt(control)},"detail":"${detailFile.getName}"$spreadField$errField}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes,"extra_passes":$extraTotal,"gc_every":$gcEvery,"control":${fmt(control)},"detail":"${detailFile.getName}"$spreadField$errField}"""
+    // The driver keeps only a ~2k stdout TAIL, so the full line (203
+    // queries ≈ 4 KB) cannot survive inline — r16's round artifact was
+    // a mid-line truncation with "parsed": null. Canonical record now
+    // goes to a stable file the driver/judge ingests whole; stdout gets
+    // the full line (for humans running Bench by hand) followed by a
+    // compact LAST line that fits the tail window intact, so the
+    // driver's tail-parse recovers total/control/families/errors even
+    // though the per-query map rides in the files.
+    val fullDefault =
+      if (only.isDefined) "BENCH_FULL_ONLY.json" else "BENCH_FULL.json"
+    val fullFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", fullDefault))
+    val fw = new java.io.PrintWriter(fullFile, "UTF-8")
+    try fw.println(fullLine) finally fw.close()
+    println(fullLine)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.count(_.minS >= 0)},"sf":"$sfDir","warm":$warmed,"passes":$passes,"extra_passes":$extraTotal,"gc_every":$gcEvery,"control":${fmt(control)},"families":$families,"queries_file":"${fullFile.getName}","detail":"${detailFile.getName}"$errField}""")
     spark.stop()
   }
 }

@@ -45,7 +45,12 @@ object ClusterProbe {
     // genuinely prunes at every SF), so cluster parity covers the
     // pruned path — hot-band rep windows + star joins across a real
     // process boundary — not just the never-trips default
-    "q203_dedup_lsh_cap_tripped")
+    "q203_dedup_lsh_cap_tripped",
+    // the two remaining r16-changed paths: the planted-twins embedding
+    // near-dup corpus (2× vectors + bucket cap) and the containment
+    // admission-policy chain behind the streaming twin
+    "q81_embedding_neardup_pairs",
+    "q202_containment_policy_curve")
 
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",

@@ -26,7 +26,7 @@ object SparkEntry {
   def releaseCaches(spark: SparkSession): Unit = {
     // memo first: a memoized frame whose checkpoint blocks have been
     // unpersisted cannot recompute (truncated lineage)
-    operators.DedupQueries.clearChainMemo()
+    operators.DedupQueries.clearChainMemo(spark)
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))

@@ -127,8 +127,14 @@ object DedupQueries {
     * once ("persist the LSH index"); localCheckpoint is the in-process
     * equivalent. Bench/QBench/Verify unpersist all persistent RDDs
     * between queries, so nothing leaks into later measurements. */
-  private[graft] def sigIndex(s: SparkSession, d: String): DataFrame =
-    memoized(s, s"sigs:$d")(minhashFrom(shingleSetsCk(s, d)).localCheckpoint())
+  private[graft] def sigIndex(s: SparkSession, d: String): DataFrame = {
+    // Resolve the sets memo BEFORE entering the sigs memo: a nested
+    // computeIfAbsent on the same ConcurrentHashMap is undefined when
+    // both keys land in one bin (JDK throws "Recursive update", or
+    // silently unlinks the inner entry — lost memo + leaked checkpoint).
+    val sets = shingleSetsCk(s, d)
+    memoized(s, s"sigs:$d")(minhashFrom(sets).localCheckpoint())
+  }
 
   /** The materialized variant-corpus shingle sets, memoized per
     * (session, dir) alongside [[sigIndex]] — composite queries
@@ -155,6 +161,13 @@ object DedupQueries {
     * blocks are gone cannot recompute: localCheckpoint truncates
     * lineage). Called by [[graft.SparkEntry.releaseCaches]]. */
   private[graft] def clearChainMemo(): Unit = chainMemo.clear()
+
+  /** Per-session variant: drops only the given session's memo entries,
+    * so releaseCaches(sparkA) in a multi-session JVM (ClusterProbe,
+    * parallel test suites) cannot discard sparkB's live frames while
+    * B's checkpoint blocks stay persisted. */
+  private[graft] def clearChainMemo(s: SparkSession): Unit =
+    chainMemo.keySet.removeIf(_._1 eq s)
 
   /** Audit hook: the minhash pipeline WITHOUT the materializing
     * checkpoints, so PlanAuditSpec can pin the partial-aggregation

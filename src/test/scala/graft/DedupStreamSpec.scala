@@ -547,6 +547,83 @@ class DedupStreamSpec extends SparkSpecBase {
     }
   }
 
+  test("admission decisions survive a mid-corpus kill/restart unchanged " +
+      "(checkpointed file source + exactly-once file sink)") {
+    val thr = 0.8
+    val dir = java.nio.file.Files.createTempDirectory("graft-admit-restart").toString
+    try {
+      // same planted corpus as the batch-equality test above: originals
+      // are the held corpus, truncated-prefix quotes arrive as the stream
+      val originals = DedupQueries.originalDocs(spark, sf)
+      val corpusSets = DedupQueries.shingleSetsOf(originals).localCheckpoint()
+      val corpusBands = DedupQueries.bandKeys(
+        DedupQueries.minhashFrom(corpusSets)).localCheckpoint()
+      val quotesDf = Tables.documents(spark, sf)
+        .withColumn("ts", split(trim(col("text")), "\\s+"))
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(col("ts"), lit(1),
+            greatest(lit(3), (size(col("ts")) / 2))), " ").as("text"))
+      // ground truth: ONE uninterrupted pass over the whole quote corpus
+      // through the same stateless transform, plus its raw row count
+      // (per-band repeats included) — the restart must change neither
+      val uninterrupted = DedupStream.admitQuotesAgainstCorpus(
+        quotesDf, corpusBands, corpusSets, thr)
+      val expectedRows = uninterrupted
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4), r.getBoolean(5)))
+      assert(expectedRows.nonEmpty)
+
+      val quotes = quotesDf.collect().map(r => (r.getLong(0), r.getString(1)))
+      val (first, second) = quotes.splitAt(quotes.length / 2)
+      val srcDir = s"$dir/src"; val outDir = s"$dir/out"; val ckDir = s"$dir/ckpt"
+      // drop each half as ONE flat file in the source dir (write to a
+      // staging dir, move the part file in) — the arrival pattern a
+      // file-watching ingest actually sees
+      def addFile(rows: Seq[(Long, String)], name: String): Unit = {
+        val stage = new java.io.File(s"$dir/stage-$name")
+        toDf(rows).coalesce(1).write.parquet(stage.toString)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+      }
+      def startQuery() = DedupStream.admitQuotesAgainstCorpus(
+          spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", "1").parquet(srcDir),
+          corpusBands, corpusSets, thr)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+
+      addFile(first.toIndexedSeq, "a")
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop() // the kill: mid-corpus, checkpoint holds the offsets
+      addFile(second.toIndexedSeq, "b")
+      val q2 = startQuery() // restart from the same checkpoint
+      q2.processAllAvailable()
+      q2.stop()
+      // a third restart with NO new input must re-emit nothing
+      val q3 = startQuery()
+      q3.processAllAvailable()
+      q3.stop()
+
+      val got = spark.read.parquet(outDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4), r.getBoolean(5)))
+      // exactly-once across the kill: same decision rows, same
+      // multiplicities — nothing lost at the boundary, nothing replayed
+      assert(got.length == expectedRows.length,
+        s"raw rows ${got.length} vs uninterrupted ${expectedRows.length}")
+      assert(got.toSet == expectedRows.toSet,
+        s"restart-only=${(got.toSet -- expectedRows.toSet).take(3)} " +
+          s"uninterrupted-only=${(expectedRows.toSet -- got.toSet).take(3)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      SparkEntry.releaseCaches(spark)
+    }
+  }
+
   test("streaming wiring: foreachBatch maintains the index across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
