@@ -91,7 +91,11 @@ object ClusterProbe {
     * the runtime re-planner actually split a skewed partition. */
   private def skewSplits(df: DataFrame): Int = {
     val plan = df.queryExecution.executedPlan.toString
-    plan.sliding("skewed=true".length).count(_ == "skewed=true")
+    // Spark 4.1's finalized AQE plan marks the join "skew=true" and the
+    // shuffle-read node "skewed" (the old "skewed=true" spelling never
+    // occurs — it under-counted to a constant 0)
+    plan.sliding("skew=true".length).count(_ == "skew=true") +
+      plan.sliding("skewed".length).count(_ == "skewed")
   }
 
   private def runAll(spark: SparkSession, sfDir: String)
