@@ -39,7 +39,12 @@ def main():
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # driver testdata ships single-file tables; Spark-written scale
+        # points (ScaleUp's target/sf1) are part-file directories
+        path = f"{sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out}/oracle_sql.json") as f:
         oracle = json.load(f)
     # mirror graft.Verify's subset env so partial dumps compare cleanly
