@@ -109,7 +109,7 @@ object Bench {
     // extra_passes marks every row that needed the adaptive path.
     val spreadTol = sys.env.getOrElse("SPARK_GRAFT_SPREAD_TOL", "0.5").toDouble
     val maxExtra = math.max(0, sys.env.getOrElse("SPARK_GRAFT_EXTRA_PASSES", "3").toInt)
-    val results = selected.zipWithIndex.map {
+    def sweepOnce(): Seq[BenchRow] = selected.zipWithIndex.map {
       case ((name, fn), qi) =>
       def onePass(): (Double, Long, Boolean) = {
         val gc0 = gcMillis
@@ -173,6 +173,47 @@ object Bench {
       BenchRow(name, best, spread, times.map(_._1), times.map(_._3),
         times.map(_._2).sum, failed, coreSpread, extra)
     }
+    // Contention-aware graded sweeps (r17 verdict item 5): every round
+    // since r11 has spent adjudication effort reading round artifacts
+    // through a contended host window after the fact. Detect the bad
+    // window from the sweep's own control instead: if the q01–q30
+    // subtotal (plans frozen since r7) exceeds the standing anchor's
+    // control by more than SPARK_GRAFT_CONTROL_TOL (default 1.25×),
+    // re-run the whole sweep, bounded by SPARK_GRAFT_SWEEP_RETRIES
+    // (default 2), and write artifacts from the attempt with the
+    // fastest control. Guarded to FULL sweeps at the anchor's scale —
+    // focused (BENCH_ONLY) and off-scale runs are manual adjudication
+    // already, and their partial control subtotals would be garbage
+    // against the full-battery anchor. The anchor default must move
+    // with each re-anchor (BASELINE.md "Round-17 anchor": 9.123 s);
+    // SPARK_GRAFT_ANCHOR_CONTROL=0 disables the guard outright.
+    def qNumOf(r: BenchRow): Int = r.name.takeWhile(_ != '_').drop(1).toInt
+    def controlOf(rs: Seq[BenchRow]): Double =
+      rs.collect { case r if r.minS >= 0 && qNumOf(r) <= 30 => r.minS }.sum
+    val anchorControl =
+      sys.env.getOrElse("SPARK_GRAFT_ANCHOR_CONTROL", "9.123").toDouble
+    val controlTol = sys.env.getOrElse("SPARK_GRAFT_CONTROL_TOL", "1.25").toDouble
+    val sweepRetries =
+      math.max(0, sys.env.getOrElse("SPARK_GRAFT_SWEEP_RETRIES", "2").toInt)
+    val anchorSf = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_SF", "sf0.1")
+    val guarded = only.isEmpty && sfDir.contains(anchorSf) && anchorControl > 0
+    var attempts = List(sweepOnce())
+    while (guarded && attempts.size <= sweepRetries &&
+        controlOf(attempts.head) > anchorControl * controlTol) {
+      System.err.println(
+        f"[bench] control ${controlOf(attempts.head)}%.3f s > $controlTol%.2f× " +
+          f"anchor $anchorControl%.3f s — contended window; re-running sweep " +
+          s"(attempt ${attempts.size + 1} of ${sweepRetries + 1})")
+      System.gc()
+      attempts ::= sweepOnce()
+    }
+    val controlsTried = attempts.reverse.map(controlOf)
+    if (guarded && controlsTried.min > anchorControl * controlTol)
+      System.err.println(
+        f"[bench] WARNING: control still ${controlsTried.min}%.3f s after " +
+          s"${attempts.size} attempt(s) — artifacts carry the best window; " +
+          "read totals control-normalized")
+    val results = attempts.minBy(controlOf)
     // The driver keeps only the tail of this process's output, so the
     // one JSON line must stay well under 2000 chars even with sbt's
     // "[success] ..." trailer after it: short keys (the qNN prefix is
@@ -265,10 +306,15 @@ object Bench {
     val detailFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", detailDefault))
     val dw = new java.io.PrintWriter(detailFile, "UTF-8")
+    // control_attempts: every attempt's q01–q30 subtotal in run order —
+    // a retried sweep is visible in the artifact, not just on stderr
+    val attemptsField =
+      s""""sweep_attempts":${controlsTried.size},"control_attempts":${
+        controlsTried.map(fmt).mkString("[", ",", "]")}"""
     try dw.println(
       s"""{"sf":"$sfDir","warm":$warmed,"passes":$passes,"gc_every":$gcEvery,""" +
         s""""total_min_s":${fmt(total)},"control_q01_30_s":${fmt(control)},""" +
-        s""""families":$families,"rows":$detail}""")
+        s"""$attemptsField,"families":$families,"rows":$detail}""")
     finally dw.close()
     // capped by BYTES, not entry count: pass lists scale with
     // SPARK_GRAFT_PASSES, and the whole line must survive the driver's
@@ -287,7 +333,7 @@ object Bench {
     // must not silently mix cold and steady-state measurements
     val extraTotal = results.map(_.extraPasses).sum
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes,"extra_passes":$extraTotal,"gc_every":$gcEvery,"control":${fmt(control)},"detail":"${detailFile.getName}"$spreadField$errField}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes,"extra_passes":$extraTotal,"gc_every":$gcEvery,"control":${fmt(control)},$attemptsField,"detail":"${detailFile.getName}"$spreadField$errField}"""
     // The driver keeps only a ~2k stdout TAIL, so the full line (203
     // queries ≈ 4 KB) cannot survive inline — r16's round artifact was
     // a mid-line truncation with "parsed": null. Canonical record now
@@ -303,7 +349,7 @@ object Bench {
     val fw = new java.io.PrintWriter(fullFile, "UTF-8")
     try fw.println(fullLine) finally fw.close()
     println(fullLine)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.count(_.minS >= 0)},"sf":"$sfDir","warm":$warmed,"passes":$passes,"extra_passes":$extraTotal,"gc_every":$gcEvery,"control":${fmt(control)},"families":$families,"queries_file":"${fullFile.getName}","detail":"${detailFile.getName}"$errField}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.count(_.minS >= 0)},"sf":"$sfDir","warm":$warmed,"passes":$passes,"extra_passes":$extraTotal,"gc_every":$gcEvery,"control":${fmt(control)},$attemptsField,"families":$families,"queries_file":"${fullFile.getName}","detail":"${detailFile.getName}"$errField}""")
     spark.stop()
   }
 }

@@ -98,17 +98,40 @@ object ClusterProbe {
       plan.sliding("skewed".length).count(_ == "skewed")
   }
 
-  private def runAll(spark: SparkSession, sfDir: String)
-      : Map[String, (String, Int, Double, Int)] = {
+  /** One target's record in one mode: parity hash + rows from the warm
+    * pass, then `floorSec` = min over the timed passes (Bench's `count()`
+    * pricing, so floors are comparable to the sweep's per-query minima;
+    * passes=0 keeps r16/r17's single-pass behavior — floor = warm). */
+  private final case class ProbeRow(hash: String, rows: Int,
+      warmSec: Double, floorSec: Double, passes: Seq[Double], skew: Int)
+
+  private def runAll(spark: SparkSession, sfDir: String, passes: Int)
+      : Map[String, ProbeRow] = {
     Targets.map { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val (h, n, sec) = hashOf(df)
+      def once() = SparkEntry.queries(name)(spark, sfDir)
+      val df = once()
+      val (h, n, warmSec) = hashOf(df)
       val skew = skewSplits(df)
-      println(f"CLUSTERPROBE ${spark.sparkContext.master}%-26s $name%-28s " +
-        f"sec=$sec%7.2f rows=$n%7d skewSplits=$skew%d hash=$h")
       SparkEntry.releaseCaches(spark)
       System.gc()
-      name -> ((h, n, sec, skew))
+      // pricing passes (r17 verdict item 4): parity alone can't grade
+      // cluster-mode COST — a serialization-bound plan passes the hash
+      // check and still dies at scale. Time warm re-executions the way
+      // Bench does (fresh plan per pass, count() action, caches
+      // released between passes) and keep the floor.
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        once().count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        SparkEntry.releaseCaches(spark)
+        System.gc()
+        dt
+      }
+      val floor = if (times.nonEmpty) times.min else warmSec
+      println(f"CLUSTERPROBE ${spark.sparkContext.master}%-26s $name%-28s " +
+        f"floor=$floor%7.2f warm=$warmSec%7.2f rows=$n%7d " +
+        f"skewSplits=$skew%d hash=$h passes=[${times.map(t => f"$t%.2f").mkString(" ")}]")
+      name -> ProbeRow(h, n, warmSec, floor, times, skew)
     }.toMap
   }
 
@@ -116,18 +139,24 @@ object ClusterProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val clusterMaster =
       sys.env.getOrElse("SPARK_GRAFT_CLUSTER", "local-cluster[4,8,4096]")
-    require(sys.env.contains("SPARK_HOME"),
-      "local-cluster executors are forked via the Spark dist launcher — " +
-        "run with SPARK_HOME=/opt/spark")
-    System.setProperty("spark.testing", "true")
-    // spark.testing makes the forked Worker assert its dist root from
-    // spark.test.home instead of SPARK_HOME — point it at the same dist
-    System.setProperty("spark.test.home", sys.env("SPARK_HOME"))
+    // warm timed passes per target per mode (0 = hash-parity only, the
+    // r16/r17 behavior); 3 = the graded min-of-3 floor recipe
+    val passes =
+      math.max(0, sys.env.getOrElse("SPARK_GRAFT_CLUSTER_PASSES", "3").toInt)
+    if (clusterMaster.startsWith("local-cluster")) {
+      require(sys.env.contains("SPARK_HOME"),
+        "local-cluster executors are forked via the Spark dist launcher — " +
+          "run with SPARK_HOME=/opt/spark")
+      System.setProperty("spark.testing", "true")
+      // spark.testing makes the forked Worker assert its dist root from
+      // spark.test.home instead of SPARK_HOME — point it at the same dist
+      System.setProperty("spark.test.home", sys.env("SPARK_HOME"))
+    }
 
     val local = session("local[8]")
     local.sparkContext.setLogLevel("WARN")
-    println(s"CLUSTERPROBE phase=local sf=$sfDir")
-    val ref = runAll(local, sfDir)
+    println(s"CLUSTERPROBE phase=local sf=$sfDir passes=$passes")
+    val ref = runAll(local, sfDir, passes)
     local.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -136,19 +165,45 @@ object ClusterProbe {
     cluster.sparkContext.setLogLevel("WARN")
     println(s"CLUSTERPROBE phase=cluster master=$clusterMaster executors=" +
       cluster.sparkContext.getExecutorMemoryStatus.size)
-    val got = runAll(cluster, sfDir)
+    val got = runAll(cluster, sfDir, passes)
     cluster.stop()
 
     var ok = true
     Targets.foreach { name =>
-      val (rh, rn, _, _) = ref(name)
-      val (ch, cn, _, skew) = got(name)
-      val parity = rh == ch && rn == cn
+      val r = ref(name)
+      val c = got(name)
+      val parity = r.hash == c.hash && r.rows == c.rows
       ok &&= parity
       println(f"PARITY $name%-28s ${if (parity) "IDENTICAL" else "MISMATCH"}%-10s " +
-        f"rows=$cn%7d skewSplits=$skew%d")
+        f"rows=${c.rows}%7d skewSplits=${c.skew}%d " +
+        f"local=${r.floorSec}%6.2f s cluster=${c.floorSec}%6.2f s " +
+        f"ratio=${c.floorSec / math.max(r.floorSec, 1e-9)}%5.2f×")
     }
-    println(s"CLUSTERPROBE verdict=${if (ok) "ALL-IDENTICAL" else "MISMATCH"}")
+    // Committed pricing artifact (r17 verdict item 4): local vs cluster
+    // floors per target, so cluster-mode cost is graded, not just
+    // parity-checked. Guideline: cluster floor ≤ ~2× local at fixture
+    // scale (fork/serialization overhead on 10k-row partitions);
+    // outliers need explaining in BASELINE.md.
+    def fmt(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val rowsJson = Targets.map { name =>
+      val r = ref(name)
+      val c = got(name)
+      s"""{"name":"$name","rows":${c.rows},"parity":${r.hash == c.hash && r.rows == c.rows},""" +
+        s""""local_floor_s":${fmt(r.floorSec)},"cluster_floor_s":${fmt(c.floorSec)},""" +
+        s""""ratio":${fmt(c.floorSec / math.max(r.floorSec, 1e-9))},""" +
+        s""""local_passes_s":[${r.passes.map(fmt).mkString(",")}],""" +
+        s""""cluster_passes_s":[${c.passes.map(fmt).mkString(",")}]}"""
+    }.mkString("[\n", ",\n", "\n]")
+    val outFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_OUT", "CLUSTERBENCH.json"))
+    val fw = new java.io.PrintWriter(outFile, "UTF-8")
+    try fw.println(
+      s"""{"sf":"$sfDir","cluster_master":"$clusterMaster","passes":$passes,""" +
+        s""""verdict":"${if (ok) "ALL-IDENTICAL" else "MISMATCH"}","rows":$rowsJson}""")
+    finally fw.close()
+    println(s"CLUSTERPROBE verdict=${if (ok) "ALL-IDENTICAL" else "MISMATCH"} " +
+      s"file=${outFile.getName}")
     if (!ok) sys.exit(1)
   }
 }

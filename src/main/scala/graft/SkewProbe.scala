@@ -142,7 +142,10 @@ object SkewProbe {
     // a 4,000-doc unique background. Uncapped: the crowd alone is
     // m(m-1)/2 ≈ 18M candidate rows from EVERY one of its band keys'
     // self-joins; capped: a star of m-1 pairs via the min-id rep.
-    val crowdN = 6000L
+    // sizes are env-scalable so a smoke run (ToolMainsSpec) can exercise
+    // the full probe flow — both defenses still TRIP at the reduced
+    // sizes; the committed SKEWPROBE.json always uses the defaults
+    val crowdN = sys.env.getOrElse("SPARK_GRAFT_SKEW_CROWD", "6000").toLong
     val crowd = spark.range(crowdN).select(col("id").as("doc_id"),
       lit("the quick brown fox jumps over the lazy dog near the riverbank every misty morning").as("text"))
     val bg = spark.range(crowdN, crowdN + 4000L).select(col("id").as("doc_id"),
@@ -165,7 +168,8 @@ object SkewProbe {
     // constant pad lz4-compresses to nothing and the hot partition's
     // shuffle bytes never reach any skew threshold (first probe run:
     // 1M hot rows = 462 KB compressed).
-    val left = spark.range(2000000L).select(
+    val probeRows = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "2000000").toLong
+    val left = spark.range(probeRows).select(
       when(col("id") % 2 === 0, 0L).otherwise(col("id") % 100000L).as("k"),
       col("id").as("v"),
       concat(md5(col("id").cast("string")),

@@ -31,13 +31,12 @@ def main() -> None:
     control = round(sum(v for n, v in queries.items()
                         if int(n[1:n.index("_")]) <= 30), 3)
 
-    # per-family envelope subtotals via each sweep's family partition
-    # (identical partitions by construction — same Bench.familyOf)
-    fam_of = {}
-    for fam in a["families"]:
-        fam_of[fam] = None  # placeholder; recompute from detail below
     # family membership is not in the detail rows, so recompute the
-    # subtotals by re-running Bench.familyOf's partition in python
+    # subtotals by re-running Bench.familyOf's partition in python.
+    # This partition is a hand-copy of Bench.familyOf — cross-validated
+    # below against each sweep sidecar's Bench-computed 'families' dict,
+    # so a future reclassification in Bench.scala fails loudly here
+    # instead of silently skewing the anchor's subtotals.
     text = {31, 32, 33, 34, 69, 70, 83, 88, 96, 111, 112, 115, 123, 125,
             129, 132, 138, 139, 140, 147, 148, 154, 160, 162, 167, 172,
             176, 179, 181, 182, 183, 184, 186, 187, 188, 189, 190, 193, 195}
@@ -61,6 +60,20 @@ def main() -> None:
             if q in s:
                 return fam
         return "connector"
+
+    # drift check: the Python partition applied to each sweep's own
+    # min_s rows must reproduce that sweep's Bench-computed subtotals
+    for label, sweep, rows in (("A", a, rows_a), ("B", b, rows_b)):
+        mine = {}
+        for n, r in rows.items():
+            f = family(n)
+            mine[f] = mine.get(f, 0.0) + r["min_s"]
+        for f, v in sweep["families"].items():
+            if abs(mine.get(f, 0.0) - v) > 0.01:
+                raise SystemExit(
+                    f"family partition drift vs Bench.familyOf (sweep {label},"
+                    f" family {f}): python {mine.get(f, 0.0):.3f}"
+                    f" != sidecar {v:.3f}")
 
     families = {}
     for n, v in queries.items():
