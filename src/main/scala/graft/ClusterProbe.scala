@@ -73,7 +73,9 @@ object ClusterProbe {
         b.config("spark.executor.extraJavaOptions", addOpens)
           // the probe's point is the process boundary; keep executor
           // heaps modest so broadcast/shuffle actually move bytes
-          .config("spark.executor.memory", "3g")
+          // (env-scalable so a smoke run can fit a small local-cluster)
+          .config("spark.executor.memory",
+            sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXEC_MEM", "3g"))
       else b
     withExec.getOrCreate()
   }

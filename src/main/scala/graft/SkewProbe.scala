@@ -169,14 +169,19 @@ object SkewProbe {
     // shuffle bytes never reach any skew threshold (first probe run:
     // 1M hot rows = 462 KB compressed).
     val probeRows = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "2000000").toLong
+    // build-side key cardinality scales with the probe side: the salted
+    // variant replicates the build side 16×, so at a reduced probe size
+    // an unscaled build side would dominate per-task records and the
+    // flatten require below would price replication, not the hot key
+    val buildKeys = sys.env.getOrElse("SPARK_GRAFT_SKEW_KEYS", "100000").toLong
     val left = spark.range(probeRows).select(
-      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 100000L).as("k"),
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % buildKeys).as("k"),
       col("id").as("v"),
       concat(md5(col("id").cast("string")),
         md5((col("id") * 31L).cast("string")),
         md5((col("id") * 131L).cast("string"))).as("pay"))
-    val right = spark.range(200000L).select(
-      (col("id") % 100000L).as("k2"), md5(col("id").cast("string")).as("s"))
+    val right = spark.range(buildKeys * 2).select(
+      (col("id") % buildKeys).as("k2"), md5(col("id").cast("string")).as("s"))
     def joined = left.join(right, col("k") === col("k2"))
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
