@@ -93,6 +93,14 @@ class ToolMainsSpec extends AnyFunSuite {
       "SkewProbe artifact not written to its CWD")
   }
 
+  test("AnnRecallProbe measures planted-twin recall at sf0.001") {
+    val (exit, out) = runMain("graft.AnnRecallProbe", Seq(sf0001),
+      Map("SPARK_GRAFT_CPUS" -> "4"), scratch("annrecall"))
+    assert(exit == 0, s"AnnRecallProbe exit $exit:\n${out.takeRight(2000)}")
+    assert(out.contains("ANNRECALL {\"sf\""),
+      s"missing ANNRECALL summary line:\n${out.takeRight(2000)}")
+  }
+
   test("ClusterProbe hash-parity at sf0.001 on a small local-cluster") {
     val dir = scratch("clusterprobe")
     val (exit, out) = runMain("graft.ClusterProbe", Seq.empty,
