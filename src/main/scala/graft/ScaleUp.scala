@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   *    never ×K².
   *
   * Ids offset by k·(source cardinality), keeping the whole id space
-  * under the 1,000,000 variant-corpus offset the dedup family reserves.
+  * under the variant-corpus offset (Ids.VariantOffset, 10^12) the dedup family reserves.
   *
   * Usage: runMain graft.ScaleUp <srcDir> <outDir> <replicas>
   */

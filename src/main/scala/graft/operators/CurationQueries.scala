@@ -1035,7 +1035,7 @@ object CurationQueries {
               .otherwise(col("text"))).as("h2"))
         val v2added = Tables.documents(s, d)
           .filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          .select((col("doc_id") + Ids.VariantOffset).as("doc_id"), col("source"),
             md5(concat(col("text"), lit(" v2"))).as("h2"))
         val v2 = v2base.unionByName(v2added)
         v1.withColumnRenamed("source", "src1")
@@ -1050,14 +1050,14 @@ object CurationQueries {
           .agg(count(lit(1)).as("n_docs"))
           .orderBy("source", "status")
       },
-      Some("""WITH v1 AS (SELECT doc_id, source, md5(text) AS h1 FROM documents),
+      Some(s"""WITH v1 AS (SELECT doc_id, source, md5(text) AS h1 FROM documents),
         v2 AS (SELECT doc_id, source,
             md5(CASE WHEN doc_id % 7 = 0
               THEN trim(substr(text, instr(text, ' ') + 1))
               ELSE text END) AS h2
           FROM documents WHERE doc_id % 13 <> 0
           UNION ALL
-          SELECT doc_id + 1000000, source, md5(text || ' v2')
+          SELECT doc_id + ${Ids.VariantOffset}, source, md5(text || ' v2')
           FROM documents WHERE doc_id % 11 = 0)
         SELECT coalesce(v1.source, v2.source) AS source,
           CASE WHEN h1 IS NULL THEN 'added'

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * The synthetic corpus has no natural near-duplicates, so the near-dup
   * queries operate on a deterministic *variant corpus*: every document
-  * unioned with a copy (doc_id + 1,000,000) whose first token is
+  * unioned with a copy (doc_id + Ids.VariantOffset) whose first token is
   * dropped. That gives ~0.97-Jaccard pairs the pipeline must find —
   * derived purely from the driver tables, reproducible in the oracle.
   *
@@ -57,10 +57,10 @@ object DedupQueries {
   private[graft] def originalDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"), trim(col("text")).as("text"))
 
-  /** First-token-dropped variants (doc_id + 1,000,000) — the
+  /** First-token-dropped variants (doc_id + Ids.VariantOffset) — the
     * deterministic ~0.97-Jaccard "incoming batch". */
   private[graft] def variantDocs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select((col("doc_id") + 1000000L).as("doc_id"),
+    Tables.documents(s, d).select((col("doc_id") + Ids.VariantOffset).as("doc_id"),
       trim(expr("substring(text, instr(text, ' ') + 1)")).as("text"))
 
   /** corpus := documents ∪ first-token-dropped variants. */
@@ -444,10 +444,10 @@ object DedupQueries {
   /** The variant-corpus SELECT — ONE definition for every oracle that
     * mirrors [[variantCorpus]]. */
   private[operators] val oracleVariantCorpusSelect: String =
-    """
+    s"""
       SELECT doc_id, trim(text) AS text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents"""
+      SELECT doc_id + ${Ids.VariantOffset}, trim(substr(text, strpos(text, ' ') + 1)) FROM documents"""
 
   /** Shared oracle CTE prefix mirroring [[bandedCorpus]]. */
   private val oracleBandsCte: String = oracleBandsCteFor(oracleVariantCorpusSelect)
@@ -642,7 +642,7 @@ object DedupQueries {
     s"""WITH corpus AS (
         SELECT doc_id, trim(text) AS text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents),
+        SELECT doc_id + ${Ids.VariantOffset}, trim(substr(text, strpos(text, ' ') + 1)) FROM documents),
       tok AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM corpus),
       grams0 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
           array_to_string(ts[i + 1 : i + 8], ' ') AS gram
@@ -668,10 +668,10 @@ object DedupQueries {
         .groupBy(md5(col("text")).as("content_hash"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
         .orderBy("content_hash"),
-      Some("""SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
+      Some(s"""SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper
         FROM (SELECT doc_id, trim(text) AS text FROM documents
               UNION ALL
-              SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents) c
+              SELECT doc_id + ${Ids.VariantOffset}, trim(substr(text, strpos(text, ' ') + 1)) FROM documents) c
         GROUP BY md5(text) ORDER BY content_hash""")),
 
     // ---- MinHash + LSH banding: candidate near-dup pairs
@@ -855,7 +855,7 @@ object DedupQueries {
 
     // ---- incremental dedup: the NEW-BATCH-vs-CORPUS flow a crawl
     //      pipeline actually runs — never corpus×corpus. The variant
-    //      docs (doc_id ≥ 1,000,000) play the incoming batch, the
+    //      docs (doc_id ≥ Ids.VariantOffset) play the incoming batch, the
     //      originals the already-ingested corpus. Candidates come from
     //      an lsh band equi-join of new bands against corpus bands
     //      only, Jaccard-verified, then each new doc keeps its best
@@ -885,11 +885,11 @@ object DedupQueries {
             SELECT doc_id, band,
               count(*) OVER (PARTITION BY band) AS n_band,
               row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn_band
-            FROM bands WHERE doc_id < 1000000)
+            FROM bands WHERE doc_id < ${Ids.VariantOffset})
           WHERE n_band <= $DefaultBandCap OR rn_band = 1),
         cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
           FROM bands n JOIN ikept c ON n.band = c.band
-          WHERE n.doc_id >= 1000000),
+          WHERE n.doc_id >= ${Ids.VariantOffset}),
         sets AS (SELECT DISTINCT doc_id, list_distinct(shingles) AS sd FROM sh),
         ver AS (SELECT new_id, corpus_id,
             CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
@@ -1118,7 +1118,7 @@ object DedupQueries {
         s"""WITH corpus AS (
           SELECT doc_id, trim(text) AS text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000, trim(substr(text, strpos(text, ' ') + 1)) FROM documents),
+          SELECT doc_id + ${Ids.VariantOffset}, trim(substr(text, strpos(text, ' ') + 1)) FROM documents),
         tk AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM corpus),
         bs AS (SELECT doc_id, $sums FROM (SELECT doc_id, md5(tok) AS h FROM tk) GROUP BY doc_id),
         sim AS (SELECT doc_id, $blocks FROM bs),
@@ -1164,7 +1164,7 @@ object DedupQueries {
     //      each other", the provenance view that decides whether a
     //      source is additive or a mirror before it's admitted to a
     //      mixture. Variants inherit their base doc's source
-    //      (doc_id mod 1,000,000); each cell reports pair volume, how
+    //      (doc_id mod Ids.VariantOffset); each cell reports pair volume, how
     //      many are the planted self-variants vs genuine cross-doc
     //      collisions, and the mean verified Jaccard (ordered fold —
     //      the q90 lesson). The matrix is a candidate-pairs-sized
@@ -1175,8 +1175,8 @@ object DedupQueries {
       (s, d) => {
         val verified = lshVerified(s, d)
           .select(col("doc_a"), col("doc_b"), col("jaccard"),
-            (col("doc_a") % 1000000L).as("base_a"),
-            (col("doc_b") % 1000000L).as("base_b"))
+            (col("doc_a") % Ids.VariantOffset).as("base_a"),
+            (col("doc_b") % Ids.VariantOffset).as("base_b"))
         val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
         verified
           .join(broadcast(src.select(col("doc_id").as("base_a"),
@@ -1207,10 +1207,10 @@ object DedupQueries {
           WHERE CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) /
               (len(sa.sd) + len(sb.sd) - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))) >= 0.5),
         m AS (SELECT doc_a, doc_b, jaccard,
-            doc_a % 1000000 AS base_a, doc_b % 1000000 AS base_b,
+            doc_a % ${Ids.VariantOffset} AS base_a, doc_b % ${Ids.VariantOffset} AS base_b,
             da.source AS sa_src, db.source AS sb_src
-          FROM ver JOIN documents da ON ver.doc_a % 1000000 = da.doc_id
-                   JOIN documents db ON ver.doc_b % 1000000 = db.doc_id)
+          FROM ver JOIN documents da ON ver.doc_a % ${Ids.VariantOffset} = da.doc_id
+                   JOIN documents db ON ver.doc_b % ${Ids.VariantOffset} = db.doc_id)
         SELECT least(sa_src, sb_src) AS source_a,
           greatest(sa_src, sb_src) AS source_b,
           CAST(count(*) AS BIGINT) AS n_pairs,
@@ -1292,7 +1292,7 @@ object DedupQueries {
     //      verified at the same exact-Jaccard ≥ 0.5 bar: per-method
     //      verified-pair counts, the overlap, each method's exclusive
     //      finds, and each method's recall of the PLANTED ground truth
-    //      (the doc_b = doc_a + 1,000,000 self-variant pairs). Both
+    //      (the doc_b = doc_a + Ids.VariantOffset self-variant pairs). Both
     //      chains are the SAME shared definitions their own queries
     //      run ([[lshVerified]]/[[snmVerified]] — no drift possible),
     //      and the comparison itself is candidate-set-sized set
@@ -1305,7 +1305,7 @@ object DedupQueries {
         val sn = snmVerified(s, d).select("doc_a", "doc_b").localCheckpoint()
         val both = l.join(sn, Seq("doc_a", "doc_b"))
         def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
-        def planted(df: DataFrame) = df.filter(col("doc_b") - col("doc_a") === 1000000L)
+        def planted(df: DataFrame) = df.filter(col("doc_b") - col("doc_a") === Ids.VariantOffset)
         cnt(l, "n_lsh")
           .crossJoin(cnt(sn, "n_snm"))
           .crossJoin(cnt(both, "n_both"))
@@ -1329,9 +1329,9 @@ object DedupQueries {
             (SELECT CAST(count(*) AS BIGINT) FROM lshver l
                JOIN snmver s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b) AS snm_only,
           (SELECT CAST(count(*) AS BIGINT) FROM lshver
-             WHERE doc_b - doc_a = 1000000) AS planted_lsh,
+             WHERE doc_b - doc_a = ${Ids.VariantOffset}) AS planted_lsh,
           (SELECT CAST(count(*) AS BIGINT) FROM snmver
-             WHERE doc_b - doc_a = 1000000) AS planted_snm"""),
+             WHERE doc_b - doc_a = ${Ids.VariantOffset}) AS planted_snm"""),
       doc = "blocking-method recall study: LSH vs sorted-neighborhood verified pairs at the same Jaccard bar — overlap, exclusives, and planted-ground-truth recall per method, built from the two families' own shared definitions"),
 
     // ---- cluster source-purity audit (q191): for each q77 near-dup
@@ -1342,7 +1342,7 @@ object DedupQueries {
     //      sources, source-mix Shannon entropy (the q172 ln(n) −
     //      Σc·lnc/n form, folded in source order), and the majority
     //      source's share. Variants inherit their base doc's source
-    //      (id mod 1,000,000); the source dim broadcasts; everything
+    //      (id mod Ids.VariantOffset); the source dim broadcasts; everything
     //      after CC is cluster-keyed.
     QueryDef(
       "q191_cluster_purity",
@@ -1353,7 +1353,7 @@ object DedupQueries {
         val srcDim = Tables.documents(s, d)
           .select(col("doc_id").as("base"), col("source"))
         val bySrc = cc
-          .select(col("cluster"), (col("node") % 1000000L).as("base"))
+          .select(col("cluster"), (col("node") % Ids.VariantOffset).as("base"))
           .join(broadcast(srcDim), Seq("base"))
           .groupBy("cluster", "source").agg(count(lit(1)).as("c"))
         bySrc.groupBy("cluster")
@@ -1371,7 +1371,7 @@ object DedupQueries {
       },
       Some(s"""$oracleCcCtes,
         bysrc AS (SELECT cluster, source, count(*) AS c
-          FROM cc JOIN documents ON cc.node % 1000000 = documents.doc_id
+          FROM cc JOIN documents ON cc.node % ${Ids.VariantOffset} = documents.doc_id
           GROUP BY cluster, source),
         g AS (SELECT cluster, CAST(sum(c) AS BIGINT) AS n,
             CAST(count(*) AS BIGINT) AS n_sources,

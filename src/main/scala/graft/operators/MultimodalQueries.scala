@@ -413,7 +413,7 @@ object MultimodalQueries {
   }
 
   /** Image corpus with planted near-duplicates: every image doc
-    * (doc_id % 3 == 0) plus a twin (doc_id + 1,000,000) — an exact
+    * (doc_id % 3 == 0) plus a twin (doc_id + Ids.VariantOffset) — an exact
     * byte copy for doc_id % 6 == 0, otherwise the first pixel's blue
     * byte nudged +8 (flips ≤ 2 dHash bits: only comparisons crossing
     * the perturbed grid cell can change). The multimodal analogue of
@@ -429,7 +429,7 @@ object MultimodalQueries {
       val orig = bmpBytes((4 + id % 16).toInt, (4 + (id / 3) % 16).toInt, id)
       val twin = orig.clone()
       if (id % 6 != 0) twin(54) = (((twin(54) & 0xff) + 8) & 0xff).toByte
-      Seq(Row(id, orig), Row(id + 1000000L, twin))
+      Seq(Row(id, orig), Row(id + Ids.VariantOffset, twin))
     })
     spark.createDataFrame(rdd, schema)
   }
@@ -498,7 +498,7 @@ object MultimodalQueries {
   }
 
   /** Audio corpus with planted near-duplicates: every audio doc
-    * (doc_id % 3 == 1) plus a twin (doc_id + 1,000,000) — an exact
+    * (doc_id % 3 == 1) plus a twin (doc_id + Ids.VariantOffset) — an exact
     * byte copy for doc_id % 6 == 1, otherwise the first data byte
     * (sample 0's low byte) shifted +16 mod 256. The perturbation
     * touches window 0's energy only, so at most fingerprint bit 0
@@ -513,7 +513,7 @@ object MultimodalQueries {
       val orig = wavBytes((1 + id % 2).toInt, 8000, (8 * (100 + id % 400)).toInt, id)
       val twin = orig.clone()
       if (id % 6 != 1) twin(44) = (((twin(44) & 0xff) + 16) & 0xff).toByte
-      Seq(Row(id, orig), Row(id + 1000000L, twin))
+      Seq(Row(id, orig), Row(id + Ids.VariantOffset, twin))
     })
     spark.createDataFrame(rdd, schema)
   }
@@ -620,7 +620,7 @@ object MultimodalQueries {
   }
 
   /** Video corpus with planted near-duplicates: every video doc
-    * (doc_id % 3 == 2) plus a twin (doc_id + 1,000,000) — an exact
+    * (doc_id % 3 == 2) plus a twin (doc_id + Ids.VariantOffset) — an exact
     * byte copy for doc_id % 6 == 2, otherwise frame 0's first luma
     * byte (grid cell (0,0)) shifted +32 mod 256: only frame 0's hash
     * can change, so the twin shares ≥ frames−1 frame hashes. */
@@ -638,7 +638,7 @@ object MultimodalQueries {
         val planeStart = orig.indexOf('\n'.toByte) + 1 + 6 // header \n + "FRAME\n"
         twin(planeStart) = (((twin(planeStart) & 0xff) + 32) & 0xff).toByte
       }
-      Seq(Row(id, orig), Row(id + 1000000L, twin))
+      Seq(Row(id, orig), Row(id + Ids.VariantOffset, twin))
     })
     spark.createDataFrame(rdd, schema)
   }
@@ -683,9 +683,9 @@ object MultimodalQueries {
     * perturbation is a CASE on frame 0's byte 0, and the per-frame
     * aHash + frame-match join is replayed in exact integer SQL. */
   private def q133OracleSql: String =
-    """WITH vids AS (
+    s"""WITH vids AS (
         SELECT doc_id AS oid, v,
-          doc_id + CASE WHEN v = 1 THEN 1000000 ELSE 0 END AS doc_id,
+          doc_id + CASE WHEN v = 1 THEN ${Ids.VariantOffset} ELSE 0 END AS doc_id,
           2 * (4 + doc_id % 16) AS w, 2 * (4 + (doc_id // 5) % 16) AS h,
           1 + doc_id % 5 AS fr
         FROM documents, (VALUES (0), (1)) t(v) WHERE doc_id % 3 = 2),
@@ -730,9 +730,9 @@ object MultimodalQueries {
     * `aublocks(doc_id, v, h0..h3)` — shared by q131's pair oracle and
     * q137's incremental-ledger oracle. */
   private val audioBlocksCtes: String =
-    """auds AS (
+    s"""auds AS (
         SELECT doc_id AS oid, v,
-          doc_id + CASE WHEN v = 1 THEN 1000000 ELSE 0 END AS doc_id,
+          doc_id + CASE WHEN v = 1 THEN ${Ids.VariantOffset} ELSE 0 END AS doc_id,
           (1 + doc_id % 2) * 8 * (100 + doc_id % 400) AS n
         FROM documents, (VALUES (0), (1)) t(v) WHERE doc_id % 3 = 1),
       sampi AS (SELECT doc_id, oid, v, n, unnest(range(n)) AS i FROM auds),
@@ -776,9 +776,9 @@ object MultimodalQueries {
     * `imblocks(doc_id, v, h0..h3)` — shared by q127's pair oracle and
     * q137's incremental-ledger oracle. */
   private val imageBlocksCtes: String =
-    """imgs AS (
+    s"""imgs AS (
         SELECT doc_id AS oid, v,
-          doc_id + CASE WHEN v = 1 THEN 1000000 ELSE 0 END AS doc_id,
+          doc_id + CASE WHEN v = 1 THEN ${Ids.VariantOffset} ELSE 0 END AS doc_id,
           4 + doc_id % 16 AS w, 4 + (doc_id // 3) % 16 AS h,
           ((4 + doc_id % 16) * 3 + 3) // 4 * 4 AS row_size
         FROM documents, (VALUES (0), (1)) t(v) WHERE doc_id % 3 = 0),
@@ -1043,7 +1043,7 @@ object MultimodalQueries {
         val sizes = cc.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
         cc.join(sizes, Seq("cluster"))
           .withColumn("orig",
-            when(col("node") >= 1000000L, col("node") - 1000000L).otherwise(col("node")))
+            when(col("node") >= Ids.VariantOffset, col("node") - Ids.VariantOffset).otherwise(col("node")))
           .withColumn("modality", expr(
             "CASE CAST(orig % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"))
           .select(col("node").as("doc_id"), col("modality"),
@@ -1066,7 +1066,7 @@ object MultimodalQueries {
         cc AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
         sizes AS (SELECT cluster, count(*) AS cluster_size FROM cc GROUP BY cluster)
         SELECT cc.node AS doc_id,
-          CASE CAST((CASE WHEN cc.node >= 1000000 THEN cc.node - 1000000 ELSE cc.node END) % 3 AS INT)
+          CASE CAST((CASE WHEN cc.node >= ${Ids.VariantOffset} THEN cc.node - ${Ids.VariantOffset} ELSE cc.node END) % 3 AS INT)
             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
           cc.cluster, sizes.cluster_size
         FROM cc JOIN sizes ON cc.cluster = sizes.cluster
@@ -1090,8 +1090,8 @@ object MultimodalQueries {
           .unionByName(audioCorpusWithTwins(Tables.documents(s, d)))
         val dir = s"${sys.props("java.io.tmpdir")}/graft-q137-index-${
           java.lang.Integer.toHexString(d.hashCode)}"
-        MediaDedupIndex.build(s, mediaAll.filter(col("doc_id") < 1000000L), dir)
-        MediaDedupIndex.dedupBatch(s, mediaAll.filter(col("doc_id") >= 1000000L), dir)
+        MediaDedupIndex.build(s, mediaAll.filter(col("doc_id") < Ids.VariantOffset), dir)
+        MediaDedupIndex.dedupBatch(s, mediaAll.filter(col("doc_id") >= Ids.VariantOffset), dir)
       },
       Some(q137OracleSql),
       doc = "incremental media dedup: batch fingerprints vs the persisted modality-tagged hash ledger, best corpus match per new item"),

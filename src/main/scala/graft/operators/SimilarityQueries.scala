@@ -114,7 +114,7 @@ object SimilarityQueries {
 
   private val dot = "aggregate(zip_with(qe, emb, (x, y) -> x * y), 0D, (a, v) -> a + v)"
 
-  /** [[normed]] ∪ deterministic perturbed twins (vec_id + 1,000,000,
+  /** [[normed]] ∪ deterministic perturbed twins (vec_id + Ids.VariantOffset,
     * dim-0 scaled ×1.25 — the q116 family's planted-twin rule): the
     * synthetic embeddings have no natural near-dups, so q81's
     * pair-mining oracle row was hash-matching on 0 = 0 rows and the
@@ -127,7 +127,7 @@ object SimilarityQueries {
   private def normedWithTwins(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
-    val twins = e.select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+    val twins = e.select((col("vec_id") + Ids.VariantOffset).as("vec_id"), col("label"),
       expr("transform(emb, (x, i) -> CASE WHEN i = 0 THEN x * 1.25D ELSE x END)").as("emb"))
     e.unionByName(twins)
       .withColumn("norm",
@@ -136,12 +136,12 @@ object SimilarityQueries {
 
   /** Oracle CTE twin of [[normedWithTwins]] (same `n` shape as
     * [[oracleNormed]], over originals ∪ planted twins). */
-  private val oracleNormedTwins = """WITH e0 AS (
+  private val oracleNormedTwins = s"""WITH e0 AS (
       SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings),
     e AS (SELECT vec_id, label, emb FROM e0
       UNION ALL
-      SELECT vec_id + 1000000, label,
+      SELECT vec_id + ${Ids.VariantOffset}, label,
         list_transform(range(len(emb)),
           i -> CASE WHEN i = 0 THEN emb[i+1] * 1.25 ELSE emb[i+1] END)
       FROM e0),
@@ -177,7 +177,7 @@ object SimilarityQueries {
   private[graft] def semanticCells(s: SparkSession, d: String, probes: Int = 1): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val twins = e.select((col("vec_id") + 1000000L).as("vec_id"),
+    val twins = e.select((col("vec_id") + Ids.VariantOffset).as("vec_id"),
       expr("transform(emb, (x, i) -> CASE WHEN i = 0 THEN x * 1.25D ELSE x END)").as("emb"))
     val all = e.unionByName(twins)
       .withColumn("norm",
@@ -556,7 +556,7 @@ object SimilarityQueries {
     //      per-cell cap as q81's buckets (skew-bounded re-rank).
     //      The synthetic corpus has no semantic twins, so — exactly like
     //      the text dedup family's variant corpus — the query unions a
-    //      deterministic perturbed twin per vector (vec_id + 1,000,000
+    //      deterministic perturbed twin per vector (vec_id + Ids.VariantOffset
     //      — the dedup family's shared twin offset, collision-safe
     //      against any realistic embeddings fixture growth;
     //      first component × 1.25: one exactly-representable IEEE
@@ -585,7 +585,7 @@ object SimilarityQueries {
       Some(s"""WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
           FROM embeddings),
-        tw AS (SELECT vec_id + 1000000 AS vec_id,
+        tw AS (SELECT vec_id + ${Ids.VariantOffset} AS vec_id,
             list_transform(range(len(emb)),
               i -> CASE WHEN i = 0 THEN emb[1] * 1.25 ELSE emb[i+1] END) AS emb
           FROM e),
@@ -652,7 +652,7 @@ object SimilarityQueries {
       Some(s"""WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
           FROM embeddings),
-        tw AS (SELECT vec_id + 1000000 AS vec_id,
+        tw AS (SELECT vec_id + ${Ids.VariantOffset} AS vec_id,
             list_transform(range(len(emb)),
               i -> CASE WHEN i = 0 THEN emb[1] * 1.25 ELSE emb[i+1] END) AS emb
           FROM e),

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Ids
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
 
@@ -96,7 +97,7 @@ class AnnRecallSpec extends SparkSpecBase {
         .select("vec_id", "dup_of").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
       SparkEntry.releaseCaches(spark)
-      ids.count(id => flagged.get(id + 1000000L).contains(id)).toDouble / ids.size
+      ids.count(id => flagged.get(id + Ids.VariantOffset).contains(id)).toDouble / ids.size
     }
     val single = twinRecallOf("q116_semantic_dedup")
     val multi = twinRecallOf("q119_semantic_dedup_multicell")
@@ -156,7 +157,6 @@ class AnnRecallSpec extends SparkSpecBase {
   }
 
   test("q81 recovers the planted near-dup pair set (recall >= 0.9, exact precision)") {
-    val expected = plantedQueries // every %100 id is also %10
     val allPlantedPairs = Tables.embeddings(spark, "/root/testdata/sf0.01")
       .collect().map(_.getLong(0)).filter(_ % 10 == 0)
       .map(id => (id, id + 100000L)).toSet
@@ -165,8 +165,15 @@ class AnnRecallSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = found.intersect(allPlantedPairs).size.toDouble / allPlantedPairs.size
     assert(recall >= 0.9, s"q81 planted-pair recall $recall < 0.9")
-    // precision: the exact-cosine verify admits only true >= 0.8 pairs,
-    // and in this corpus those are exactly the planted ones
-    assert(found.subsetOf(allPlantedPairs), s"unexpected pairs: ${found -- allPlantedPairs}")
+    // precision: the exact-cosine verify admits only true >= 0.8 pairs.
+    // In this corpus the near-parallel vectors are exactly the twin
+    // FAMILIES: each base id, its spec twin (+100000, dim0 + 1e-3) and
+    // the query's OWN planted twins of both (+VariantOffset, dim0 ×1.25
+    // — q81 unions them so its oracle output is non-vacuous at every
+    // SF). Any pair that crosses families would be a random-cosine
+    // false positive — assert there are none.
+    def base(v: Long) = v % Ids.VariantOffset % 100000L
+    val crossFamily = found.filterNot { case (a, b) => base(a) == base(b) }
+    assert(crossFamily.isEmpty, s"cross-family pairs: $crossFamily")
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.DedupIndex
+import graft.operators.{DedupIndex, Ids}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -27,7 +27,7 @@ class DedupIndexSpec extends SparkSpecBase {
       // delivery), not a derivation of the corpus table — so any scan
       // of the corpus source in the dedup plan is unambiguous
       Tables.documents(spark, sf)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + Ids.VariantOffset).as("doc_id"),
           trim(expr("substring(text, instr(text, ' ') + 1)")).as("text"))
         .write.mode("overwrite").parquet(s"$batchDir/batch.parquet")
 
@@ -53,8 +53,8 @@ class DedupIndexSpec extends SparkSpecBase {
       val rows = result.collect()
       val eligible = batch.filter(size(split(trim(col("text")), "\\s+")) >= 3).count()
       assert(rows.length == eligible, s"${rows.length} matches for $eligible eligible docs")
-      assert(rows.forall(r => r.getLong(1) == r.getLong(0) - 1000000L),
-        rows.filter(r => r.getLong(1) != r.getLong(0) - 1000000L).take(3).mkString(", "))
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) - Ids.VariantOffset),
+        rows.filter(r => r.getLong(1) != r.getLong(0) - Ids.VariantOffset).take(3).mkString(", "))
       assert(rows.forall(_.getDouble(2) >= 0.8))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
@@ -72,7 +72,7 @@ class DedupIndexSpec extends SparkSpecBase {
       import spark.implicits._
       def variantOf(id: Long) = {
         val (_, text) = docs.find(_._1 == id).get
-        (id + 1000000L, text.substring(text.indexOf(' ') + 1).trim)
+        (id + Ids.VariantOffset, text.substring(text.indexOf(' ') + 1).trim)
       }
       DedupIndex.build(spark, docs.take(30).toSeq.toDF("doc_id", "text"), p)
       val sizeBefore = graft.state.StateStore
@@ -84,8 +84,8 @@ class DedupIndexSpec extends SparkSpecBase {
         .toDF("doc_id", "text")
       val flags1 = DedupIndex.ingest(spark, batch1, p)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(flags1(1000003L) == 3L, s"corpus twin: $flags1") // vs the index
-      assert(flags1(1000035L) == 35L, s"within-batch twin: $flags1") // vs a batch-mate
+      assert(flags1(Ids.VariantOffset + 3L) == 3L, s"corpus twin: $flags1") // vs the index
+      assert(flags1(Ids.VariantOffset + 35L) == 35L, s"within-batch twin: $flags1") // vs a batch-mate
       val sizeAfter = graft.state.StateStore
         .load(spark, DedupIndex.indexPath(p), DedupIndex.indexSchema).count()
       assert(sizeAfter == sizeBefore + 12 - flags1.size) // survivors only
@@ -95,7 +95,7 @@ class DedupIndexSpec extends SparkSpecBase {
       val flags2 = DedupIndex.ingest(spark,
         Seq(variantOf(36L)).toDF("doc_id", "text"), p)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(flags2 == Map(1000036L -> 36L), s"folded-survivor twin: $flags2")
+      assert(flags2 == Map(Ids.VariantOffset + 36L -> 36L), s"folded-survivor twin: $flags2")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.DedupQueries
+import graft.operators.{DedupQueries, Ids}
 import graft.streaming.DedupStream
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -43,14 +43,14 @@ class DedupStreamSpec extends SparkSpecBase {
     // arrive as the stream — the cross slice of q113's pair set is the
     // ground truth the stream must reproduce exactly
     val corpus = DedupQueries.variantCorpus(spark, sf)
-      .filter(col("doc_id") < 1000000L)
+      .filter(col("doc_id") < Ids.VariantOffset)
     val corpusBlocks = DedupQueries.withBlockKeys(
       DedupQueries.simhashBlockFrame(corpus)).localCheckpoint()
     val arriving = DedupQueries.variantCorpus(spark, sf)
-      .filter(col("doc_id") >= 1000000L)
+      .filter(col("doc_id") >= Ids.VariantOffset)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val expected = SparkEntry.queries("q113_simhash_hamming_pairs")(spark, sf)
-      .filter(col("doc_a") < 1000000L && col("doc_b") >= 1000000L)
+      .filter(col("doc_a") < Ids.VariantOffset && col("doc_b") >= Ids.VariantOffset)
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getInt(2))).toSet
     assert(expected.nonEmpty) // the variant corpus guarantees near-dups
 
@@ -200,9 +200,9 @@ class DedupStreamSpec extends SparkSpecBase {
     // static corpus index: the originals' bands (what production keeps
     // persisted); the variants play the arriving stream
     val corpus = DedupQueries.variantCorpus(spark, sf)
-      .filter(col("doc_id") < 1000000L)
+      .filter(col("doc_id") < Ids.VariantOffset)
     val arriving = DedupQueries.variantCorpus(spark, sf)
-      .filter(col("doc_id") >= 1000000L)
+      .filter(col("doc_id") >= Ids.VariantOffset)
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val corpusBands = DedupQueries.rowBands(corpus).localCheckpoint()
 
@@ -240,11 +240,11 @@ class DedupStreamSpec extends SparkSpecBase {
   /** (originals, variants) — twins split across arrival batches. */
   private def twinDocs(n: Int): (Seq[(Long, String)], Seq[(Long, String)]) = {
     val orig = DedupQueries.variantCorpus(spark, sf)
-      .filter(col("doc_id") < 1000000L).orderBy("doc_id").limit(n)
+      .filter(col("doc_id") < Ids.VariantOffset).orderBy("doc_id").limit(n)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val vars = DedupQueries.variantCorpus(spark, sf)
-      .filter(col("doc_id") >= 1000000L)
-      .filter(col("doc_id") - 1000000L < orig.map(_._1).max + 1)
+      .filter(col("doc_id") >= Ids.VariantOffset)
+      .filter(col("doc_id") - Ids.VariantOffset < orig.map(_._1).max + 1)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     (orig, vars)
   }
@@ -292,12 +292,12 @@ class DedupStreamSpec extends SparkSpecBase {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(f2 == expected)
       // the twins among the flags resolve to their own origin
-      assert(f2.exists { case (v, o) => o == v - 1000000L })
+      assert(f2.exists { case (v, o) => o == v - Ids.VariantOffset })
 
       // flagged docs were NOT folded in: replaying their twins against
       // the index finds only the SURVIVORS
       val ledger = DedupStream.loadIndex(spark, path)
-      assert(ledger.filter(col("doc_id") >= 1000000L)
+      assert(ledger.filter(col("doc_id") >= Ids.VariantOffset)
         .join(toDf(f2.map(p => (p._1, "")).toSeq).select("doc_id"), Seq("doc_id"))
         .count() == 0)
     } finally {
@@ -648,7 +648,7 @@ class DedupStreamSpec extends SparkSpecBase {
       // must flag the twins against batch 0's survivors
       assert(collected(1L).nonEmpty)
       assert(collected(1L).forall { case (d, o) => o < d })
-      assert(collected(1L).exists { case (v, o) => o == v - 1000000L })
+      assert(collected(1L).exists { case (v, o) => o == v - Ids.VariantOffset })
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       SparkEntry.releaseCaches(spark)

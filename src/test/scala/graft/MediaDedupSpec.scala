@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{MediaDedupIndex, MultimodalQueries}
+import graft.operators.{Ids, MediaDedupIndex, MultimodalQueries}
 import org.apache.spark.sql.functions._
 
 /** Pins for q137's incremental media-dedup ledger that the oracle
@@ -24,7 +24,7 @@ class MediaDedupSpec extends SparkSpecBase {
       val ids = Tables.documents(spark, sf).select("doc_id")
         .collect().map(_.getLong(0)).filter(id => id % 3 == 0 || id % 3 == 1)
       ids.foreach { id =>
-        val twin = id + 1000000L
+        val twin = id + Ids.VariantOffset
         assert(byNew.contains(twin), s"twin of $id missing from the ledger match")
         val (modality, dupOf, hamming) = byNew(twin)
         // the twin's own original guarantees a candidate at hamming 0
@@ -34,7 +34,7 @@ class MediaDedupSpec extends SparkSpecBase {
         // generator stream, so legitimate hamming-0 collisions between
         // distinct clips exist and the min-id tiebreak may prefer them
         // (the oracle hash-verifies the exact choice).
-        assert(dupOf < 1000000L, s"twin $twin matched non-corpus item $dupOf")
+        assert(dupOf < Ids.VariantOffset, s"twin $twin matched non-corpus item $dupOf")
         assert(modality == (if (id % 3 == 0) "image" else "audio"),
           s"twin $twin tagged $modality")
         assert(dupOf % 3 == id % 3,
@@ -52,9 +52,9 @@ class MediaDedupSpec extends SparkSpecBase {
       val docs = Tables.documents(spark, sf)
       val media = MultimodalQueries.imageCorpusWithTwins(docs)
         .unionByName(MultimodalQueries.audioCorpusWithTwins(docs))
-      MediaDedupIndex.build(spark, media.filter(col("doc_id") < 1000000L), dir)
+      MediaDedupIndex.build(spark, media.filter(col("doc_id") < Ids.VariantOffset), dir)
       val result = MediaDedupIndex.dedupBatch(spark,
-        media.filter(col("doc_id") >= 1000000L), dir)
+        media.filter(col("doc_id") >= Ids.VariantOffset), dir)
       assert(result.count() > 0)
       val plan = result.queryExecution.executedPlan.toString
       assert(plan.contains("media_index"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.MultimodalQueries
+import graft.operators.{Ids, MultimodalQueries}
 import graft.streaming.MediaDedupStream
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -23,8 +23,8 @@ class MediaDedupStreamSpec extends SparkSpecBase {
   test("a media twin in a later micro-batch is flagged against an earlier survivor") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media-stream").toString
     try {
-      val originals = media.filter(col("doc_id") < 1000000L)
-      val twins = media.filter(col("doc_id") >= 1000000L).localCheckpoint()
+      val originals = media.filter(col("doc_id") < Ids.VariantOffset)
+      val twins = media.filter(col("doc_id") >= Ids.VariantOffset).localCheckpoint()
       val droppedInB0 = MediaDedupStream.processBatch(spark, originals, dir, batchId = 0L)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       val flags1 = MediaDedupStream.processBatch(spark, twins, dir, batchId = 1L)
@@ -32,7 +32,7 @@ class MediaDedupStreamSpec extends SparkSpecBase {
       val flagged = flags1.map(r => r.getLong(0) -> r.getInt(3))
         .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).min }
       twins.select("doc_id").collect().map(_.getLong(0)).foreach { twin =>
-        val orig = twin - 1000000L
+        val orig = twin - Ids.VariantOffset
         if (!droppedInB0.contains(orig)) {
           // the original survived batch 0: its twin MUST collide, at
           // the planted bound
@@ -57,8 +57,8 @@ class MediaDedupStreamSpec extends SparkSpecBase {
   test("replaying a micro-batch re-emits identical flags and leaves the ledger identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media-replay").toString
     try {
-      val originals = media.filter(col("doc_id") < 1000000L)
-      val twins = media.filter(col("doc_id") >= 1000000L).localCheckpoint()
+      val originals = media.filter(col("doc_id") < Ids.VariantOffset)
+      val twins = media.filter(col("doc_id") >= Ids.VariantOffset).localCheckpoint()
       MediaDedupStream.processBatch(spark, originals, dir, batchId = 0L).count()
       def snapshot(): (Set[(Long, String, Long, Int)], Set[(Long, String, Int, Int, Int, Int, Long)]) = {
         val flags = MediaDedupStream.processBatch(spark, twins, dir, batchId = 1L)
@@ -97,9 +97,9 @@ class MediaDedupStreamSpec extends SparkSpecBase {
           sink ++= flags.collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
       }
       try {
-        val originals = media.filter(col("doc_id") < 1000000L)
+        val originals = media.filter(col("doc_id") < Ids.VariantOffset)
           .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
-        val twins = media.filter(col("doc_id") >= 1000000L)
+        val twins = media.filter(col("doc_id") >= Ids.VariantOffset)
           .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]]("payload")))
         mem.addData(originals.toSeq)
         q.processAllAvailable()

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.MultimodalQueries
+import graft.operators.{Ids, MultimodalQueries}
 import org.apache.spark.sql.functions._
 
 /** Ground-truth pins for q127's perceptual-hash dedup — the planted
@@ -23,7 +23,7 @@ class PerceptualHashSpec extends SparkSpecBase {
       val imageIds = Tables.documents(spark, sf)
         .filter(col("doc_id") % 3 === 0).select("doc_id")
         .collect().map(_.getLong(0))
-      val found = pairs.filter(col("doc_b") === col("doc_a") + 1000000L)
+      val found = pairs.filter(col("doc_b") === col("doc_a") + Ids.VariantOffset)
         .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
       val missing = imageIds.filterNot(found.contains)
       assert(missing.isEmpty, s"planted twins missing from q127: ${missing.take(5).toSeq}")
@@ -63,7 +63,7 @@ class PerceptualHashSpec extends SparkSpecBase {
       val audioIds = Tables.documents(spark, sf)
         .filter(col("doc_id") % 3 === 1).select("doc_id")
         .collect().map(_.getLong(0))
-      val found = pairs.filter(col("doc_b") === col("doc_a") + 1000000L)
+      val found = pairs.filter(col("doc_b") === col("doc_a") + Ids.VariantOffset)
         .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
       val missing = audioIds.filterNot(found.contains)
       assert(missing.isEmpty, s"planted twins missing from q131: ${missing.take(5).toSeq}")
@@ -84,7 +84,7 @@ class PerceptualHashSpec extends SparkSpecBase {
       val videoIds = Tables.documents(spark, sf)
         .filter(col("doc_id") % 3 === 2).select("doc_id")
         .collect().map(_.getLong(0))
-      val twins = rows.filter(col("doc_b") === col("doc_a") + 1000000L)
+      val twins = rows.filter(col("doc_b") === col("doc_a") + Ids.VariantOffset)
         .collect().map(r => r.getLong(0) ->
           ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
       videoIds.foreach { id =>
@@ -119,9 +119,9 @@ class PerceptualHashSpec extends SparkSpecBase {
       // the pair edge always fires in its modality's miner
       val exactIds = ids.filter(id => id % 6 == id % 3)
       exactIds.foreach { id =>
-        assert(cluster.contains(id) && cluster.contains(id + 1000000L),
+        assert(cluster.contains(id) && cluster.contains(id + Ids.VariantOffset),
           s"exact twin pair $id missing from the ledger")
-        assert(cluster(id) == cluster(id + 1000000L),
+        assert(cluster(id) == cluster(id + Ids.VariantOffset),
           s"exact twin $id not co-clustered")
       }
       // intra-modal edges over disjoint id spaces: a cluster can never

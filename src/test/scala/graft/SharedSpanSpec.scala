@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Ids
 import org.apache.spark.sql.functions._
 
 /** Pins for q122's exact shared-span semantics — the construction of
@@ -22,12 +23,12 @@ class SharedSpanSpec extends SparkSpecBase {
       // query share ONE variant definition — a hand-rolled re-derivation
       // here diverged on leading-whitespace docs (r12 ADVICE).
       val expected = graft.operators.DedupQueries.variantDocs(spark, sf)
-        .select((col("doc_id") - 1000000L).as("doc_id"),
+        .select((col("doc_id") - Ids.VariantOffset).as("doc_id"),
           size(split(col("text"), "\\s+")).cast("long").as("vlen"))
         .filter(col("vlen") >= 12)
       val joined = expected.join(spans,
         expected("doc_id") === spans("doc_a") &&
-          spans("doc_b") === expected("doc_id") + 1000000L,
+          spans("doc_b") === expected("doc_id") + Ids.VariantOffset,
         "left")
       assert(joined.filter(col("max_shared_span").isNull).count() == 0,
         "an original/variant pair with >= 12 shared tokens is missing from q122")
@@ -38,7 +39,7 @@ class SharedSpanSpec extends SparkSpecBase {
 
   test("DF cap: a non-tripping cap is row-identical to uncapped, and the " +
       "capped plan adds exactly one semi-join") {
-    import graft.operators.DedupQueries
+    import graft.operators.{DedupQueries, Ids}
     try {
       // no gram in the fixture reaches df=1,000,000, so the capped
       // variant must reproduce the exact result — the cap only ever
