@@ -584,14 +584,31 @@ object DedupQueries {
   /** The positional 8-gram inverted index feeding [[sharedSpanPairs]],
     * optionally DF-capped — separate so the cap's plan cost (exactly
     * one semi-join) is assertable BEFORE the checkpoint truncates the
-    * lineage (SharedSpanSpec). */
+    * lineage (SharedSpanSpec).
+    *
+    * The index key is `xxhash64(gram)`, not the gram string: the ~45
+    * byte text 8-gram is materialized once per position and reduced to
+    * a long BEFORE the checkpoint, so the checkpointed index, the
+    * DF-cap's aggregate + semi join, and the downstream self-join all
+    * move 8-byte keys instead of strings (at the sf10 probe point the
+    * string index is ~47M rows / several GB — the r18 scale-decade
+    * sweep measured the string version turning super-linear there,
+    * +1.7/decade, from shuffle and aggregate pressure alone). Only doc
+    * ids, positions and span lengths ever reach the output, so the
+    * DuckDB oracle keeps joining raw gram strings and the correctness
+    * gate proves output equality. A 64-bit collision can at worst seed
+    * one false gram match between two docs; it becomes a false >= 12
+    * span only if 5+ consecutive positions collide pairwise — vanishing
+    * even at 10^10 grams (expected raw collisions n^2/2^64 ~ a handful,
+    * never adjacent). This is the standard fingerprinting trade of the
+    * winnowing family (q113/q128 already hash their shingles). */
   private[graft] def spanGramIndex(
       s: SparkSession, d: String, dfCap: Option[Int]): DataFrame = {
     val rawGrams = Tables.fanOut(variantCorpus(s, d))
       .withColumn("ts", split(col("text"), "\\s+"))
       .filter(size(col("ts")) >= 8)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ts) - 8), i -> struct(i AS pos, concat_ws(' ', slice(ts, i + 1, 8)) AS gram))")).as("g"))
+        "transform(sequence(0, size(ts) - 8), i -> struct(i AS pos, xxhash64(concat_ws(' ', slice(ts, i + 1, 8))) AS gram))")).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
     dfCap match {
       case Some(cap) =>
