@@ -185,13 +185,13 @@ object Bench {
     // focused (BENCH_ONLY) and off-scale runs are manual adjudication
     // already, and their partial control subtotals would be garbage
     // against the full-battery anchor. The anchor default must move
-    // with each re-anchor (BASELINE.md "Round-17 anchor": 9.123 s);
+    // with each re-anchor (BASELINE.md "Round-18 anchor": 7.799 s);
     // SPARK_GRAFT_ANCHOR_CONTROL=0 disables the guard outright.
     def qNumOf(r: BenchRow): Int = r.name.takeWhile(_ != '_').drop(1).toInt
     def controlOf(rs: Seq[BenchRow]): Double =
       rs.collect { case r if r.minS >= 0 && qNumOf(r) <= 30 => r.minS }.sum
     val anchorControl =
-      sys.env.getOrElse("SPARK_GRAFT_ANCHOR_CONTROL", "9.123").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_ANCHOR_CONTROL", "7.799").toDouble
     val controlTol = sys.env.getOrElse("SPARK_GRAFT_CONTROL_TOL", "1.25").toDouble
     val sweepRetries =
       math.max(0, sys.env.getOrElse("SPARK_GRAFT_SWEEP_RETRIES", "2").toInt)
