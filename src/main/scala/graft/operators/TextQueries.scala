@@ -1005,8 +1005,14 @@ object TextQueries {
           .select(col("source"), col("n"),
             round(col("po"), 4).as("po_r"),
             round(col("pe"), 4).as("pe_r"),
+            // + 0.0 folds IEEE −0.0 to +0.0 (the q200 lnk_r idiom): a
+            // kappa that rounds to exact zero otherwise diverges from
+            // the oracle on the SIGN of zero — numerically equal, but
+            // distinguishable by repr-level comparators (first tripped
+            // at sf1, where two sources hit kappa = 0 exactly)
             when(col("pe") === 1.0, lit(null).cast("double"))
-              .otherwise(round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4))
+              .otherwise(
+                round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4) + 0.0)
               .as("kappa_r"))
           .orderBy("source")
       },
@@ -1029,7 +1035,7 @@ object TextQueries {
           FROM nd LEFT JOIN pen ON nd.source = pen.source)
         SELECT source, n, round(po, 4) AS po_r, round(pe, 4) AS pe_r,
           CASE WHEN pe = 1 THEN NULL
-               ELSE round((po - pe) / (1 - pe), 4) END AS kappa_r
+               ELSE round((po - pe) / (1 - pe), 4) + 0.0 END AS kappa_r
         FROM j ORDER BY source"""),
       doc = "annotation-QC audit: per-source multi-class Cohen's kappa between the gold lang column and the shared marker-vote labeler — one confusion-matrix agg per scan, kilobyte-sized marginal joins after"),
 

@@ -28,7 +28,11 @@ def canon(rows, cols):
 
 def norm(v):
     if isinstance(v, float):
-        return ("f", repr(v))
+        # fold IEEE -0.0 to +0.0 before repr: engines legitimately
+        # disagree on the SIGN of an exact-zero result (Spark round()
+        # vs DuckDB round() on a -1e-17 input), and the gate compares
+        # VALUES, not bit patterns (first tripped by q160 at sf1)
+        return ("f", repr(v + 0.0 if v == 0.0 else v))
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
