@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN QUALITY on a CLUSTERED embedding corpus (r18 verdict item 1).
+  *
+  * All prior recall evidence is planted twins over i.i.d. noise — the
+  * right contract for "find the near-duplicate", but blind to the
+  * failure mode real corpora have: CLUSTERED geometry, where an IVF
+  * cell boundary or an LSH hyperplane slices through a semantic
+  * cluster and loses genuine neighbors. This probe synthesizes a
+  * mixture-of-Gaussians corpus, computes the EXACT top-5 with the
+  * battery's own brute-force query (q39), and grades every sublinear
+  * variant's recall@5 against it.
+  *
+  * Corpus: `nCenters` unit-norm Gaussian directions (deterministic
+  * seed); member i belongs to cluster xxhash64(i) mod nCenters (hash,
+  * NOT i mod k — the battery's query selector is `vec_id % 100 = 0`,
+  * and a modulo cluster id would collapse all queries into 2 of 200
+  * clusters), with per-dimension Gaussian noise of width σ. Two
+  * members of one cluster then have expected cosine ≈ 1/(1+σ²d), so
+  * σ = sqrt((1/c − 1)/d) dials the corpus to a target in-cluster
+  * cosine c. Three operating points are measured per run —
+  * tight (c≈0.97, the near-dup regime the twin evidence covers),
+  * medium (c≈0.90, semantic-dup), loose (c≈0.80, topical) — because a
+  * bucketed index's recall is a FUNCTION of the target similarity and
+  * one tuned point would hide the falloff shape.
+  *
+  * All randomness is hash-derived (xxhash64 → uniform → Box–Muller)
+  * inside codegen'd expressions — the corpus is deterministic,
+  * distributed (no driver materialization), and reproducible at any
+  * size. Only the 200×d center matrix lives on the driver (seeded
+  * java.util.Random — ~100 KB broadcast literal).
+  *
+  * Metric: recall@5 = |ANN top-5 ∩ exact top-5| / 5, averaged over the
+  * same `vec_id % 100 = 0` query set every battery query uses; plus
+  * recall@1 (exact nearest neighbor found) — the boundary-loss number.
+  * Exact truth = q39's own output, so the grader and the graded share
+  * one cosine definition.
+  *
+  * Usage: runMain graft.AnnClusterProbe [nVectors] [nCenters] [cosList] [outJson]
+  * Defaults: 20000 200 0.97,0.90,0.80 ANNQUALITY.json
+  */
+object AnnClusterProbe {
+
+  /** (query name, neighbor-id column) — PQ tier names the returned
+    * corpus vector `vec_id`, the cosine tier `neighbor_id`. */
+  private val Targets = Seq(
+    "q41_ann_lsh_bucketed" -> "neighbor_id",
+    "q78_ann_ivf" -> "neighbor_id",
+    "q104_ann_ivf_multiprobe" -> "neighbor_id",
+    "q126_ann_pq_adc" -> "vec_id",
+    "q130_ann_ivf_pq" -> "vec_id")
+
+  private val Dim = 64
+
+  /** Unit-norm center directions, deterministic seed. */
+  private def centers(n: Int, seed: Long = 190L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(n) {
+      val raw = Array.fill(Dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / nrm).toSeq
+    }
+  }
+
+  /** Writes the clustered corpus as `<dir>/embeddings.parquet` with
+    * the driver-table schema (vec_id, embedding float[], label). */
+  def writeCorpus(spark: SparkSession, dir: String, nVec: Long,
+      nCenters: Int, sigma: Double): Unit = {
+    val cents = typedLit(centers(nCenters))
+    // hash-derived Box–Muller per (vec, dim): u = (pmod(h)+0.5)/2^20
+    // keeps u in (0,1) exclusive so ln(u) is finite
+    def u(tag: String) =
+      s"(pmod(xxhash64(concat(cast(vec_id AS string), ':', cast(i AS string), ':$tag')), 1048576) + 0.5) / 1048576.0D"
+    spark.range(nVec)
+      .select(col("id").as("vec_id"),
+        pmod(expr("xxhash64(cast(id AS string), 'cluster')"), lit(nCenters))
+          .cast("int").as("c"))
+      .withColumn("ce", element_at(cents, col("c") + 1))
+      .withColumn("embedding", expr(
+        s"""transform(sequence(0, ${Dim - 1}), i -> CAST(
+              element_at(ce, i + 1) +
+              $sigma * sqrt(-2.0D * ln(${u("u1")})) *
+                cos(6.283185307179586D * ${u("u2")}) AS FLOAT))"""))
+      .select(col("vec_id"), col("embedding"),
+        concat(lit("c"), col("c")).as("label"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** query_id -> returned neighbor set for one battery query. */
+  private def neighborSets(spark: SparkSession, name: String, nCol: String,
+      dir: String): Map[Long, Set[Long]] = {
+    val out = SparkEntry.queries(name)(spark, dir)
+      .select(col("query_id"), col(nCol).cast("long").as("n")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    SparkEntry.releaseCaches(spark)
+    out
+  }
+
+  final case class VariantQuality(name: String, recallAt5: Double,
+      recallAt1: Double)
+
+  /** One operating point: corpus at `cos` target, exact truth via q39,
+    * recall@5 / recall@1 per ANN variant. */
+  def measurePoint(spark: SparkSession, nVec: Long, nCenters: Int,
+      cosTarget: Double): (Double, Seq[VariantQuality]) = {
+    val sigma = math.sqrt((1.0 / cosTarget - 1.0) / Dim)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mog").toString
+    writeCorpus(spark, dir, nVec, nCenters, sigma)
+    // exact truth: the battery's own brute-force top-5 (rn-ordered)
+    val exact = SparkEntry.queries("q39_ann_bruteforce_topk")(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rn")).collect()
+    SparkEntry.releaseCaches(spark)
+    val exact5 = exact.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact1 = exact.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qs = exact5.keys.toSeq.sorted
+    val report = Targets.map { case (name, nCol) =>
+      val found = neighborSets(spark, name, nCol, dir)
+      val r5 = qs.map { q =>
+        val t = exact5(q); val f = found.getOrElse(q, Set.empty)
+        (t intersect f).size.toDouble / t.size
+      }.sum / qs.size
+      val r1 = qs.count(q =>
+        found.getOrElse(q, Set.empty).contains(exact1(q))).toDouble / qs.size
+      println(f"ANNQUALITY cos=$cosTarget%.2f $name%-26s recall@5=$r5%.4f recall@1=$r1%.4f (n=$nVec, queries=${qs.size})")
+      VariantQuality(name, r5, r1)
+    }
+    // measured (not assumed) in-cluster structure: mean exact-top1 cosine
+    val meanTopCos = {
+      val rows = SparkEntry.queries("q39_ann_bruteforce_topk")(spark, dir)
+        .filter(col("rn") === 1).agg(avg(col("cosine"))).collect()
+      SparkEntry.releaseCaches(spark)
+      rows.head.getDouble(0)
+    }
+    deleteRec(new java.io.File(dir))
+    (meanTopCos, report)
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nVec = args.lift(0).map(_.toLong).getOrElse(20000L)
+    val nCenters = args.lift(1).map(_.toInt).getOrElse(200)
+    val cosPoints = args.lift(2).getOrElse("0.97,0.90,0.80")
+      .split(",").map(_.trim.toDouble).toSeq
+    val outJson = args.lift(3).getOrElse("ANNQUALITY.json")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fmt = (v: Double) =>
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val points = cosPoints.map { c =>
+      val (topCos, report) = measurePoint(spark, nVec, nCenters, c)
+      s"""{"cos_target":${fmt(c)},"measured_top1_cos":${fmt(topCos)},""" +
+        report.map(v =>
+          s""""${v.name}":{"recall_at_5":${fmt(v.recallAt5)},"recall_at_1":${fmt(v.recallAt1)}}""")
+          .mkString(",") + "}"
+    }
+    val line = s"""{"probe":"ann_cluster","n_vectors":$nVec,""" +
+      s""""n_centers":$nCenters,"dim":$Dim,""" +
+      s""""metric":"recall_vs_exact_top5_q39","points":[${points.mkString(",")}]}"""
+    val w = new java.io.PrintWriter(outJson, "UTF-8")
+    try w.println(line) finally w.close()
+    println("ANNQUALITY " + line)
+    spark.stop()
+  }
+}

@@ -184,14 +184,23 @@ object Bench {
     // fastest control. Guarded to FULL sweeps at the anchor's scale —
     // focused (BENCH_ONLY) and off-scale runs are manual adjudication
     // already, and their partial control subtotals would be garbage
-    // against the full-battery anchor. The anchor default must move
-    // with each re-anchor (BASELINE.md "Round-18 anchor": 7.799 s);
-    // SPARK_GRAFT_ANCHOR_CONTROL=0 disables the guard outright.
+    // against the full-battery anchor. The default control is read from
+    // the NEWEST committed BENCH_ANCHOR_r{N}.json (its control_q01_q30_s
+    // field) so a re-anchor moves the guard automatically — a hardcoded
+    // literal here silently graded future sweeps against a stale control
+    // once (r18 verdict nit). SPARK_GRAFT_ANCHOR_CONTROL still overrides;
+    // =0 disables the guard outright; no artifact found → guard off.
     def qNumOf(r: BenchRow): Int = r.name.takeWhile(_ != '_').drop(1).toInt
     def controlOf(rs: Seq[BenchRow]): Double =
       rs.collect { case r if r.minS >= 0 && qNumOf(r) <= 30 => r.minS }.sum
-    val anchorControl =
-      sys.env.getOrElse("SPARK_GRAFT_ANCHOR_CONTROL", "7.799").toDouble
+    val anchorControl = sys.env.get("SPARK_GRAFT_ANCHOR_CONTROL")
+      .map(_.toDouble)
+      .orElse(anchorControlFromArtifacts())
+      .getOrElse {
+        System.err.println("[bench] no BENCH_ANCHOR_r*.json found — " +
+          "contention guard disabled")
+        0.0
+      }
     val controlTol = sys.env.getOrElse("SPARK_GRAFT_CONTROL_TOL", "1.25").toDouble
     val sweepRetries =
       math.max(0, sys.env.getOrElse("SPARK_GRAFT_SWEEP_RETRIES", "2").toInt)
@@ -351,5 +360,33 @@ object Bench {
     println(fullLine)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.count(_.minS >= 0)},"sf":"$sfDir","warm":$warmed,"passes":$passes,"extra_passes":$extraTotal,"gc_every":$gcEvery,"control":${fmt(control)},$attemptsField,"families":$families,"queries_file":"${fullFile.getName}","detail":"${detailFile.getName}"$errField}""")
     spark.stop()
+  }
+
+  /** The contention guard's default control: `control_q01_q30_s` from
+    * the highest-round `BENCH_ANCHOR_r{N}.json` in `dir` (the repo
+    * root when the driver runs Bench). Parsed with a field regex, not
+    * a JSON library — the artifact is ours (tools/make_anchor.py) and
+    * the field is a flat scalar. None when no artifact exists, which
+    * disables the guard rather than grading against a stale literal
+    * (the r18 verdict's hardcoded-anchor nit). */
+  private[graft] def anchorControlFromArtifacts(
+      dir: java.io.File = new java.io.File(".")): Option[Double] = {
+    val namePat = """BENCH_ANCHOR_r(\d+)\.json""".r
+    val fieldPat = """"control_q01_q30_s"\s*:\s*([0-9.eE+-]+)""".r
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap { f =>
+        f.getName match {
+          case namePat(n) => Some((n.toInt, f))
+          case _ => None
+        }
+      }
+      .sortBy(-(_: (Int, java.io.File))._1)
+      .view
+      .flatMap { case (_, f) =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val text = try src.mkString finally src.close()
+        fieldPat.findFirstMatchIn(text).map(_.group(1).toDouble)
+      }
+      .headOption
   }
 }

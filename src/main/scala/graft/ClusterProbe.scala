@@ -107,9 +107,23 @@ object ClusterProbe {
   private final case class ProbeRow(hash: String, rows: Int,
       warmSec: Double, floorSec: Double, passes: Seq[Double], skew: Int)
 
+  /** Focused subset (comma-separated names or qNN prefixes) for
+    * off-scale re-prices — e.g. the r18 >1.2× rows re-run at sf1
+    * without dragging the full 12-target battery through a 10× point.
+    * Empty/unset = all targets (the graded default). */
+  private def selectedTargets: Seq[String] =
+    sys.env.get("SPARK_GRAFT_CLUSTER_ONLY").map(_.split(",").map(_.trim).toSet)
+      .fold(Targets) { only =>
+        val picked = Targets.filter(t =>
+          only.contains(t) || only.contains(t.takeWhile(_ != '_')))
+        require(picked.nonEmpty,
+          s"SPARK_GRAFT_CLUSTER_ONLY=${only.mkString(",")} selected no targets")
+        picked
+      }
+
   private def runAll(spark: SparkSession, sfDir: String, passes: Int)
       : Map[String, ProbeRow] = {
-    Targets.map { name =>
+    selectedTargets.map { name =>
       def once() = SparkEntry.queries(name)(spark, sfDir)
       val df = once()
       val (h, n, warmSec) = hashOf(df)
@@ -171,7 +185,7 @@ object ClusterProbe {
     cluster.stop()
 
     var ok = true
-    Targets.foreach { name =>
+    selectedTargets.foreach { name =>
       val r = ref(name)
       val c = got(name)
       val parity = r.hash == c.hash && r.rows == c.rows
@@ -188,7 +202,7 @@ object ClusterProbe {
     // outliers need explaining in BASELINE.md.
     def fmt(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val rowsJson = Targets.map { name =>
+    val rowsJson = selectedTargets.map { name =>
       val r = ref(name)
       val c = got(name)
       s"""{"name":"$name","rows":${c.rows},"parity":${r.hash == c.hash && r.rows == c.rows},""" +

@@ -43,4 +43,20 @@ object QueryDef {
     * externally). */
   def sumDec(col: String, as: String): String =
     s"CAST(CAST(sum(CAST($col AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS $as"
+
+  /** Signed-zero-safe rounding for any output column whose domain
+    * includes negative values near zero (correlations, slopes, kappas,
+    * log-ratios): `round` keeps IEEE −0.0 when a tiny negative rounds
+    * to zero, and the two engines can disagree on the SIGN of that zero
+    * while agreeing on the value — a repr-level hash mismatch (q160 at
+    * sf1, r18). `+ 0.0` folds −0.0 to +0.0 and is a no-op for every
+    * other value. Use with the matching [[roundZSql]] fragment so the
+    * fix lives at the query/oracle SOURCE and the gates can stay
+    * bit-strict (r18 advice). */
+  def roundZ(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.round(c, n) + 0.0
+
+  /** Oracle-side (DuckDB) fragment matching [[roundZ]]. */
+  def roundZSql(expr: String, n: Int): String =
+    s"round($expr, $n) + 0.0"
 }

@@ -418,8 +418,8 @@ object AuditQueries {
             (col("k") * col("sxy") - col("sx") * col("sy")) /
               (col("k") * col("sxx") - col("sx") * col("sx")))
           .select(col("source"), col("k").as("n_points"),
-            (round(col("beta"), 4) + 0.0).as("beta_r"),
-            (round((col("sy") - col("beta") * col("sx")) / col("k"), 4) + 0.0)
+            QueryDef.roundZ(col("beta"), 4).as("beta_r"),
+            QueryDef.roundZ((col("sy") - col("beta") * col("sx")) / col("k"), 4)
               .as("lnk_r"))
           .orderBy("source")
       },

@@ -163,10 +163,12 @@ object CorpusStats {
             ((col("n") * col("sxy") - col("sx") * col("sy")) /
               (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
             col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
-          .select(col("n"), round(col("slope"), 4).as("slope_r"),
-            round((col("sy") - col("slope") * col("sx")) / col("n"), 4)
+          // slope/intercept straddle zero (Zipf slope is negative by
+          // nature) — roundZ folds a −0.0 round at the source
+          .select(col("n"), QueryDef.roundZ(col("slope"), 4).as("slope_r"),
+            QueryDef.roundZ((col("sy") - col("slope") * col("sx")) / col("n"), 4)
               .as("intercept_r"),
-            round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            QueryDef.roundZ(((col("n") * col("sxy") - col("sx") * col("sy")) *
                 (col("n") * col("sxy") - col("sx") * col("sy"))) /
               ((col("n") * col("sxx") - col("sx") * col("sx")) *
                 (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2_r"))
@@ -188,10 +190,10 @@ object CorpusStats {
           FROM xy),
         fit AS (SELECT n, sx, sy, sxy, sxx, syy,
             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM sums)
-        SELECT n, round(slope, 4) AS slope_r,
-          round((sy - slope * sx) / n, 4) AS intercept_r,
+        SELECT n, round(slope, 4) + 0.0 AS slope_r,
+          round((sy - slope * sx) / n, 4) + 0.0 AS intercept_r,
           round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-            ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2_r
+            ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 AS r2_r
         FROM fit"""),
       doc = "Zipf rank-frequency fit over the top-100 vocabulary head: least-squares slope/intercept/R² of ln(freq) vs ln(rank), rank-ordered folds, fixed-size regression input at any corpus scale"),
 

@@ -1190,7 +1190,8 @@ object CurationQueries {
             expr("""aggregate(transform(array_sort(collect_list(struct(term, lr))),
                  x -> x.lr), 0D, (a, y) -> a + y)""").as("llr"))
           .select(col("doc_id"), col("source"), col("n_tokens"),
-            round(col("llr") / col("n_tokens"), 4).as("avg_llr_r"))
+            // log-likelihood ratios straddle zero — fold −0.0 at source
+            QueryDef.roundZ(col("llr") / col("n_tokens"), 4).as("avg_llr_r"))
           .orderBy(col("avg_llr_r").desc, col("doc_id").asc)
           .limit(100)
       },
@@ -1209,7 +1210,7 @@ object CurationQueries {
           FROM tk JOIN model USING (term) CROSS JOIN tot
           GROUP BY doc_id, source)
         SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
-          round(llr / n_tokens, 4) AS avg_llr_r
+          round(llr / n_tokens, 4) + 0.0 AS avg_llr_r
         FROM sc ORDER BY avg_llr_r DESC, doc_id LIMIT 100"""),
       doc = "DSIR-style importance selection: per-doc mean log-ratio of target-slice vs raw-pool add-1 unigram LMs, top-100 selected via ordered limit — the two-distribution steering signal behind targeted data mixtures"),
 

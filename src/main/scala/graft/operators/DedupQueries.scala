@@ -824,7 +824,8 @@ object DedupQueries {
             col("n_match_pos").cast("int").as("n_match_pos"),
             col("est_j"),
             round(col("jaccard"), 4).as("jaccard_r"),
-            round(col("est_j") - col("jaccard"), 4).as("err_r"))
+            // signed error straddles zero — roundZ folds a −0.0 round
+            QueryDef.roundZ(col("est_j") - col("jaccard"), 4).as("err_r"))
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""$oracleBandsCte,
@@ -843,7 +844,7 @@ object DedupQueries {
         SELECT doc_a, doc_b, CAST(n_match_pos AS INT) AS n_match_pos,
           CAST(n_match_pos AS DOUBLE) / 8.0 AS est_j,
           round(jaccard, 4) AS jaccard_r,
-          round(CAST(n_match_pos AS DOUBLE) / 8.0 - jaccard, 4) AS err_r
+          round(CAST(n_match_pos AS DOUBLE) / 8.0 - jaccard, 4) + 0.0 AS err_r
         FROM j ORDER BY doc_a, doc_b"""),
       doc = "MinHash estimator audit: per candidate pair, signature-agreement Jaccard estimate vs exact set Jaccard with signed error — the sketch-quality number behind the LSH thresholds"),
 

@@ -614,11 +614,12 @@ object EventQueries {
             min(struct((-round(abs(col("z")), 6)).as("nz"),
               col("event_id").as("event_id"))).as("m"))
           .select(col("event_type"), col("n"),
-            round(col("mean"), 4).as("mean_r"),
+            // value means straddle zero — roundZ folds a −0.0 round
+            QueryDef.roundZ(col("mean"), 4).as("mean_r"),
             round(col("std"), 4).as("std_r"),
             col("n_anom"),
             col("m.event_id").as("worst_event_id"),
-            (-col("m.nz")).as("worst_absz_r"))
+            (-col("m.nz") + 0.0).as("worst_absz_r"))
           .orderBy("event_type")
       },
       Some("""WITH ev AS (SELECT event_type, event_id, value FROM events),
@@ -633,11 +634,11 @@ object EventQueries {
             (value - mean) / std AS z
           FROM ev JOIN p ON ev.event_type = p.event_type)
         SELECT event_type, max(n) AS n,
-          round(max(mean), 4) AS mean_r, round(max(std), 4) AS std_r,
+          round(max(mean), 4) + 0.0 AS mean_r, round(max(std), 4) AS std_r,
           CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
           (min(struct_pack(nz := -round(abs(z), 6), event_id := event_id))).event_id
             AS worst_event_id,
-          -(min(struct_pack(nz := -round(abs(z), 6), event_id := event_id))).nz
+          -(min(struct_pack(nz := -round(abs(z), 6), event_id := event_id))).nz + 0.0
             AS worst_absz_r
         FROM z GROUP BY event_type ORDER BY event_type"""),
       doc = "per-type z-score anomaly audit: ordered-fold mean/std fit, broadcast apply, |z|>3 counts and rounded-argmax worst offender — the fit-then-apply metrics monitor"),

@@ -172,7 +172,9 @@ object KMeans {
                  x -> x.sil), 0D, (acc, v) -> acc + v)""").as("ss"))
           .select(col("cid"), col("n_members"),
             round(col("sa") / col("n_members"), 4).as("mean_a_r"),
-            round(col("ss") / col("n_members"), 4).as("mean_sil_r"))
+            // silhouette ∈ [−1, 1] — a near-zero cluster mean can round
+            // to −0.0 on one engine only; fold the sign at the source
+            QueryDef.roundZ(col("ss") / col("n_members"), 4).as("mean_sil_r"))
           .orderBy("cid")
       },
       Some(s"""${oracleCtes(Rounds)},
@@ -194,7 +196,7 @@ object KMeans {
           FROM ab)
         SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
           round(list_sum(list(a ORDER BY vec_id)) / count(*), 4) AS mean_a_r,
-          round(list_sum(list(sil ORDER BY vec_id)) / count(*), 4) AS mean_sil_r
+          round(list_sum(list(sil ORDER BY vec_id)) / count(*), 4) + 0.0 AS mean_sil_r
         FROM sil GROUP BY cid ORDER BY cid"""),
       doc = "simplified silhouette over the q106 k-means model: per-cluster mean own-centroid distance and mean (b-a)/max(a,b) vs the runner-up centroid — shared model definition with q106, broadcast centroids, single-scan distance pass"))
 }

@@ -1005,14 +1005,14 @@ object TextQueries {
           .select(col("source"), col("n"),
             round(col("po"), 4).as("po_r"),
             round(col("pe"), 4).as("pe_r"),
-            // + 0.0 folds IEEE −0.0 to +0.0 (the q200 lnk_r idiom): a
-            // kappa that rounds to exact zero otherwise diverges from
-            // the oracle on the SIGN of zero — numerically equal, but
-            // distinguishable by repr-level comparators (first tripped
-            // at sf1, where two sources hit kappa = 0 exactly)
+            // roundZ folds IEEE −0.0 to +0.0: a kappa that rounds to
+            // exact zero otherwise diverges from the oracle on the SIGN
+            // of zero — numerically equal, but distinguishable by
+            // repr-level comparators (first tripped at sf1, where two
+            // sources hit kappa = 0 exactly)
             when(col("pe") === 1.0, lit(null).cast("double"))
               .otherwise(
-                round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4) + 0.0)
+                QueryDef.roundZ((col("po") - col("pe")) / (lit(1.0) - col("pe")), 4))
               .as("kappa_r"))
           .orderBy("source")
       },
@@ -1335,13 +1335,13 @@ object TextQueries {
               (col("n") * col("sxx") - col("sx") * col("sx"))).as("beta"),
             col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
           .select(col("n").as("n_points"),
-            (round(col("beta"), 4) + 0.0).as("beta_r"),
-            (round((col("sy") - col("beta") * col("sx")) / col("n"), 4) + 0.0)
+            QueryDef.roundZ(col("beta"), 4).as("beta_r"),
+            QueryDef.roundZ((col("sy") - col("beta") * col("sx")) / col("n"), 4)
               .as("intercept_r"),
-            (round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            QueryDef.roundZ(((col("n") * col("sxy") - col("sx") * col("sy")) *
                 (col("n") * col("sxy") - col("sx") * col("sy"))) /
               ((col("n") * col("sxx") - col("sx") * col("sx")) *
-                (col("n") * col("syy") - col("sy") * col("sy"))), 4) + 0.0).as("r2_r"))
+                (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2_r"))
       },
       Some("""WITH toks AS (SELECT doc_id, term
           FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
@@ -1569,13 +1569,13 @@ object TextQueries {
               (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
             col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
           .select(col("source"), col("n").as("n_docs"),
-            (round(col("slope"), 4) + 0.0).as("slope_r"),
-            (round((col("sy") - col("slope") * col("sx")) / col("n"), 4) + 0.0)
+            QueryDef.roundZ(col("slope"), 4).as("slope_r"),
+            QueryDef.roundZ((col("sy") - col("slope") * col("sx")) / col("n"), 4)
               .as("intercept_r"),
-            (round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            QueryDef.roundZ(((col("n") * col("sxy") - col("sx") * col("sy")) *
                 (col("n") * col("sxy") - col("sx") * col("sy"))) /
               ((col("n") * col("sxx") - col("sx") * col("sx")) *
-                (col("n") * col("syy") - col("sy") * col("sy"))), 4) + 0.0).as("r2_r"))
+                (col("n") * col("syy") - col("sy") * col("sy"))), 4).as("r2_r"))
           .orderBy("source")
       },
       Some(s"""WITH $oracleScoreCtes,

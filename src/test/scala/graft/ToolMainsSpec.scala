@@ -118,4 +118,65 @@ class ToolMainsSpec extends AnyFunSuite {
     assert(new File(dir, "CLUSTERBENCH.json").isFile,
       "ClusterProbe pricing artifact not written to its CWD")
   }
+
+  test("AnnClusterProbe grades recall on a tiny mixture-of-Gaussians corpus") {
+    val dir = scratch("anncluster")
+    // 2000 vectors / 20 centers / one tight operating point: every
+    // in-probe stage (corpus synth, q39 truth, all five variants)
+    // runs; the quality thresholds are graded at real sizes, not here
+    val (exit, out) = runMain("graft.AnnClusterProbe",
+      Seq("2000", "20", "0.97", "ANNQUALITY_SMOKE.json"),
+      Map("SPARK_GRAFT_CPUS" -> "4"), dir)
+    assert(exit == 0, s"AnnClusterProbe exit $exit:\n${out.takeRight(2000)}")
+    assert(out.contains("ANNQUALITY {\"probe\":\"ann_cluster\""),
+      s"missing ANNQUALITY summary line:\n${out.takeRight(2000)}")
+    assert(new File(dir, "ANNQUALITY_SMOKE.json").isFile,
+      "AnnClusterProbe artifact not written to its CWD")
+  }
+
+  test("SpanVerifyProbe census + sampled re-verify passes at sf0.001") {
+    val dir = scratch("spanverify")
+    val (exit, out) = runMain("graft.SpanVerifyProbe",
+      Seq(sf0001, "SPANVERIFY_SMOKE.json", "50"),
+      Map("SPARK_GRAFT_CPUS" -> "4"), dir)
+    assert(exit == 0, s"SpanVerifyProbe exit $exit:\n${out.takeRight(2000)}")
+    assert(out.contains("\"verdict\":\"PASS\""),
+      s"SpanVerifyProbe did not PASS:\n${out.takeRight(2000)}")
+  }
+
+  test("StreamBench prices the four heavy streams at sf0.001") {
+    val dir = scratch("streambench")
+    val (exit, out) = runMain("graft.StreamBench",
+      Seq(sf0001, "STREAMBENCH_SMOKE.json", "100", "300"),
+      Map("SPARK_GRAFT_CPUS" -> "4"), dir)
+    assert(exit == 0, s"StreamBench exit $exit:\n${out.takeRight(3000)}")
+    assert(out.contains("STREAMBENCH {\"probe\":\"stream_bench\""),
+      s"missing STREAMBENCH summary line:\n${out.takeRight(3000)}")
+    for (s <- Seq("dedup_minhash", "dedup_simhash", "media_dedup", "ann_serve"))
+      assert(out.contains(s""""$s":{"""),
+        s"stream $s missing from the artifact line:\n${out.takeRight(3000)}")
+  }
+
+  test("Bench contention guard tracks the newest committed anchor artifact") {
+    // temp-dir resolution: highest round wins, field parsed exactly
+    val dir = scratch("anchorguard")
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new File(dir, name), "UTF-8")
+      try w.println(body) finally w.close()
+    }
+    write("BENCH_ANCHOR_r17.json", """{"round": 17, "control_q01_q30_s": 9.999}""")
+    write("BENCH_ANCHOR_r18.json", """{"round": 18,
+ "control_q01_q30_s": 7.799,
+ "total_min_s": 129.408}""")
+    assert(Bench.anchorControlFromArtifacts(dir) === Some(7.799),
+      "guard must read control_q01_q30_s from the HIGHEST-round anchor")
+    assert(Bench.anchorControlFromArtifacts(scratch("noanchor")).isEmpty,
+      "no anchor artifact must disable the guard (None), not invent a control")
+    // repo-root resolution: the committed artifact the driver-run Bench
+    // (CWD = repo root) will actually grade against resolves and is sane
+    val repoRoot = new File(sys.props.getOrElse("user.dir", "."))
+    val fromRepo = Bench.anchorControlFromArtifacts(repoRoot)
+    assert(fromRepo.exists(c => c > 1.0 && c < 60.0),
+      s"repo-root anchor control missing or implausible: $fromRepo")
+  }
 }

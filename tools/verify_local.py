@@ -28,11 +28,13 @@ def canon(rows, cols):
 
 def norm(v):
     if isinstance(v, float):
-        # fold IEEE -0.0 to +0.0 before repr: engines legitimately
-        # disagree on the SIGN of an exact-zero result (Spark round()
-        # vs DuckDB round() on a -1e-17 input), and the gate compares
-        # VALUES, not bit patterns (first tripped by q160 at sf1)
-        return ("f", repr(v + 0.0 if v == 0.0 else v))
+        # BIT-STRICT on purpose, signed zero included (r18 advice): the
+        # sign-of-zero class is fixed at the query/oracle SOURCE
+        # (QueryDef.roundZ / `round(..) + 0.0` on every rounded column
+        # whose domain straddles zero), so a -0.0 reaching this mirror
+        # is a query bug the driver's gate might also flag — local green
+        # must imply driver green, whatever comparator the driver runs.
+        return ("f", repr(v))
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
