@@ -55,6 +55,19 @@ object AnnClusterProbe {
 
   private val Dim = 64
 
+  /** Focused subset for tuning-curve runs (comma-separated names or
+    * qNN prefixes via SPARK_GRAFT_ANN_ONLY) — a retuned-LSH curve
+    * doesn't need the three IVF/PQ variants re-measured per point. */
+  private def selectedTargets: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_ANN_ONLY").map(_.split(",").map(_.trim).toSet)
+      .fold(Targets) { only =>
+        val picked = Targets.filter { case (t, _) =>
+          only.contains(t) || only.contains(t.takeWhile(_ != '_')) }
+        require(picked.nonEmpty,
+          s"SPARK_GRAFT_ANN_ONLY=${only.mkString(",")} selected no targets")
+        picked
+      }
+
   /** Unit-norm center directions, deterministic seed. */
   private def centers(n: Int, seed: Long = 190L): Seq[Seq[Double]] = {
     val rnd = new java.util.Random(seed)
@@ -119,7 +132,7 @@ object AnnClusterProbe {
     val exact1 = exact.filter(_.getInt(2) == 1)
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val qs = exact5.keys.toSeq.sorted
-    val report = Targets.map { case (name, nCol) =>
+    val report = selectedTargets.map { case (name, nCol) =>
       val found = neighborSets(spark, name, nCol, dir)
       val r5 = qs.map { q =>
         val t = exact5(q); val f = found.getOrElse(q, Set.empty)
@@ -172,6 +185,9 @@ object AnnClusterProbe {
     }
     val line = s"""{"probe":"ann_cluster","n_vectors":$nVec,""" +
       s""""n_centers":$nCenters,"dim":$Dim,""" +
+      s""""lsh_tables":${graft.operators.SimilarityQueries.LshTables},""" +
+      s""""lsh_planes":${graft.operators.SimilarityQueries.LshPlanes},""" +
+      s""""ivf_nprobe":${graft.operators.SimilarityQueries.IvfNprobe},""" +
       s""""metric":"recall_vs_exact_top5_q39","points":[${points.mkString(",")}]}"""
     val w = new java.io.PrintWriter(outJson, "UTF-8")
     try w.println(line) finally w.close()

@@ -31,8 +31,17 @@ object SimilarityQueries {
     * — not interpreted higher-order lambdas with a per-element md5,
     * which is what made the 4-bit round-1 version CPU-bound on top of
     * its near-quadratic candidate join. */
-  private[operators] val LshTables = 4
-  private[operators] val LshPlanes = 12
+  // T/P (and IvfNprobe below) are env-overridable for AnnClusterProbe's
+  // tuning-curve runs ONLY — an index's parameters are a function of the
+  // target similarity, and the probe measures what a retuned index buys
+  // at looser regimes. The graded battery always runs the defaults (the
+  // driver sets no SPARK_GRAFT_LSH_*/IVF_* env). Consistency is by
+  // construction: the DuckDB oracle SQL is generated from the SAME vals,
+  // so any override moves both engines together and stays hash-green.
+  private[graft] val LshTables =
+    sys.env.getOrElse("SPARK_GRAFT_LSH_TABLES", "4").toInt
+  private[graft] val LshPlanes =
+    sys.env.getOrElse("SPARK_GRAFT_LSH_PLANES", "12").toInt
   private[operators] val LshDim = 64
   private[operators] val LshCandidateCap = 1000
 
@@ -47,8 +56,10 @@ object SimilarityQueries {
     * classic recall knob — single-probe loses a twin whenever a vector
     * sits on a cell boundary; probing the query's P nearest cells
     * recovers it while the candidate fraction stays P/k of the corpus.
-    * AnnRecallSpec pins the bought recall (≥0.95 vs ≥0.8 single-probe). */
-  private[operators] val IvfNprobe = 3
+    * AnnRecallSpec pins the bought recall (≥0.95 vs ≥0.8 single-probe).
+    * Env-overridable for AnnClusterProbe tuning curves (see LshTables). */
+  private[graft] val IvfNprobe =
+    sys.env.getOrElse("SPARK_GRAFT_IVF_NPROBE", "3").toInt
 
   /** Per-bucket row cap for the near-dup pair join (q81): a skewed LSH
     * bucket (anisotropic embeddings pile into few buckets) is quadratic
