@@ -97,16 +97,16 @@ object CorpusStats {
             expr("""aggregate(transform(array_sort(collect_list(struct(vec_id, v))),
                  x -> x.v * x.v), 0D, (a, y) -> a + y)""").as("svv"),
             min(col("v")).as("mn"), max(col("v")).as("mx"))
-          // + 0.0 normalizes IEEE −0.0 from rounding a tiny negative
+          // roundZ normalizes IEEE −0.0 from rounding a tiny negative
           // mean — DuckDB keeps the sign bit, Spark doesn't; the
           // same term on both sides makes the zero unambiguous.
           .select(col("dim"), col("n"),
-            (round(col("sv") / col("n"), 4) + 0.0).as("mean_r"),
+            QueryDef.roundZ(col("sv") / col("n"), 4).as("mean_r"),
             round(sqrt(greatest(
               col("svv") / col("n") - (col("sv") / col("n")) * (col("sv") / col("n")),
               lit(0.0))), 4).as("std_r"),
-            (round(col("mn"), 4) + 0.0).as("mn_r"),
-            (round(col("mx"), 4) + 0.0).as("mx_r"))
+            QueryDef.roundZ(col("mn"), 4).as("mn_r"),
+            QueryDef.roundZ(col("mx"), 4).as("mx_r"))
           .orderBy("dim")
       },
       Some("""WITH x AS (SELECT vec_id,
@@ -242,8 +242,8 @@ object CorpusStats {
           .join(broadcast(means.select(col("dim").as("i"), col("mu").as("mi"))), Seq("i"))
           .join(broadcast(means.select(col("dim").as("j"), col("mu").as("mj"))), Seq("j"))
           .select(col("i"), col("j"), col("n"),
-            (round(col("spq").cast("double") / lit(1e9) / col("n") -
-              col("mi") * col("mj"), 6) + 0.0).as("cov_r"))
+            QueryDef.roundZ(col("spq").cast("double") / lit(1e9) / col("n") -
+              col("mi") * col("mj"), 6).as("cov_r"))
           .orderBy("i", "j")
       },
       Some("""WITH x AS (SELECT vec_id,

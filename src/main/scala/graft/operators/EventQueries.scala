@@ -682,7 +682,8 @@ object EventQueries {
             round(col("sc").cast("double") / col("n"), 4).as("mean_r"),
             round((col("n") * col("scc") - col("sc") * col("sc")).cast("double") /
               (col("n") * col("sc")).cast("double"), 4).as("fano_r"),
-            round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            // autocorrelation ∈ [−1, 1] — roundZ folds a −0.0 round
+            QueryDef.roundZ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
               sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
                 (col("m") * col("syy") - col("sy") * col("sy")).cast("double")), 4)
               .as("lag1_r"))
@@ -711,7 +712,7 @@ object EventQueries {
           round(CAST(n * scc - sc * sc AS DOUBLE) / CAST(n * sc AS DOUBLE), 4) AS fano_r,
           round(CAST(m * sxy - sx * sy AS DOUBLE) /
             sqrt(CAST(m * sxx - sx * sx AS DOUBLE) * CAST(m * syy - sy * sy AS DOUBLE)), 4)
-            AS lag1_r
+            + 0.0 AS lag1_r
         FROM base JOIN lagg ON base.event_type = lagg.event_type
         ORDER BY base.event_type"""),
       doc = "per-type arrival-process health: Fano factor and lag-1 autocorrelation over the ZERO-FILLED hourly lattice — exact integer sums, fp only in the final divisions; the watermark/trigger sizing read")
