@@ -39,8 +39,8 @@ import org.apache.spark.sql.functions._
   * Exact truth = q39's own output, so the grader and the graded share
   * one cosine definition.
   *
-  * Usage: runMain graft.AnnClusterProbe [nVectors] [nCenters] [cosList] [outJson]
-  * Defaults: 20000 200 0.97,0.90,0.80 ANNQUALITY.json
+  * Usage: runMain graft.AnnClusterProbe [nVectors] [nCenters] [cosList] [outJson] [uniform|zipf]
+  * Defaults: 20000 200 0.97,0.90,0.80 ANNQUALITY.json uniform
   */
 object AnnClusterProbe {
 
@@ -79,26 +79,50 @@ object AnnClusterProbe {
   }
 
   /** Writes the clustered corpus as `<dir>/embeddings.parquet` with
-    * the driver-table schema (vec_id, embedding float[], label). */
+    * the driver-table schema (vec_id, embedding float[], label int —
+    * the cluster id; matches Tables.expectedSchemas' pinned int label).
+    *
+    * `zipf = true` draws cluster MEMBERSHIP Zipf(s=1) over the ranked
+    * centers instead of uniform (r19 verdict item 7): real embedding
+    * corpora are Zipf-clustered, and the per-cell candidate caps are
+    * exactly the mechanism that can lose recall on hot cells — the
+    * hottest cell holds ~1/H(n) of the corpus (≈16% at 200 centers)
+    * vs 0.5% uniform. Membership is still hash-derived per vec_id
+    * (deterministic, query-set-independent): u = uniform(vec_id) maps
+    * through the Zipf CDF over ranks via one broadcast literal. */
   def writeCorpus(spark: SparkSession, dir: String, nVec: Long,
-      nCenters: Int, sigma: Double): Unit = {
+      nCenters: Int, sigma: Double, zipf: Boolean = false): Unit = {
     val cents = typedLit(centers(nCenters))
     // hash-derived Box–Muller per (vec, dim): u = (pmod(h)+0.5)/2^20
     // keeps u in (0,1) exclusive so ln(u) is finite
     def u(tag: String) =
       s"(pmod(xxhash64(concat(cast(vec_id AS string), ':', cast(i AS string), ':$tag')), 1048576) + 0.5) / 1048576.0D"
-    spark.range(nVec)
-      .select(col("id").as("vec_id"),
-        pmod(expr("xxhash64(cast(id AS string), 'cluster')"), lit(nCenters))
-          .cast("int").as("c"))
+    val base =
+      if (!zipf)
+        spark.range(nVec).select(col("id").as("vec_id"),
+          pmod(expr("xxhash64(cast(id AS string), 'cluster')"), lit(nCenters))
+            .cast("int").as("c"))
+      else {
+        // cumulative Zipf(s=1) weights over ranks 0..nCenters-1; the
+        // cluster id is the first rank whose CDF reaches the hash-
+        // uniform draw — size(filter(cdf < u)) in one array pass over
+        // the broadcast literal
+        val w = Array.tabulate(nCenters)(r => 1.0 / (r + 1))
+        val cdf = w.scanLeft(0.0)(_ + _).tail.map(_ / w.sum)
+        val uc = "(pmod(xxhash64(cast(id AS string), 'cluster'), 1048576) + 0.5) / 1048576.0D"
+        spark.range(nVec)
+          .withColumn("cdfarr", typedLit(cdf.toSeq))
+          .select(col("id").as("vec_id"),
+            expr(s"size(filter(cdfarr, x -> x < $uc))").cast("int").as("c"))
+      }
+    base
       .withColumn("ce", element_at(cents, col("c") + 1))
       .withColumn("embedding", expr(
         s"""transform(sequence(0, ${Dim - 1}), i -> CAST(
               element_at(ce, i + 1) +
               $sigma * sqrt(-2.0D * ln(${u("u1")})) *
                 cos(6.283185307179586D * ${u("u2")}) AS FLOAT))"""))
-      .select(col("vec_id"), col("embedding"),
-        concat(lit("c"), col("c")).as("label"))
+      .select(col("vec_id"), col("embedding"), col("c").as("label"))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
@@ -119,10 +143,10 @@ object AnnClusterProbe {
   /** One operating point: corpus at `cos` target, exact truth via q39,
     * recall@5 / recall@1 per ANN variant. */
   def measurePoint(spark: SparkSession, nVec: Long, nCenters: Int,
-      cosTarget: Double): (Double, Seq[VariantQuality]) = {
+      cosTarget: Double, zipf: Boolean = false): (Double, Seq[VariantQuality]) = {
     val sigma = math.sqrt((1.0 / cosTarget - 1.0) / Dim)
     val dir = java.nio.file.Files.createTempDirectory("graft_mog").toString
-    writeCorpus(spark, dir, nVec, nCenters, sigma)
+    writeCorpus(spark, dir, nVec, nCenters, sigma, zipf)
     // exact truth: the battery's own brute-force top-5 (rn-ordered)
     val exact = SparkEntry.queries("q39_ann_bruteforce_topk")(spark, dir)
       .select(col("query_id"), col("neighbor_id"), col("rn")).collect()
@@ -165,6 +189,10 @@ object AnnClusterProbe {
     val cosPoints = args.lift(2).getOrElse("0.97,0.90,0.80")
       .split(",").map(_.trim.toDouble).toSeq
     val outJson = args.lift(3).getOrElse("ANNQUALITY.json")
+    val clusterDist = args.lift(4).getOrElse("uniform")
+    require(clusterDist == "uniform" || clusterDist == "zipf",
+      s"clusterDist must be uniform|zipf, got $clusterDist")
+    val zipf = clusterDist == "zipf"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -177,17 +205,19 @@ object AnnClusterProbe {
     val fmt = (v: Double) =>
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val points = cosPoints.map { c =>
-      val (topCos, report) = measurePoint(spark, nVec, nCenters, c)
+      val (topCos, report) = measurePoint(spark, nVec, nCenters, c, zipf)
       s"""{"cos_target":${fmt(c)},"measured_top1_cos":${fmt(topCos)},""" +
         report.map(v =>
           s""""${v.name}":{"recall_at_5":${fmt(v.recallAt5)},"recall_at_1":${fmt(v.recallAt1)}}""")
           .mkString(",") + "}"
     }
     val line = s"""{"probe":"ann_cluster","n_vectors":$nVec,""" +
-      s""""n_centers":$nCenters,"dim":$Dim,""" +
+      s""""n_centers":$nCenters,"dim":$Dim,"cluster_dist":"$clusterDist",""" +
       s""""lsh_tables":${graft.operators.SimilarityQueries.LshTables},""" +
       s""""lsh_planes":${graft.operators.SimilarityQueries.LshPlanes},""" +
+      s""""lsh_cap":${graft.operators.SimilarityQueries.LshCandidateCap},""" +
       s""""ivf_nprobe":${graft.operators.SimilarityQueries.IvfNprobe},""" +
+      s""""ivf_centroids":${graft.operators.SimilarityQueries.IvfCentroids},""" +
       s""""metric":"recall_vs_exact_top5_q39","points":[${points.mkString(",")}]}"""
     val w = new java.io.PrintWriter(outJson, "UTF-8")
     try w.println(line) finally w.close()

@@ -206,23 +206,51 @@ object Bench {
       math.max(0, sys.env.getOrElse("SPARK_GRAFT_SWEEP_RETRIES", "2").toInt)
     val anchorSf = sys.env.getOrElse("SPARK_GRAFT_ANCHOR_SF", "sf0.1")
     val guarded = only.isEmpty && sfDir.contains(anchorSf) && anchorControl > 0
+    // Per-query second trigger (r19 verdict item 4): the total-control
+    // test is too coarse — an 11%-hot window sailed under the 1.25×
+    // tolerance while 15+ individual untouched rows doubled vs their
+    // anchor minima, costing a round of per-row adjudication. Count the
+    // rows whose CONTROL-NORMALIZED min (minS ÷ the sweep's own
+    // control inflation) exceeds hotM× their anchor minimum; more than
+    // hotK such rows marks the window contended even when the control
+    // subtotal passes. Rows a round deliberately re-planned will trip
+    // this too — that costs at most the bounded retries and the
+    // artifact names the hot rows, so the adjudication is one read.
+    val hotM = sys.env.getOrElse("SPARK_GRAFT_HOT_M", "1.8").toDouble
+    val hotK = sys.env.getOrElse("SPARK_GRAFT_HOT_K", "10").toInt
+    val anchorQueries: Map[String, Double] =
+      if (guarded) anchorQueriesFromArtifacts() else Map.empty
+    def hotRows(rs: Seq[BenchRow]): Seq[String] = {
+      val inflation = if (anchorControl > 0) controlOf(rs) / anchorControl else 1.0
+      if (inflation <= 0) Seq.empty
+      else rs.collect {
+        case r if r.minS >= 0 && anchorQueries.getOrElse(r.name, 0.0) > 0 &&
+          r.minS / inflation > hotM * anchorQueries(r.name) => r.name
+      }
+    }
+    def contended(rs: Seq[BenchRow]): Boolean =
+      controlOf(rs) > anchorControl * controlTol ||
+        (anchorQueries.nonEmpty && hotRows(rs).size > hotK)
     var attempts = List(sweepOnce())
-    while (guarded && attempts.size <= sweepRetries &&
-        controlOf(attempts.head) > anchorControl * controlTol) {
+    while (guarded && attempts.size <= sweepRetries && contended(attempts.head)) {
       System.err.println(
-        f"[bench] control ${controlOf(attempts.head)}%.3f s > $controlTol%.2f× " +
-          f"anchor $anchorControl%.3f s — contended window; re-running sweep " +
-          s"(attempt ${attempts.size + 1} of ${sweepRetries + 1})")
+        f"[bench] control ${controlOf(attempts.head)}%.3f s (tol $controlTol%.2f× " +
+          f"anchor $anchorControl%.3f s), ${hotRows(attempts.head).size}%d rows " +
+          f">$hotM%.1f× anchor control-normalized (tol $hotK%d) — contended " +
+          s"window; re-running sweep (attempt ${attempts.size + 1} of ${sweepRetries + 1})")
       System.gc()
       attempts ::= sweepOnce()
     }
     val controlsTried = attempts.reverse.map(controlOf)
-    if (guarded && controlsTried.min > anchorControl * controlTol)
+    val hotTried = attempts.reverse.map(a => hotRows(a).size)
+    if (guarded && attempts.forall(contended))
       System.err.println(
-        f"[bench] WARNING: control still ${controlsTried.min}%.3f s after " +
-          s"${attempts.size} attempt(s) — artifacts carry the best window; " +
-          "read totals control-normalized")
+        f"[bench] WARNING: still contended after ${attempts.size} attempt(s) " +
+          s"(controls ${controlsTried.map(c => f"$c%.3f").mkString("/")}, hot rows " +
+          s"${hotTried.mkString("/")}) — artifacts carry the best window; " +
+          "read totals control-normalized and check hot_rows")
     val results = attempts.minBy(controlOf)
+    val finalHot = hotRows(results)
     // The driver keeps only the tail of this process's output, so the
     // one JSON line must stay well under 2000 chars even with sbt's
     // "[success] ..." trailer after it: short keys (the qNN prefix is
@@ -316,14 +344,32 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", detailDefault))
     val dw = new java.io.PrintWriter(detailFile, "UTF-8")
     // control_attempts: every attempt's q01–q30 subtotal in run order —
-    // a retried sweep is visible in the artifact, not just on stderr
+    // a retried sweep is visible in the artifact, not just on stderr.
+    // hot_rows: the per-query second trigger's final count + names
+    // (control-normalized rows > hot_m× their anchor minimum), plus
+    // every attempt's count, so a window that passed the control test
+    // but doubled individual rows is visible IN the artifact.
     val attemptsField =
       s""""sweep_attempts":${controlsTried.size},"control_attempts":${
-        controlsTried.map(fmt).mkString("[", ",", "]")}"""
+        controlsTried.map(fmt).mkString("[", ",", "]")},""" +
+      s""""hot_m":${fmt(hotM)},"hot_k":$hotK,"hot_attempts":${
+        hotTried.mkString("[", ",", "]")},"hot_rows":${finalHot.size},""" +
+      s""""hot_row_names":${
+        finalHot.sorted.take(24).map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    // effective index parameters (ADVICE r19): the graded ANN queries'
+    // semantics move with these — record what this sweep actually ran
+    // with, so a leaked SPARK_GRAFT_LSH_*/IVF_* env override is visible
+    // in the artifact instead of silently re-shaping timings
+    val annParams = {
+      import graft.operators.SimilarityQueries._
+      s""""ann_params":{"lsh_tables":$LshTables,"lsh_planes":$LshPlanes,""" +
+        s""""lsh_cap":$LshCandidateCap,"ivf_nprobe":$IvfNprobe,""" +
+        s""""ivf_centroids":$IvfCentroids}"""
+    }
     try dw.println(
       s"""{"sf":"$sfDir","warm":$warmed,"passes":$passes,"gc_every":$gcEvery,""" +
         s""""total_min_s":${fmt(total)},"control_q01_30_s":${fmt(control)},""" +
-        s"""$attemptsField,"families":$families,"rows":$detail}""")
+        s"""$attemptsField,$annParams,"families":$families,"rows":$detail}""")
     finally dw.close()
     // capped by BYTES, not entry count: pass lists scale with
     // SPARK_GRAFT_PASSES, and the whole line must survive the driver's
@@ -342,7 +388,7 @@ object Bench {
     // must not silently mix cold and steady-state measurements
     val extraTotal = results.map(_.extraPasses).sum
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes,"extra_passes":$extraTotal,"gc_every":$gcEvery,"control":${fmt(control)},$attemptsField,"detail":"${detailFile.getName}"$spreadField$errField}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warm":$warmed,"passes":$passes,"extra_passes":$extraTotal,"gc_every":$gcEvery,"control":${fmt(control)},$attemptsField,$annParams,"detail":"${detailFile.getName}"$spreadField$errField}"""
     // The driver keeps only a ~2k stdout TAIL, so the full line (203
     // queries ≈ 4 KB) cannot survive inline — r16's round artifact was
     // a mid-line truncation with "parsed": null. Canonical record now
@@ -388,5 +434,36 @@ object Bench {
         fieldPat.findFirstMatchIn(text).map(_.group(1).toDouble)
       }
       .headOption
+  }
+
+  /** Per-query anchor minima from the same newest committed
+    * `BENCH_ANCHOR_r{N}.json` — the per-query contention trigger's
+    * reference. The anchor's `"queries"` object is flat (name →
+    * seconds; tools/make_anchor.py), so a block-scoped regex is
+    * enough. Empty map when no artifact exists (trigger disabled). */
+  private[graft] def anchorQueriesFromArtifacts(
+      dir: java.io.File = new java.io.File(".")): Map[String, Double] = {
+    val namePat = """BENCH_ANCHOR_r(\d+)\.json""".r
+    val blockPat = """"queries"\s*:\s*\{([^}]*)\}""".r
+    val pairPat = """"(q\d+[a-zA-Z0-9_]*)"\s*:\s*([0-9.eE+-]+)""".r
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap { f =>
+        f.getName match {
+          case namePat(n) => Some((n.toInt, f))
+          case _ => None
+        }
+      }
+      .sortBy(-(_: (Int, java.io.File))._1)
+      .view
+      .flatMap { case (_, f) =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val text = try src.mkString finally src.close()
+        blockPat.findFirstMatchIn(text).map { m =>
+          pairPat.findAllMatchIn(m.group(1))
+            .map(p => p.group(1) -> p.group(2).toDouble).toMap
+        }
+      }
+      .headOption
+      .getOrElse(Map.empty)
   }
 }

@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   *     gram set ⟹ every groupBy/join on the hash key (the DF cap's
   *     aggregate, the semi-join prune, the pair self-join) partitions
   *     rows EXACTLY as the string key would — a formal equivalence for
-  *     this corpus, not an estimate. (The converse direction needs no
-  *     check at all: equal strings always hash equal, so the hashed
-  *     index can never LOSE a match — collisions could only add.)
+  *     this corpus, not an estimate. (Note the census is load-bearing
+  *     for BOTH directions on q128: equal strings always hash equal,
+  *     so the un-capped q122 index can never LOSE a match — but under
+  *     q128's document-frequency cap a collision could inflate a
+  *     gram's df past the cap and prune a TRUE gram, losing a real
+  *     pair. The no-loss guarantee for q128 therefore follows from
+  *     the census proving zero collisions, not from hash
+  *     monotonicity — do not relax leg 1 to a sample.)
   *
   *  2. **Sampled-pair string re-verify + no-span controls**: a
   *     deterministic sample of emitted q122/q128 pairs is recomputed

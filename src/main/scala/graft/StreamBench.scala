@@ -40,12 +40,18 @@ import org.apache.spark.sql.functions._
 object StreamBench {
 
   final case class StreamRow(name: String, rows: Long, batches: Int,
-      batchMs: Seq[Long], outRows: Long) {
+      batchMs: Seq[Long], batchRows: Seq[Long], outRows: Long) {
     def steadyMs: Seq[Long] = if (batchMs.size > 1) batchMs.tail else batchMs
+    // steady throughput over the ACTUAL row counts of the steady
+    // batches (warm-up batch 0 excluded from BOTH numerator and
+    // denominator; a short final batch counts its real size) — a mean
+    // batch size against steady-only times misstates the figure
+    // whenever rows % batchSize != 0 (ADVICE r19)
     def steadyRowsPerS: Double = {
-      val perBatch = rows.toDouble / batches
+      val steadyRows =
+        (if (batchRows.size > 1) batchRows.tail else batchRows).sum
       val s = steadyMs.sum / 1000.0
-      if (s > 0) perBatch * steadyMs.size / s else 0.0
+      if (s > 0) steadyRows / s else 0.0
     }
   }
 
@@ -69,7 +75,8 @@ object StreamBench {
         q.processAllAvailable()
         (System.nanoTime() - t0) / 1000000L
       }
-      val row = StreamRow(name, data.size.toLong, batches.size, times, outCount())
+      val row = StreamRow(name, data.size.toLong, batches.size, times,
+        batches.map(_.size.toLong), outCount())
       System.err.println(f"[streambench] $name%-16s rows=${row.rows}%7d " +
         f"batches=${row.batches}%3d steady=${row.steadyRowsPerS}%10.1f rows/s " +
         f"batch_ms=[${times.mkString(" ")}] out=${row.outRows}")

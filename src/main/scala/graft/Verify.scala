@@ -56,6 +56,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // effective index parameters (ADVICE r19): the ANN queries' graded
+    // semantics move with these env-overridable vals — record what this
+    // dump actually ran with (separate sidecar: oracle_sql.json must
+    // stay a pure name→SQL map for the driver's DuckDB loop)
+    locally {
+      import graft.operators.SimilarityQueries._
+      Files.writeString(Paths.get(s"$outDir/params.json"),
+        s"""{"ann_params":{"lsh_tables":$LshTables,"lsh_planes":$LshPlanes,""" +
+          s""""lsh_cap":$LshCandidateCap,"ivf_nprobe":$IvfNprobe,""" +
+          s""""ivf_centroids":$IvfCentroids}}""")
+    }
     spark.stop()
   }
 }

@@ -99,25 +99,49 @@ object EtlMain {
     * columns; returns (key values, parsed response) pairs for the 2xx
     * requests ONLY and the sink report — so callers can mark exactly
     * the acknowledged writes as applied and leave failed ones eligible
-    * for retry on resume. The collect is bounded by the change set —
-    * the same rows the reference serializes one-by-one through its
-    * rate limit. */
-  private def sendPhase(
+    * for retry on resume.
+    *
+    * Driver-memory bound: the ordered frame streams through
+    * `toLocalIterator` (orderBy's range partitioning preserves global
+    * key order across the partition-at-a-time fetch), so request
+    * bodies — the corpus-sized part of a first-run migration's change
+    * set — hold at most ONE partition on the driver at a time. What
+    * the driver retains for the whole phase is the key tuples plus
+    * the parsed 2xx response JSON (the ack payload callers fold into
+    * the ledger) — O(change set) in COUNT but id-sized per row, not
+    * body-sized. The reference holds the full serialized set either
+    * way (etl.js builds its request list in memory); this keeps the
+    * same per-key ack alignment without that ceiling. */
+  private[graft] def sendPhase(
       writer: RateLimitedWriter,
       reqs: DataFrame,
       keyCols: Seq[String] = Seq("entity_id")): (Seq[(Seq[String], JsonNode)], SinkReport) = {
-    val rows = reqs.select((keyCols ++ Seq("method", "url", "body")).map(col): _*)
-      .orderBy(keyCols.map(col): _*)
-      .collect()
     val k = keyCols.length
-    val (pairs, report) = writer.sendAll(
-      rows.iterator.map(r =>
-        HttpRequest(r.getString(k), r.getString(k + 1), r.getString(k + 2))))
-    val parsed = rows.zip(pairs).collect {
-      case (row, (_, resp)) if resp.status >= 200 && resp.status < 300 =>
-        ((0 until k).map(row.getString), mapper.readTree(resp.body))
+    val rowIt = reqs.select((keyCols ++ Seq("method", "url", "body")).map(col): _*)
+      .orderBy(keyCols.map(col): _*)
+      .toLocalIterator()
+    // keys are captured AS the request iterator drains (sendEach pulls
+    // one row, sends, fires the callback, then pulls the next — a
+    // streaming zip), so the positional alignment sendEach guarantees
+    // (one callback per request, in input order, terminal rows for
+    // exhausted retries) maps back to keys without re-materializing
+    // the rows; request bodies are dropped the moment their response
+    // lands
+    var curKeys: Seq[String] = Seq.empty
+    val reqIt = new Iterator[HttpRequest] {
+      override def hasNext: Boolean = rowIt.hasNext
+      override def next(): HttpRequest = {
+        val r = rowIt.next()
+        curKeys = (0 until k).map(r.getString)
+        HttpRequest(r.getString(k), r.getString(k + 1), r.getString(k + 2))
+      }
     }
-    (parsed.toSeq, report)
+    val parsed = Seq.newBuilder[(Seq[String], JsonNode)]
+    val report = writer.sendEach(reqIt) { (_, resp) =>
+      if (resp.status >= 200 && resp.status < 300)
+        parsed += ((curKeys, mapper.readTree(resp.body)))
+    }
+    (parsed.result(), report)
   }
 
   def run(

@@ -208,6 +208,219 @@ case class PqCode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Full per-query ADC lookup table in ONE fused loop: `qv` is a
+  * gridded query vector (array<int>, length m·d), `cb` the FULLY
+  * flattened codebook laid out subspace-major
+  * [j0c0[0..d), j0c1[0..d), ..., j1c0[0..d), ...] (m·k·d ints).
+  * `subDim` is d. Returns array<int> of length m·k where
+  * out[j·k + c] = Σ_i (qv[j·d+i] − cb[(j·k+c)·d+i])² — the partial
+  * distances [[PqAdc]] sums per stored code vector. Each partial is
+  * ≤ d·255² (int-safe). The join formulation (queries×m subvectors ⋈
+  * m·k codewords → per-pair IntSqDist) materializes q·m·k rows through
+  * join machinery for the same arithmetic; this is one codegen'd loop
+  * per query row. NULL on null input, empty/mismatched layout
+  * (cb length not a multiple of qv length / subDim). */
+case class PqLut(qvec: Expression, cb: Expression, sub: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = qvec
+  override def second: Expression = cb
+  override def third: Expression = sub
+
+  override def prettyName: String = "pq_lut"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arr(t: DataType): Boolean = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (arr(qvec.dataType) && arr(cb.dataType) && sub.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int>, array<int>, int), got " +
+        s"${qvec.dataType.sql}, ${cb.dataType.sql}, ${sub.dataType.sql}")
+  }
+
+  private def elementsNullable: Boolean = Seq(qvec, cb).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val qv = a.asInstanceOf[ArrayData]
+    val flat = b.asInstanceOf[ArrayData]
+    val d = c.asInstanceOf[Int]
+    val vd = qv.numElements()
+    val total = flat.numElements()
+    if (d <= 0 || vd == 0 || vd % d != 0 || total == 0 || total % vd != 0) return null
+    if (elementsNullable) {
+      var i = 0
+      while (i < vd) { if (qv.isNullAt(i)) return null; i += 1 }
+      i = 0
+      while (i < total) { if (flat.isNullAt(i)) return null; i += 1 }
+    }
+    val m = vd / d
+    val k = total / vd // total = m*k*d
+    val out = new Array[Int](m * k)
+    var j = 0
+    while (j < m) {
+      var cc = 0
+      while (cc < k) {
+        var s = 0
+        var i = 0
+        val qoff = j * d
+        val coff = (j * k + cc) * d
+        while (i < d) {
+          val diff = qv.getInt(qoff + i) - flat.getInt(coff + i)
+          s += diff * diff
+          i += 1
+        }
+        out(j * k + cc) = s
+        cc += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val vd = ctx.freshName("vd"); val total = ctx.freshName("total")
+      val m = ctx.freshName("m"); val k = ctx.freshName("k")
+      val j = ctx.freshName("j"); val cc = ctx.freshName("cc")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val qoff = ctx.freshName("qoff"); val coff = ctx.freshName("coff")
+      val diff = ctx.freshName("diff"); val out = ctx.freshName("out")
+      val nc = ctx.freshName("nc")
+      val nullScan =
+        if (elementsNullable)
+          s"""for (int $nc = 0; $nc < $vd && !${ev.isNull}; $nc++)
+                if ($a.isNullAt($nc)) ${ev.isNull} = true;
+              for (int $nc = 0; $nc < $total && !${ev.isNull}; $nc++)
+                if ($b.isNullAt($nc)) ${ev.isNull} = true;"""
+        else ""
+      s"""
+        int $vd = $a.numElements();
+        int $total = $b.numElements();
+        if ($c <= 0 || $vd == 0 || $vd % $c != 0 || $total == 0 || $total % $vd != 0) {
+          ${ev.isNull} = true;
+        } else {
+          $nullScan
+          if (!${ev.isNull}) {
+            int $m = $vd / $c;
+            int $k = $total / $vd;
+            int[] $out = new int[$m * $k];
+            for (int $j = 0; $j < $m; $j++) {
+              for (int $cc = 0; $cc < $k; $cc++) {
+                int $s = 0;
+                int $qoff = $j * $c;
+                int $coff = ($j * $k + $cc) * $c;
+                for (int $i = 0; $i < $c; $i++) {
+                  int $diff = $a.getInt($qoff + $i) - $b.getInt($coff + $i);
+                  $s += $diff * $diff;
+                }
+                $out[$j * $k + $cc] = $s;
+              }
+            }
+            ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+          }
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqLut =
+    copy(qvec = f, cb = s, sub = t)
+}
+
+/** ADC distance of one stored code vector against a [[PqLut]] table:
+  * `codes` is the vector's m positional codes (array<int>, each in
+  * [0, k)), `lut` the m·k partial-distance table. Returns
+  * Σ_j lut[j·k + codes[j]] as BIGINT — exactly the `sum(pd)` the
+  * (subspace, code) equi-join + aggregation computes, without
+  * materializing the n·m·q joined rows. NULL on layout mismatch or an
+  * out-of-range code. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<int> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val total = lut.numElements()
+    if (m == 0 || total == 0 || total % m != 0) return null
+    val k = total / m
+    var s = 0L
+    var j = 0
+    while (j < m) {
+      if (elementsNullable && (codes.isNullAt(j))) return null
+      val c = codes.getInt(j)
+      if (c < 0 || c >= k) return null
+      if (elementsNullable && lut.isNullAt(j * k + c)) return null
+      s += lut.getInt(j * k + c)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m"); val total = ctx.freshName("total")
+      val k = ctx.freshName("k"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val s = ctx.freshName("s")
+      val nullCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($j) || $b.isNullAt($j * $k + $c)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+        int $m = $a.numElements();
+        int $total = $b.numElements();
+        if ($m == 0 || $total == 0 || $total % $m != 0) {
+          ${ev.isNull} = true;
+        } else {
+          int $k = $total / $m;
+          long $s = 0L;
+          for (int $j = 0; $j < $m; $j++) {
+            ${if (elementsNullable) s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }" else ""}
+            int $c = $a.getInt($j);
+            if ($c < 0 || $c >= $k) { ${ev.isNull} = true; break; }
+            ${if (elementsNullable) s"if ($b.isNullAt($j * $k + $c)) { ${ev.isNull} = true; break; }" else ""}
+            $s += $b.getInt($j * $k + $c);
+          }
+          if (!${ev.isNull}) ${ev.value} = $s;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API over the native integer-vector expressions. */
 object IntVectorFunctions {
   def int_sqdist(a: Column, b: Column): Column =
@@ -217,4 +430,13 @@ object IntVectorFunctions {
   def pq_code(sub: Column, flatCodebook: Column): Column =
     ColumnBridge.column(PqCode(
       ColumnBridge.expression(sub), ColumnBridge.expression(flatCodebook)))
+
+  def pq_lut(qv: Column, flatCodebook: Column, subDim: Int): Column =
+    ColumnBridge.column(PqLut(
+      ColumnBridge.expression(qv), ColumnBridge.expression(flatCodebook),
+      org.apache.spark.sql.catalyst.expressions.Literal(subDim)))
+
+  def pq_adc(codes: Column, lut: Column): Column =
+    ColumnBridge.column(PqAdc(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
 }

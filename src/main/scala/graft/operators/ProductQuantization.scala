@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: encode is one broadcast join of n·m subvector rows
   * against the m×256-row codebook (O(n·m·256) integer ops — the
-  * irreducible PQ encode cost, embarrassingly parallel); ADC is one
-  * broadcast equi-join on (subspace, code) + a sum aggregation —
-  * bytes-per-vector I/O, the whole point of PQ; the exact-L2 audit is
-  * the only probes×n pass and exists to measure recall in-query.
+  * irreducible PQ encode cost, embarrassingly parallel); ADC reads the
+  * packed codes (ONE array<int> row per vector — bytes-per-vector I/O,
+  * the whole point of PQ) against broadcast per-query LUTs, one fused
+  * lookup-sum per (vector, query), into a bounded-heap smallest-k agg;
+  * the exact-L2 audit is the only probes×n pass and exists to measure
+  * recall in-query.
   */
 object ProductQuantization {
 
@@ -88,12 +90,15 @@ object ProductQuantization {
   /** The static PQ serving index — what a production vector store
     * persists and every searcher (batch q126 OR a streaming
     * micro-batch, [[graft.streaming.AnnServeStream]]) probes:
-    * `grid` is the int-grid fetch tier for exact re-rank, `cw` the
-    * m×256 codebook, `codes` the byte codes (m rows per vector),
+    * `grid` is the int-grid fetch tier for exact re-rank, `cbAll` the
+    * fully flattened subspace-major codebook (ONE broadcastable row —
+    * m·k·d ints), `codesPacked` the byte codes packed ONE ROW PER
+    * VECTOR (array of m positional codes — the layout a PQ store
+    * actually pages: bytes-per-vector, not m join rows per vector),
     * `stats` the 1-row quantizer parameters arriving RAW query
     * vectors pass through ([[applyGrid]]) before probing. */
-  final case class PqIndex(grid: DataFrame, cw: DataFrame, codes: DataFrame,
-      stats: DataFrame)
+  final case class PqIndex(grid: DataFrame, cbAll: DataFrame,
+      codesPacked: DataFrame, stats: DataFrame)
 
   /** Build [[PqIndex]] once from the corpus (pinned via
     * localCheckpoint — the parquet-persisted form in production). */
@@ -111,50 +116,70 @@ object ProductQuantization {
       .select(col("j"), col("vec_id").as("cw_id"), col("sub").as("cwv"))
     // encode: nearest codeword per (vector, subspace); ties by cw_id.
     // The codebook collapses to ONE row per subspace (flattened
-    // cw_id-ordered codewords + the id list), broadcast onto the n·m
-    // subvector rows, and the native pq_code expression scans all 256
-    // codewords in one codegen'd loop — the n·m·256 candidate rows of
-    // the join formulation never materialize (that shape measured 9.1 s
-    // through interpreted zip_with folds; this is the (b)-tier
-    // promotion, like vector_dot before it). pq_code ties break to the
-    // smallest index = smallest cw_id (cbids is sorted), matching the
-    // oracle's arg_min pack.
+    // cw_id-ordered codewords), broadcast onto the n·m subvector rows,
+    // and the native pq_code expression scans all 256 codewords in one
+    // codegen'd loop — the n·m·256 candidate rows of the join
+    // formulation never materialize (that shape measured 9.1 s through
+    // interpreted zip_with folds; this is the (b)-tier promotion, like
+    // vector_dot before it). Codes are stored POSITIONAL (index into
+    // the cw_id-sorted codeword list, which pq_code's smallest-index
+    // tiebreak makes identical to the oracle's arg_min-by-(dist, cw_id)
+    // choice) and packed one array<int> row per vector, so the ADC
+    // tier reads bytes-per-vector instead of m rows per vector.
     val cbByJ = cw.groupBy("j").agg(
       expr("flatten(transform(array_sort(collect_list(struct(cw_id, cwv))), s -> s.cwv))")
-        .as("cbflat"),
-      expr("transform(array_sort(collect_list(struct(cw_id, cwv))), s -> s.cw_id)")
-        .as("cbids"))
-    val codes = subs.join(broadcast(cbByJ), Seq("j"))
-      .withColumn("code", element_at(col("cbids"),
-        graft.functions.IntVectorFunctions.pq_code(col("sub"), col("cbflat")) + 1))
-      .select(col("vec_id"), col("j"), col("code"))
+        .as("cbflat"))
+    val codesPacked = subs.join(broadcast(cbByJ), Seq("j"))
+      .withColumn("pos",
+        graft.functions.IntVectorFunctions.pq_code(col("sub"), col("cbflat")))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, pos))), s -> s.pos)")
+        .as("codes"))
       .localCheckpoint()
-    PqIndex(grid, cw, codes, stats)
+    // subspace-major full flatten: ONE row of m·k·d ints — the whole
+    // codebook as a single broadcast literal for [[graft.functions.PqLut]]
+    val cbAll = cbByJ.groupBy().agg(
+      expr("flatten(transform(array_sort(collect_list(struct(j, cbflat))), s -> s.cbflat))")
+        .as("cball"))
+      .localCheckpoint()
+    PqIndex(grid, cbAll, codesPacked, stats)
   }
 
   /** Serve a frame of gridded queries (query_id, qv) against a static
-    * [[PqIndex]]: per-query LUT, ADC equi-join shortlist, exact
+    * [[PqIndex]]: per-query fused-LUT, packed-ADC shortlist, exact
     * integer re-rank. Output: (query_id, rank, vec_id, adc_dist, l2),
     * rank ≤ K. This is THE serving path — q126 calls it for its batch
     * probes, [[graft.streaming.AnnServeStream]] calls it per
-    * micro-batch, so stream/batch agreement is by construction. */
+    * micro-batch, so stream/batch agreement is by construction.
+    *
+    * Shape: the LUT is ONE [[graft.functions.PqLut]] loop per query
+    * over the broadcast codebook (m·k partials, array-packed); ADC is
+    * codesPacked × broadcast(LUTs) with one [[graft.functions.PqAdc]]
+    * lookup-sum per (vector, query) — the n·m·q joined rows and their
+    * re-aggregation shuffle of the (subspace, code) equi-join
+    * formulation never materialize (measured 6.7 s/500-query batch at
+    * sf1 through the join; the arithmetic is identical). The shortlist
+    * is a bounded-heap smallest-k aggregation ([[graft.functions.MinPairTopK]])
+    * — partial state ≤ Shortlist pairs per query per map task, so the
+    * shuffle carries q·Shortlist rows per partition, never the n·q
+    * candidate rows a window sort would. */
   private[graft] def serve(queries: DataFrame, idx: PqIndex): DataFrame = {
-    // per-probe ADC lookup table: (query, subspace, codeword) partials
-    val lut = queries.select(col("query_id"), explode(expr(SubSplitExpr)).as("x"))
-      .select(col("query_id"), col("x.j").as("j"), col("x.sub").as("qsub"))
-      .join(broadcast(idx.cw), Seq("j"))
-      .select(col("query_id"), col("j"), col("cw_id"),
-        graft.functions.IntVectorFunctions.int_sqdist(col("qsub"), col("cwv")).as("pd"))
-    // ADC: codes ⋈ LUT on (subspace, code) — the byte-tier search
-    val adc = idx.codes.join(broadcast(lut),
-        idx.codes("j") === lut("j") && idx.codes("code") === lut("cw_id") &&
-          idx.codes("vec_id") =!= lut("query_id"))
-      .groupBy(col("query_id"), idx.codes("vec_id").as("vec_id"))
-      .agg(sum(col("pd")).as("adc_dist"))
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-    val shortlist = adc.withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= Shortlist)
+    import graft.functions.IntVectorFunctions.{int_sqdist, pq_adc, pq_lut}
+    val lut = queries.crossJoin(broadcast(idx.cbAll))
+      .select(col("query_id"), pq_lut(col("qv"), col("cball"), SubDim).as("lut"))
+    val adc = idx.codesPacked.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        pq_adc(col("codes"), col("lut")).as("adc_dist"))
+    val session = queries.sparkSession
+    import session.implicits._
+    val shortlist = adc.as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new graft.functions.MinPairTopK.SmallestK(Shortlist).toColumn.name("top"))
+      .toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top.items")).as(Seq("p", "h")))
+      .select(col("query_id"), col("h.vec_id").as("vec_id"),
+        col("h.adc_dist").as("adc_dist"))
     // re-rank: fetch ONLY the shortlisted vectors (equi-join on
     // vec_id — at scale a point-lookup tier), exact integer L2
     val wRr = Window.partitionBy(col("query_id"))
@@ -163,8 +188,7 @@ object ProductQuantization {
       .join(idx.grid, Seq("vec_id"))
       .join(broadcast(queries.select(col("query_id"), col("qv").as("pqv"))),
         Seq("query_id"))
-      .withColumn("l2",
-        graft.functions.IntVectorFunctions.int_sqdist(col("pqv"), col("qv")))
+      .withColumn("l2", int_sqdist(col("pqv"), col("qv")))
       .withColumn("rank", row_number().over(wRr))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("vec_id"),
@@ -467,7 +491,7 @@ object ProductQuantization {
       "q126_ann_pq_adc",
       (s, d) => pqSearch(s, d),
       Some(oracleSql),
-      doc = s"product-quantization ANN: m=$M×$SubDim-dim subspaces, $CodebookSize-entry fixed codebooks, ADC top-$K via (subspace, code) equi-join, exact-integer-L2 recall audit in-query"),
+      doc = s"product-quantization ANN: m=$M×$SubDim-dim subspaces, $CodebookSize-entry fixed codebooks, packed-code ADC (fused LUT lookup-sum per vector, bounded-heap top-$Shortlist shortlist), exact-integer-L2 top-$K re-rank + recall audit in-query"),
     QueryDef(
       "q130_ann_ivf_pq",
       (s, d) => ivfPqSearch(s, d),

@@ -67,10 +67,22 @@ object HttpSink {
       * rows positionally, and a dropped entry would shift the zip and
       * attribute later 2xx responses to the wrong rows. */
     def sendAll(reqs: Iterator[HttpRequest]): (Seq[(HttpRequest, HttpResponse)], SinkReport) = {
+      val out = Seq.newBuilder[(HttpRequest, HttpResponse)]
+      val report = sendEach(reqs)((req, resp) => out += ((req, resp)))
+      (out.result(), report)
+    }
+
+    /** Streaming form of [[sendAll]]: `onResult` fires once per input
+      * request, in order, immediately after its final response —
+      * NOTHING is retained here, so a caller that drops request bodies
+      * as it goes ([[graft.board.EtlMain]]'s sendPhase keeps only key
+      * tuples + parsed 2xx acks) gets a driver footprint bounded by
+      * what IT keeps, not by the change-set's serialized bodies. */
+    def sendEach(reqs: Iterator[HttpRequest])(
+        onResult: (HttpRequest, HttpResponse) => Unit): SinkReport = {
       var sent = 0; var retried = 0; var failed = 0
       var backoff = policy.backoffInitialMs
       var first = true
-      val out = Seq.newBuilder[(HttpRequest, HttpResponse)]
       reqs.foreach { req =>
         if (!first) sleeper(policy.paceMs)
         first = false
@@ -87,16 +99,16 @@ object HttpSink {
               sent += 1
               backoff = policy.backoffInitialMs // reset on success (gh.js:41)
             } else failed += 1
-            out += ((req, resp))
+            onResult(req, resp)
             done = true
           }
         }
         if (!done) { // retries exhausted: emit a terminal row, keep 1:1
           failed += 1
-          out += ((req, HttpResponse(429, "retries exhausted")))
+          onResult(req, HttpResponse(429, "retries exhausted"))
         }
       }
-      (out.result(), SinkReport(sent, retried, failed))
+      SinkReport(sent, retried, failed)
     }
   }
 

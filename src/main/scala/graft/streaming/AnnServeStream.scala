@@ -28,8 +28,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField,
   * ⇒ bit-identical answers — all-integer ADC/L2 arithmetic).
   *
   * Scale: the micro-batch side carries only its own query vectors
-  * (LUT = queries × m × 256 rows — broadcast); the code/grid sides
-  * are loaded once and probed per batch exactly like the batch join.
+  * (one packed m·256-int LUT array per query — broadcast); the
+  * packed-code/grid sides are built ONCE (localCheckpoint-pinned in
+  * [[ProductQuantization.PqIndex]]) and scanned per batch — no
+  * per-batch index rebuild, no per-batch re-aggregation shuffle
+  * (the bounded-heap shortlist's partial state is ≤ Shortlist pairs
+  * per query per map task).
   */
 object AnnServeStream {
 

@@ -181,6 +181,59 @@ class EtlMainSpec extends SparkSpecBase {
     }
   }
 
+  test("sendPhase streams a large multi-partition change set in key " +
+      "order with exact ack alignment (first-run-migration shape)") {
+    // A first-run migration's change set is corpus-sized; sendPhase
+    // must not hold it whole on the driver. The memory CONTRACT is
+    // structural — toLocalIterator fetches ONE partition of the
+    // ordered frame at a time, sendEach retains nothing, and the
+    // phase keeps only key tuples + parsed 2xx acks (id-sized) — so
+    // this spec pins the two properties that contract rides on at a
+    // deliberately multi-partition, fat-body scale: (1) requests
+    // arrive in GLOBAL key order even though the input is scattered
+    // across 32 unordered partitions (orderBy's range partitioning +
+    // partition-at-a-time fetch compose to a global order), and
+    // (2) the streamed key↔ack zip stays exact under interleaved
+    // failures (non-2xx rows must drop out of the parsed set without
+    // shifting later acks — the bug a positional zip would hide).
+    import spark.implicits._
+    val n = 20000
+    val fat = "x" * 2048
+    val reqs = spark.range(n)
+      .select(
+        format_string("e%07d", col("id")).as("entity_id"),
+        lit("POST").as("method"),
+        lit("/bulk").as("url"),
+        concat(format_string("""{"k":"e%07d","pad":"""", col("id")), lit(fat), lit("\"}"))
+          .as("body"))
+      .repartition(32) // scatter: global order must come from sendPhase
+    val seen = mutable.Buffer.empty[String]
+    val transport = new Transport {
+      def send(req: HttpRequest): HttpResponse = {
+        val k = mapper.readTree(req.body).at("/k").asText()
+        seen += k
+        // deterministically fail ~1/7 of the rows — alignment must
+        // survive holes in the ack stream
+        if (k.drop(1).toInt % 7 == 3) HttpResponse(500, "boom")
+        else HttpResponse(200, s"""{"ok":"$k"}""")
+      }
+    }
+    val writer = new graft.sinks.HttpSink.RateLimitedWriter(
+      transport, graft.sinks.HttpSink.RetryPolicy(), sleeper = _ => ())
+    val (acks, report) = EtlMain.sendPhase(writer, reqs)
+    // global send order = ascending entity_id, all rows exactly once
+    assert(seen.size == n)
+    assert(seen.toSeq == (0 until n).map(i => f"e$i%07d"))
+    // acks: exactly the 2xx rows, each mapped to ITS OWN key
+    assert(report.sent == seen.count(k => k.drop(1).toInt % 7 != 3))
+    assert(report.failed == n - report.sent)
+    assert(acks.size == report.sent)
+    acks.foreach { case (keys, node) =>
+      assert(keys.size == 1)
+      assert(node.at("/ok").asText() == keys.head)
+    }
+  }
+
   test("missing configured field fails mustInit (gh.js:144-176 gate)") {
     val gh = new FakeGithub {
       override def send(req: HttpRequest): HttpResponse =

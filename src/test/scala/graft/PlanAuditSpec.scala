@@ -344,18 +344,24 @@ class PlanAuditSpec extends SparkSpecBase {
     SparkEntry.releaseCaches(spark)
   }
 
-  test("q126: PQ serving path is equi-join shaped — ADC joins codes to " +
-      "the LUT by (subspace, code), the rerank fetches by vec_id; the " +
-      "only nested-loop is the bounded probe-side audit") {
+  test("q126: PQ serving path — packed-code ADC probes broadcast " +
+      "per-query LUTs (query-set build side), the shortlist is a " +
+      "bounded-state object agg, the rerank fetches by vec_id; " +
+      "nested-loops only ever carry query-set/1-row build sides") {
     val plan = executed("q126_ann_pq_adc")
     SparkEntry.releaseCaches(spark)
     assert(!plan.contains("CartesianProduct"), plan)
-    // the ADC join and the shortlist fetch are hash equi-joins
+    // the rerank fetch (vec_id) / probe attach are hash equi-joins
     assert(plan.contains("BroadcastHashJoin"), plan)
-    // nested-loop appears ONLY with the probe set as its bounded build
-    // side (the exact-recall audit + probe attach, q78's pattern)
+    // the bounded-heap shortlist runs as an object aggregate with a
+    // partial (map-side) pass — ≤ Shortlist pairs per group per task
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // bounded-build nested-loops, all with query-set or 1-row build
+    // sides: the 1-row flattened-codebook attach (LUT build), the ADC
+    // probe of packed codes against the broadcast per-query LUTs, and
+    // the probe-side exact-recall audit — never a corpus×corpus loop
     val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
-    assert(bnlj <= 2, s"unexpected nested-loop joins ($bnlj):\n$plan")
+    assert(bnlj <= 3, s"unexpected nested-loop joins ($bnlj):\n$plan")
   }
 
   test("q130: IVF-PQ serving path is equi-join shaped — ADC joins codes " +

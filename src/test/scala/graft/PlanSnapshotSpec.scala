@@ -85,6 +85,10 @@ class PlanSnapshotSpec extends SparkSpecBase {
       // sequence(0, m-1) inside the shared subvector-split transform)
       // prints an identity hash that differs every run
       .replaceAll("@[0-9a-f]+", "@x")
+      // synthetic lambda class names (typed groupByKey's AppendColumns
+      // key extractor) carry a JVM-assigned counter + hidden-class
+      // address that differ every run
+      .replaceAll("\\$\\$Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda\\$x")
       .replaceAll("\\[\\d+\\] at \\w+ at [^,\\]]*", "[x]")
       .replaceAll("file:[^,\\]\\s]+", "PATH")
       .replaceAll("/root/testdata[^,\\]\\s]*", "PATH")

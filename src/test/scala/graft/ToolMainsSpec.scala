@@ -179,4 +179,41 @@ class ToolMainsSpec extends AnyFunSuite {
     assert(fromRepo.exists(c => c > 1.0 && c < 60.0),
       s"repo-root anchor control missing or implausible: $fromRepo")
   }
+
+  test("Bench per-query hot-row guard reads the anchor's queries map " +
+      "(r19 verdict item 4: the total-control test alone is too coarse)") {
+    val dir = scratch("hotrows")
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new File(dir, name), "UTF-8")
+      try w.println(body) finally w.close()
+    }
+    // highest round wins; parsing must stop at the queries BLOCK and
+    // not leak into sibling objects (evidence_passes carries qNN keys
+    // with array values — the pair regex must not match those)
+    write("BENCH_ANCHOR_r17.json",
+      """{"round": 17, "control_q01_q30_s": 9.0,
+ "queries":{"q01_pricing_summary":9.999},
+ "evidence_passes":{"q01_pricing_summary":{"A":[9.9]}}}""")
+    write("BENCH_ANCHOR_r18.json",
+      """{"round": 18, "control_q01_q30_s": 7.799,
+ "queries":{"q01_pricing_summary":0.194,"q59_pivot":0.185},
+ "evidence_passes":{"q01_pricing_summary":{"A":[0.2,0.21]},"q59_pivot":{"A":[0.19]}}}""")
+    val qs = Bench.anchorQueriesFromArtifacts(dir)
+    assert(qs === Map("q01_pricing_summary" -> 0.194, "q59_pivot" -> 0.185),
+      s"hot-row guard must read per-query minima from the HIGHEST-round anchor: $qs")
+    assert(Bench.anchorQueriesFromArtifacts(scratch("noanchor2")).isEmpty,
+      "no anchor artifact must disable the per-query trigger, not invent minima")
+    // repo-root resolution: the committed anchor's per-query map loads
+    // whole and agrees with the scalar control field
+    val repoRoot = new File(sys.props.getOrElse("user.dir", "."))
+    val fromRepo = Bench.anchorQueriesFromArtifacts(repoRoot)
+    assert(fromRepo.size > 100,
+      s"repo-root anchor queries map implausibly small: ${fromRepo.size}")
+    val control = fromRepo.collect {
+      case (n, v) if n.takeWhile(_ != '_').drop(1).toInt <= 30 => v
+    }.sum
+    val scalar = Bench.anchorControlFromArtifacts(repoRoot).get
+    assert(math.abs(control - scalar) < 0.02,
+      s"per-query control sum $control disagrees with control_q01_q30_s $scalar")
+  }
 }
