@@ -129,12 +129,22 @@ object ProductQuantization {
     val cbByJ = cw.groupBy("j").agg(
       expr("flatten(transform(array_sort(collect_list(struct(cw_id, cwv))), s -> s.cwv))")
         .as("cbflat"))
+    // EXPLICIT repartition before the checkpoint: the packed-code rows
+    // are tiny (a 20k-vector corpus is <1 MB), so AQE's byte-based
+    // coalescing folds the groupBy exchange to ONE partition — and
+    // localCheckpoint FREEZES that layout, serializing every future
+    // serving batch's ADC scan onto one task (measured: the whole sf1
+    // micro-batch pinned at ~2.5 s on that single task, SERVEPROBE).
+    // An explicit numPartitions is exempt from AQE coalescing; compute
+    // parallelism is the corpus scan's requirement, not its byte size.
+    val shufflePartitions = s.sessionState.conf.numShufflePartitions
     val codesPacked = subs.join(broadcast(cbByJ), Seq("j"))
       .withColumn("pos",
         graft.functions.IntVectorFunctions.pq_code(col("sub"), col("cbflat")))
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(j, pos))), s -> s.pos)")
         .as("codes"))
+      .repartition(shufflePartitions, col("vec_id"))
       .localCheckpoint()
     // subspace-major full flatten: ONE row of m·k·d ints — the whole
     // codebook as a single broadcast literal for [[graft.functions.PqLut]]
@@ -165,19 +175,32 @@ object ProductQuantization {
     * candidate rows a window sort would. */
   private[graft] def serve(queries: DataFrame, idx: PqIndex): DataFrame = {
     import graft.functions.IntVectorFunctions.{int_sqdist, pq_adc, pq_lut}
+    // SERVING-SESSION CONFS (set at the serving entry points —
+    // AnnServeStream.start / ServeProbe — NOT here: a conf.set inside
+    // a query builder would silently re-shape every later query in a
+    // shared session, e.g. a bench sweep):
+    //  - objectHashAggregate.sortBased.fallbackThreshold=4096: the
+    //    shortlist agg's object-hash map falls back to SORT-based
+    //    aggregation past 128 keys per partition (default) — a
+    //    500-query micro-batch crosses that and the bounded-heap agg
+    //    degenerates into sorting every ADC candidate row.
+    //  - adaptive.coalescePartitions.enabled=false: AQE's byte-based
+    //    coalescing sees the post-agg exchanges as "small" (tens of
+    //    MB) and folds the heap-merge + re-rank stages into ONE task;
+    //    the bytes are cost-dense (serialized heaps, per-row integer
+    //    L2), and the fold serialized ~2.5 s of parallel work
+    //    (ServeProbe at sf1: full batch 3.15 s → 0.81 s with
+    //    coalescing off; SERVEPROBE.json).
     val lut = queries.crossJoin(broadcast(idx.cbAll))
       .select(col("query_id"), pq_lut(col("qv"), col("cball"), SubDim).as("lut"))
     val adc = idx.codesPacked.crossJoin(broadcast(lut))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         pq_adc(col("codes"), col("lut")).as("adc_dist"))
-    val session = queries.sparkSession
-    import session.implicits._
-    val shortlist = adc.as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .agg(new graft.functions.MinPairTopK.SmallestK(Shortlist).toColumn.name("top"))
-      .toDF("query_id", "top")
-      .select(col("query_id"), posexplode(col("top.items")).as(Seq("p", "h")))
+    val shortlist = adc.groupBy("query_id")
+      .agg(graft.functions.MinPairTopK.pair_topk(
+        Shortlist, col("adc_dist"), col("vec_id")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("h"))
       .select(col("query_id"), col("h.vec_id").as("vec_id"),
         col("h.adc_dist").as("adc_dist"))
     // re-rank: fetch ONLY the shortlisted vectors (equi-join on

@@ -59,9 +59,20 @@ object AnnServeStream {
 
   /** Wire a raw query-vector stream through [[serveBatch]]; `onBatch`
     * receives each micro-batch's answers (the production sink — a
-    * response topic, a results table). */
+    * response topic, a results table).
+    *
+    * Sets the two serving-session confs the packed serve path needs
+    * (see the comment in [[ProductQuantization.serve]]): the shortlist
+    * agg must stay on the object-HASH path past 128 query groups, and
+    * AQE's byte-based partition coalescing must not fold the
+    * cost-dense heap-merge/re-rank stages into one task (measured 3.9×
+    * on the sf1 micro-batch). A serving session is dedicated to this
+    * workload, so session-scoped confs are the right granularity. */
   def start(queryStream: DataFrame, idx: ProductQuantization.PqIndex,
-      checkpointDir: String)(onBatch: (DataFrame, Long) => Unit): StreamingQuery =
+      checkpointDir: String)(onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    val conf = queryStream.sparkSession.conf
+    conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     queryStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -69,4 +80,5 @@ object AnnServeStream {
         onBatch(serveBatch(batch, idx), batchId)
       }
       .start()
+  }
 }
