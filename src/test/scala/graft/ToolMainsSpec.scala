@@ -134,6 +134,18 @@ class ToolMainsSpec extends AnyFunSuite {
       "AnnClusterProbe artifact not written to its CWD")
   }
 
+  test("ServeProbe times the serving-batch stages at sf0.001") {
+    val dir = scratch("serveprobe")
+    val (exit, out) = runMain("graft.ServeProbe",
+      Seq(sf0001, "20", "1", "SERVEPROBE_SMOKE.json"),
+      Map("SPARK_GRAFT_CPUS" -> "4"), dir)
+    assert(exit == 0, s"ServeProbe exit $exit:\n${out.takeRight(2000)}")
+    assert(out.contains("SERVEPROBE {\"probe\":\"serve\""),
+      s"missing SERVEPROBE summary line:\n${out.takeRight(2000)}")
+    assert(new File(dir, "SERVEPROBE_SMOKE.json").isFile,
+      "ServeProbe artifact not written to its CWD")
+  }
+
   test("SpanVerifyProbe census + sampled re-verify passes at sf0.001") {
     val dir = scratch("spanverify")
     val (exit, out) = runMain("graft.SpanVerifyProbe",
