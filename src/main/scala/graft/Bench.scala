@@ -458,10 +458,17 @@ object Bench {
       .flatMap { case (_, f) =>
         val src = scala.io.Source.fromFile(f, "UTF-8")
         val text = try src.mkString finally src.close()
-        blockPat.findFirstMatchIn(text).map { m =>
+        val parsed = blockPat.findFirstMatchIn(text).map { m =>
           pairPat.findAllMatchIn(m.group(1))
             .map(p => p.group(1) -> p.group(2).toDouble).toMap
         }
+        // an anchor file whose queries block fails to parse would
+        // silently disable the hot-row contention trigger — fail loud
+        if (parsed.forall(_.isEmpty))
+          System.err.println(
+            s"[bench] WARNING: anchor ${f.getName} exists but its " +
+              "'queries' map parsed empty — hot-row trigger degraded")
+        parsed
       }
       .headOption
       .getOrElse(Map.empty)

@@ -69,7 +69,8 @@ object ServeProbe {
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val lut = gridded.crossJoin(F.broadcast(idx.cbAll))
-      .select(F.col("query_id"), pq_lut(F.col("qv"), F.col("cball"), 8).as("lut"))
+      .select(F.col("query_id"),
+        pq_lut(F.col("qv"), F.col("cball"), ProductQuantization.SubDim).as("lut"))
     val lutS = bestOf("lut")(lut.count())
     bestOf("lut_collect")(lut.collect().length.toLong)
     val adc = idx.codesPacked.crossJoin(F.broadcast(lut))

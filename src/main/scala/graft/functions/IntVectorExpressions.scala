@@ -392,10 +392,6 @@ case class PqAdc(left: Expression, right: Expression)
       val m = ctx.freshName("m"); val total = ctx.freshName("total")
       val k = ctx.freshName("k"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val s = ctx.freshName("s")
-      val nullCheck =
-        if (elementsNullable)
-          s"if ($a.isNullAt($j) || $b.isNullAt($j * $k + $c)) { ${ev.isNull} = true; break; }"
-        else ""
       s"""
         int $m = $a.numElements();
         int $total = $b.numElements();

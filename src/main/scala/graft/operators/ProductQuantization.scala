@@ -39,7 +39,7 @@ import org.apache.spark.sql.functions._
 object ProductQuantization {
 
   private[operators] val M = 8
-  private[operators] val SubDim = 8 // 64 / M
+  private[graft] val SubDim = 8 // 64 / M
   private[operators] val CodebookSize = 256
   private[operators] val K = 5
   // ADC retrieves a SHORTLIST, exact distance re-ranks it — the
@@ -193,7 +193,13 @@ object ProductQuantization {
     //    coalescing off; SERVEPROBE.json).
     val lut = queries.crossJoin(broadcast(idx.cbAll))
       .select(col("query_id"), pq_lut(col("qv"), col("cball"), SubDim).as("lut"))
-    val adc = idx.codesPacked.crossJoin(broadcast(lut))
+    // queries side LEFT (hinted broadcast ⇒ BuildLeft BNLJ — the same
+    // "scan codes, probe broadcast LUTs" physical shape as the old
+    // codes-left/BuildRight form) so the serve output Dataset binds to
+    // the QUERY side's SparkSession: in streaming, micro-batch queries
+    // live on the stream-private cloned session and the serving confs
+    // set there must govern this plan's execution
+    val adc = broadcast(lut).crossJoin(idx.codesPacked)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         pq_adc(col("codes"), col("lut")).as("adc_dist"))

@@ -66,17 +66,26 @@ object AnnServeStream {
     * agg must stay on the object-HASH path past 128 query groups, and
     * AQE's byte-based partition coalescing must not fold the
     * cost-dense heap-merge/re-rank stages into one task (measured 3.9×
-    * on the sf1 micro-batch). A serving session is dedicated to this
-    * workload, so session-scoped confs are the right granularity. */
+    * on the sf1 micro-batch). The confs are scoped to the STREAM's
+    * session only: Structured Streaming clones the caller's session
+    * for its micro-batches (StreamExecution.sparkSessionForStream —
+    * the clone's conf snapshot is LAZY, so setting on the caller
+    * around `.start()` races with the clone), and every foreachBatch
+    * DataFrame is bound to that clone. Setting the pair on
+    * `batch.sparkSession` inside the batch function therefore lands
+    * them exactly on the stream-private session, before any serve plan
+    * executes, and never touches the caller's session — a shared
+    * session (a bench sweep, the JVM-wide test session) keeps its own
+    * plan shapes. */
   def start(queryStream: DataFrame, idx: ProductQuantization.PqIndex,
       checkpointDir: String)(onBatch: (DataFrame, Long) => Unit): StreamingQuery = {
-    val conf = queryStream.sparkSession.conf
-    conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
-    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     queryStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conf = batch.sparkSession.conf
+        conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         onBatch(serveBatch(batch, idx), batchId)
       }
       .start()

@@ -37,9 +37,22 @@ class AnnServeStreamSpec extends SparkSpecBase {
       val stream = mem.toDF().toDF("vec_id", "embedding")
       val ckpt = java.nio.file.Files.createTempDirectory("graft-annserve-ckpt").toString
       val sink = scala.collection.mutable.ArrayBuffer.empty[List[Any]]
+      // regression (r20 verdict #1): start() must not leak the serving
+      // confs into the caller's (JVM-wide, shared) session — the leak
+      // flipped AQE coalescing off for every suite that ran after this
+      // one and broke all 24 PlanSnapshotSpec rows in suite order
+      val leakKeys = Seq(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "spark.sql.adaptive.coalescePartitions.enabled")
+      val confsBefore = leakKeys.map(k => spark.conf.getOption(k))
+      val streamConfs = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
       val q = AnnServeStream.start(stream, idx, ckpt) { (res, _) =>
+        // the stream's cloned session must have KEPT the serving confs
+        streamConfs += leakKeys.map(k => res.sparkSession.conf.get(k))
         sink ++= res.collect().map(_.toSeq.toList)
       }
+      assert(leakKeys.map(k => spark.conf.getOption(k)) == confsBefore,
+        "AnnServeStream.start leaked serving confs into the caller session")
       try {
         // two micro-batches: agreement must hold across batch splits,
         // not just for one batch containing every query
@@ -56,6 +69,9 @@ class AnnServeStreamSpec extends SparkSpecBase {
             s"batch-only=${(batchRows -- sink.toSet).take(3)}")
         // and no row arrived twice (each query answered in exactly one batch)
         assert(sink.size == batchRows.size, "duplicate rows across micro-batches")
+        assert(streamConfs.nonEmpty &&
+            streamConfs.forall(_ == Seq("4096", "false")),
+          s"stream session lost the serving confs: $streamConfs")
       } finally q.stop()
     } finally SparkEntry.releaseCaches(spark)
   }
