@@ -219,28 +219,25 @@ object CorpusStats {
     QueryDef(
       "q185_dim_covariance",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-          .localCheckpoint()
-        val means = e
-          .select(col("vec_id"), posexplode(col("emb")).as(Seq("dim", "v")))
-          .groupBy("dim")
-          .agg(count(lit(1)).as("n"),
-            sum(expr("CAST(floor(v * 1e9) AS BIGINT)")).as("svq"))
-          .select(col("dim"), col("n"),
-            (col("svq").cast("double") / lit(1e9) / col("n")).as("mu"))
-        val cells = e.select(col("vec_id"), explode(expr(
-          """flatten(transform(sequence(0, size(emb) - 1), i ->
-               transform(sequence(i, size(emb) - 1), j ->
-                 struct(i AS i, j AS j,
-                   element_at(emb, i + 1) * element_at(emb, j + 1) AS p))))"""))
-          .as("c"))
-          .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
-        cells.groupBy("i", "j")
-          .agg(count(lit(1)).as("n"),
-            sum(expr("CAST(floor(p * 1e9) AS BIGINT)")).as("spq"))
-          .join(broadcast(means.select(col("dim").as("i"), col("mu").as("mi"))), Seq("i"))
-          .join(broadcast(means.select(col("dim").as("j"), col("mu").as("mj"))), Seq("j"))
+        // ONE pass: the exploded means/cells formulation materialized
+        // n·d + n·d(d+1)/2 struct rows through two hash aggregations
+        // (one 3 s job at sf0.1 — allocation-bound, see GramAgg);
+        // gram_sums folds the identical fixed-point BIGINT sums in a
+        // compiled per-row loop, O(d²) state, map-side combinable,
+        // bit-exact in any order. mu and cov reproduce the exact
+        // double arithmetic of the old frames (svq/1e9/n, spq/1e9/n −
+        // mi·mj) — oracle unchanged.
+        val g = Tables.embeddings(s, d)
+          .select(col("embedding").cast("array<double>").as("emb"))
+          .agg(graft.functions.GramAgg.gram_sums(col("emb")).as("g"))
+        def mu(pos: org.apache.spark.sql.Column) = {
+          val dcell = element_at(col("dims"), (pos + 1).cast("int"))
+          dcell.getField("svq").cast("double") / lit(1e9) / dcell.getField("n")
+        }
+        g.select(col("g.dims").as("dims"), explode(col("g.cells")).as("c"))
+          .select(col("c.i").as("i"), col("c.j").as("j"), col("c.n").as("n"),
+            col("c.spq").as("spq"),
+            mu(col("c.i")).as("mi"), mu(col("c.j")).as("mj"))
           .select(col("i"), col("j"), col("n"),
             QueryDef.roundZ(col("spq").cast("double") / lit(1e9) / col("n") -
               col("mi") * col("mj"), 6).as("cov_r"))

@@ -125,18 +125,19 @@ object SimilarityQueries {
   private lazy val lshPairSigns = lshSignsFor(LshPairTables, LshPairPlanes)
 
   /** Spark side of the signature: per table t an element `'t:' + P sign
-    * bits`, each bit one codegen'd dot against a literal ±1 hyperplane.
-    * Explode to get one (vec, bucket) row per table. */
+    * bits`. ONE native [[graft.functions.LshBucketsExpr]] evaluating
+    * all T·P hyperplane dots in a compiled loop — the composed
+    * `array(concat(CASE WHEN vector_dot(...)...))` form generated a
+    * codegen method past HotSpot's JIT size ceiling, leaving the LSH
+    * family's hottest per-row loop interpreted (q41's signature stage:
+    * a single 1.3 s task at sf0.1, vs ~milliseconds compiled; the
+    * r21 A/B prices the swap). Bit semantics identical by construction
+    * (see the expression's doc); the oracle SQL below is generated from
+    * the SAME sign matrix and is untouched. Explode to get one
+    * (vec, bucket) row per table. */
   private def lshBucketsColFor(
-      signs: IndexedSeq[IndexedSeq[Array[Double]]]): org.apache.spark.sql.Column = {
-    import graft.functions.VectorFunctions.vector_dot
-    array(signs.indices.map { t =>
-      concat(lit(s"$t:"), concat_ws("", signs(t).indices.map { p =>
-        when(vector_dot(col("emb"), typedLit(signs(t)(p).toSeq)) > 0d,
-          "1").otherwise("0")
-      }: _*))
-    }: _*)
-  }
+      signs: IndexedSeq[IndexedSeq[Array[Double]]]): org.apache.spark.sql.Column =
+    graft.functions.LshBucketsExpr.lsh_buckets(col("emb"), signs)
   private def lshBucketsCol: org.apache.spark.sql.Column =
     lshBucketsColFor(lshSigns)
   private def lshPairBucketsCol: org.apache.spark.sql.Column =

@@ -80,9 +80,18 @@ object TextQueries {
   /** q172's character-entropy frame (doc_id, n, n_unique_chars,
     * entropy, unrounded) — shared with q176. */
   private def charEntropy(s: SparkSession, d: String): DataFrame =
+    // per-char rows via ONE linear split pass: the sequence+substring
+    // form re-seeks the UTF-8 char boundary from the string head on
+    // every position (O(len²) byte scans per doc — measured as q172's
+    // single 2.2 s job at sf0.1); split('') emits the same code-point
+    // pieces in one pass (the filter drops only the regex's trailing
+    // empty match — no character is ever the empty string, and for
+    // empty text it matches the oracle's zero rows where the old form
+    // fabricated rows). Oracle unchanged; r21 A/B + cell-exact compare
+    // on all SFs price and prove the swap.
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ''), c -> c != '')")).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n"),

@@ -102,6 +102,76 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(withNullElem.select(vector_norm(col("a"))).head().isNullAt(0))
   }
 
+  test("lsh_buckets equals the composed CASE WHEN vector_dot chain exactly") {
+    import graft.functions.LshBucketsExpr
+    import spark.implicits._
+    // a deterministic ±1 sign matrix, 3 tables × 4 planes × 5 dims
+    val signs = IndexedSeq.tabulate(3)(t => IndexedSeq.tabulate(4)(p =>
+      Array.tabulate(5)(i => if ((t + 2 * p + 3 * i) % 3 == 0) 1.0 else -1.0)))
+    def composed = array(signs.indices.map { t =>
+      concat(lit(s"$t:"), concat_ws("", signs(t).indices.map { p =>
+        when(vector_dot(col("emb"), typedLit(signs(t)(p).toSeq)) > 0d,
+          "1").otherwise("0")
+      }: _*))
+    }: _*)
+    val data = Seq(
+      Seq(0.5, -1.2, 3.3, 0.0, -0.7),
+      Seq(1.0, 1.0, 1.0, 1.0, 1.0),
+      Seq(-2.0, 0.1, 0.0, 0.0, 0.0),
+      Seq.empty[Double],           // length mismatch → all-zero bits
+      Seq(1.0, 2.0)).toDF("emb")   // length mismatch → all-zero bits
+    val rows = data.select(
+      LshBucketsExpr.lsh_buckets(col("emb"), signs).as("fused"),
+      composed.as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // null vector / null element: the composed chain yields '0' bits,
+    // never a null bucket — the fused form must match
+    val nullCases = spark.sql(
+      """SELECT * FROM VALUES
+        (CAST(NULL AS ARRAY<DOUBLE>)),
+        (array(1.0D, CAST(NULL AS DOUBLE), 1.0D, 1.0D, 1.0D)) AS t(emb)""")
+    val nr = nullCases.select(
+      LshBucketsExpr.lsh_buckets(col("emb"), signs).as("fused"),
+      composed.as("ref")).collect()
+    nr.foreach { r =>
+      assert(!r.isNullAt(0))
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+      assert(r.getSeq[String](0).forall(_.matches("\\d:0000")))
+    }
+  }
+
+  test("gram_sums equals the exploded means/cells formulation cell-for-cell") {
+    import graft.functions.GramAgg
+    import spark.implicits._
+    val df = Seq(
+      Seq(0.11, -0.92, 0.33),
+      Seq(0.25, 0.5, -0.75),
+      Seq(-0.01, 0.02, 0.98),
+      Seq(0.6, -0.6)).toDF("emb") // ragged row: cells only where j < size
+    // reference: the old exploded formulation
+    val means = df.select(posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(floor(v * 1e9) AS BIGINT)")).as("svq"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cells = df.select(explode(expr(
+      """flatten(transform(sequence(0, size(emb) - 1), i ->
+           transform(sequence(i, size(emb) - 1), j ->
+             struct(i AS i, j AS j,
+               element_at(emb, i + 1) * element_at(emb, j + 1) AS p))))""")).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(floor(p * 1e9) AS BIGINT)")).as("spq"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val g = df.agg(GramAgg.gram_sums(col("emb")).as("g")).select(
+      col("g.dims").as("dims"), col("g.cells").as("cells")).head()
+    val gd = g.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gc = g.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(gd == means, s"dims diverge: $gd vs $means")
+    assert(gc == cells, s"cells diverge: $gc vs $cells")
+  }
+
   test("GraftExtensions injects FuseVectorOps into a session's optimizer") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext)
