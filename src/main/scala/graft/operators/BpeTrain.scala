@@ -61,7 +61,10 @@ object BpeTrain {
     * with corpus frequency and the initial symbol sequence. The ONE
     * corpus-sized aggregation both training and encode share. */
   private[graft] def wordVocab(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    // fanned out: the word explode + per-word double-spaced sequence
+    // build over a one-split scan otherwise single-tasks the shared
+    // vocabulary job every BPE query pays (the shingleSets lesson)
+    Tables.fanOut(Tables.documents(s, d))
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("wf"))

@@ -49,7 +49,11 @@ object CurationQueries {
     * decimal-cast sum diverges between engines at exact rounding-grid
     * midpoints (the q90 lesson). */
   private[graft] def q96Scored(s: SparkSession, d: String): DataFrame = {
-    val toks = tokenized(s, d).select(col("doc_id"), explode(col("ts")).as("term"))
+    // fanned out before the token explode: the one-split scan made the
+    // explode + model join + partial aggs single-task (measured ~0.8 s
+    // of 1-task stages at sf0.1; the shingleSets lesson)
+    val toks = Tables.fanOut(tokenized(s, d).select(col("doc_id"), col("ts")))
+      .select(col("doc_id"), explode(col("ts")).as("term"))
     // vocab-sized materialization: both the broadcast-back join and
     // the corpus-total scalar read the aggregated term table
     val tfreq = toks.groupBy("term").agg(count(lit(1)).as("n"))
@@ -433,13 +437,15 @@ object CurationQueries {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         val cents = e.filter(col("vec_id").isin(CentroidIds: _*))
           .select(col("vec_id").as("cid"), col("emb").as("ce"))
-        val w = Window.partitionBy(col("vec_id"))
-          .orderBy(col("sqdist").asc, col("cid").asc)
+        // per-vector argmin via partial-aggregable min(struct) — same
+        // rn=1 row as the window form without sorting the n·k candidate
+        // rows (see KMeans.lloydRound, r21)
         val assigned = e.crossJoin(broadcast(cents))
           .withColumn("sqdist",
             expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("sqdist"), col("cid"), col("emb"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"), col("m.emb").as("emb"))
         // component means via an ORDERED double fold (collect → sort by
         // member id → left-fold): shuffle-order-independent AND
         // engine-portable. A decimal-cast sum is also order-independent

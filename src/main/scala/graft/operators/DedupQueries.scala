@@ -384,7 +384,11 @@ object DedupQueries {
       val (half, pos) = simhashBitPos(i)
       sum(expr(s"cast(($half >> $pos) & 1L as int) * 2 - 1").cast("long")).as(s"b$i")
     }
-    docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+    // fanned out: token explode + per-token md5/conv + the 64-column
+    // partial agg over the corpus's 1-2 input splits was a ~0.9 s
+    // two-task stage at sf0.1 (the shingleSets lesson)
+    Tables.fanOut(docs)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .withColumn("h", md5(col("tok")))
       .withColumn("u", expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)"))
       .withColumn("v", expr("cast(conv(substring(h, 9, 8), 16, 10) as bigint)"))

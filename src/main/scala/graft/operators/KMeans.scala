@@ -38,14 +38,22 @@ object KMeans {
   private[graft] val CentroidIds = Seq(3L, 47L, 111L, 205L, 289L, 333L, 404L, 450L)
 
   /** One Lloyd round: (assignment frame, per-(cid, dim) update frame).
-    * `cents` must be (cid, ce: array<double>). */
+    * `cents` must be (cid, ce: array<double>). The per-vector argmin is
+    * a partial-aggregable `min(struct(sqdist, cid, emb))` (r21): the
+    * window formulation exchanged AND sorted all n·k candidate rows
+    * every round, while the struct min combines map-side to one row per
+    * vector before the exchange and needs no sort; (sqdist, cid) is a
+    * total order per vector (cid distinct), so the kept row is exactly
+    * the window's (sqdist asc, cid asc) rn=1 row and emb is never
+    * reached by the comparison. */
   private[graft] def lloydRound(e: DataFrame, cents: DataFrame): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("sqdist").asc, col("cid").asc)
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("sqdist",
         expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("sqdist"), col("cid"), col("emb"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"),
+        col("m.emb").as("emb"), col("m.sqdist").as("sqdist"))
     val update = assigned
       .select(col("cid"), col("vec_id"), posexplode(col("emb")).as(Seq("dim", "v")))
       .groupBy("cid", "dim")

@@ -186,7 +186,10 @@ object TextQueries {
     * negative log-likelihood under the corpus-trained add-one model.
     * Ordered double folds throughout (the q96/q90 lesson). */
   private[graft] def bigramScored(s: SparkSession, d: String): DataFrame = {
-    val bigrams = Tables.documents(s, d)
+    // fanned out: tokenize + the per-position bigram struct explode
+    // over a one-split scan otherwise run as a single task (the
+    // shingleSets lesson; feeds q132 AND q138)
+    val bigrams = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"),
         split(lower(trim(col("text"))), "\\s+").as("ts"))
       .filter(size(col("ts")) >= 2)
@@ -467,7 +470,11 @@ object TextQueries {
     //      ~60 bytes, the same order as the hash.
     QueryDef(
       "q111_boilerplate_ngrams",
-      (s, d) => Tables.documents(s, d)
+      // fanned out: the scan is one split, and tokenize + the 8-token
+      // window explode + partial agg otherwise serialize on one core
+      // (measured: a 1.1 s single-task stage at sf0.1 — the whole
+      // query minus orderBy; the dedup chain's shingleSets lesson)
+      (s, d) => Tables.fanOut(Tables.documents(s, d))
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
         .filter(size(col("ts")) >= 8)
         .select(col("doc_id"), explode(expr(
