@@ -76,11 +76,14 @@ object ConnectedComponents {
       sizePartitions(m, spark.sessionState.conf.numShufflePartitions))
 
     // re-key the stored blocks by src under the loop's ONE partitioner —
-    // every round's narrow join reuses these blocks
+    // every round's narrow join reuses these blocks. No forcing count
+    // of its own: localCheckpoint stores the blocks during the FIRST
+    // job that computes the RDD, and the labels-init job below computes
+    // sym — one materialization job instead of two per CC call (raw
+    // stays pinned until then so the upstream candidate pipeline still
+    // runs exactly once).
     val sym: RDD[(Long, Long)] = raw.partitionBy(part)
     sym.localCheckpoint()
-    sym.count()
-    raw.unpersist(blocking = false)
 
     // fuse propagation round 1 into initialization: label₀ = min(node,
     // direct neighbors) is one reduceByKey over the already-partitioned
@@ -92,7 +95,8 @@ object ConnectedComponents {
       .mapPartitions(_.map { case (n, mn) => (n, math.min(n, mn)) },
         preservesPartitioning = true)
     labels.localCheckpoint()
-    labels.count()
+    labels.count() // materializes sym's blocks and the init labels
+    raw.unpersist(blocking = false)
     var prev = labels
 
     val changed = sc.longAccumulator("cc_changed")
