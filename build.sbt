@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked main's stdout through verbatim instead of re-logging
+// it with an "[info] " prefix: the bench driver tail-parses the last
+// stdout line as JSON, and the sbt logger prefix has broken that parse
+// every round since r18 (PERF_r*.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -342,7 +342,21 @@ object Bench {
       if (only.isDefined) "BENCH_DETAIL_ONLY.json" else "BENCH_DETAIL.json"
     val detailFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", detailDefault))
-    val dw = new java.io.PrintWriter(detailFile, "UTF-8")
+    // cpu-suffixed twin of every artifact (BENCH_DETAIL_c32.json …): the
+    // driver's low-core scaling run re-invokes Bench with the same cwd,
+    // so the fixed filenames get overwritten and the main run's
+    // per-query record is lost (the r21 forensics problem). The suffixed
+    // copies survive both runs; fixed names stay for existing tooling.
+    def cpuSuffixed(f: java.io.File): java.io.File = {
+      val n = f.getName
+      val stem = if (n.endsWith(".json")) n.dropRight(5) else n
+      new java.io.File(f.getParentFile, s"${stem}_c$cpus.json")
+    }
+    def writeBoth(f: java.io.File, line: String): Unit =
+      Seq(f, cpuSuffixed(f)).foreach { out =>
+        val w = new java.io.PrintWriter(out, "UTF-8")
+        try w.println(line) finally w.close()
+      }
     // control_attempts: every attempt's q01–q30 subtotal in run order —
     // a retried sweep is visible in the artifact, not just on stderr.
     // hot_rows: the per-query second trigger's final count + names
@@ -366,11 +380,10 @@ object Bench {
         s""""lsh_cap":$LshCandidateCap,"ivf_nprobe":$IvfNprobe,""" +
         s""""ivf_centroids":$IvfCentroids}"""
     }
-    try dw.println(
+    writeBoth(detailFile,
       s"""{"sf":"$sfDir","warm":$warmed,"passes":$passes,"gc_every":$gcEvery,""" +
         s""""total_min_s":${fmt(total)},"control_q01_30_s":${fmt(control)},""" +
         s"""$attemptsField,$annParams,"families":$families,"rows":$detail}""")
-    finally dw.close()
     // capped by BYTES, not entry count: pass lists scale with
     // SPARK_GRAFT_PASSES, and the whole line must survive the driver's
     // ~2k output-tail window — drop entries, never truncate mid-JSON
@@ -401,8 +414,7 @@ object Bench {
       if (only.isDefined) "BENCH_FULL_ONLY.json" else "BENCH_FULL.json"
     val fullFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", fullDefault))
-    val fw = new java.io.PrintWriter(fullFile, "UTF-8")
-    try fw.println(fullLine) finally fw.close()
+    writeBoth(fullFile, fullLine)
     println(fullLine)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.count(_.minS >= 0)},"sf":"$sfDir","warm":$warmed,"passes":$passes,"extra_passes":$extraTotal,"gc_every":$gcEvery,"control":${fmt(control)},$attemptsField,"families":$families,"queries_file":"${fullFile.getName}","detail":"${detailFile.getName}"$errField}""")
     spark.stop()
@@ -454,23 +466,25 @@ object Bench {
         }
       }
       .sortBy(-(_: (Int, java.io.File))._1)
-      .view
-      .flatMap { case (_, f) =>
+      .headOption
+      // stop at the NEWEST anchor: a parse failure degrades the hot-row
+      // trigger (loudly) rather than silently substituting an older
+      // round's minima as the reference (r21 ADVICE — the fallback was
+      // asymmetric vs a parsed-but-empty map, and a stale anchor is
+      // worse than no trigger)
+      .map { case (_, f) =>
         val src = scala.io.Source.fromFile(f, "UTF-8")
         val text = try src.mkString finally src.close()
         val parsed = blockPat.findFirstMatchIn(text).map { m =>
           pairPat.findAllMatchIn(m.group(1))
             .map(p => p.group(1) -> p.group(2).toDouble).toMap
         }
-        // an anchor file whose queries block fails to parse would
-        // silently disable the hot-row contention trigger — fail loud
         if (parsed.forall(_.isEmpty))
           System.err.println(
             s"[bench] WARNING: anchor ${f.getName} exists but its " +
               "'queries' map parsed empty — hot-row trigger degraded")
-        parsed
+        parsed.getOrElse(Map.empty)
       }
-      .headOption
       .getOrElse(Map.empty)
   }
 }
