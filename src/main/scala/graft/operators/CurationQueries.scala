@@ -49,10 +49,16 @@ object CurationQueries {
     * decimal-cast sum diverges between engines at exact rounding-grid
     * midpoints (the q90 lesson). */
   private[graft] def q96Scored(s: SparkSession, d: String): DataFrame = {
-    // fanned out before the token explode: the one-split scan made the
-    // explode + model join + partial aggs single-task (measured ~0.8 s
-    // of 1-task stages at sf0.1; the shingleSets lesson)
-    val toks = Tables.fanOut(tokenized(s, d).select(col("doc_id"), col("ts")))
+    // NOT fanned out (r22, reverting r21): `toks` feeds two consumers
+    // (the term-frequency aggregate and the per-doc scoring join), so a
+    // fan-out exchange here is paid TWICE per run — and the driver's
+    // r21 sweep measured the fanned shape 0.79× SLOWER at 32 cores
+    // (1.21 → 1.53 s): both consumers lead straight into partial
+    // aggregations, so the single-split scan's explode work pipelines
+    // into map-side aggs whose cost the extra round-robin exchanges
+    // (each with their sort-before-repartition pass) exceed. At 100 TB
+    // the input arrives in thousands of splits and needs no fan-out.
+    val toks = tokenized(s, d)
       .select(col("doc_id"), explode(col("ts")).as("term"))
     // vocab-sized materialization: both the broadcast-back join and
     // the corpus-total scalar read the aggregated term table
@@ -437,15 +443,15 @@ object CurationQueries {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         val cents = e.filter(col("vec_id").isin(CentroidIds: _*))
           .select(col("vec_id").as("cid"), col("emb").as("ce"))
-        // per-vector argmin via partial-aggregable min(struct) — same
-        // rn=1 row as the window form without sorting the n·k candidate
-        // rows (see KMeans.lloydRound, r21)
-        val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("sqdist",
-            expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("sqdist"), col("cid"), col("emb"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"), col("m.emb").as("emb"))
+        // per-vector argmin PER ROW: one native SqDistTop2 loop against
+        // the broadcast flattened centroid matrix — same (sqdist asc,
+        // cid asc) head as the window / min(struct) forms with zero
+        // exchanges and no k-way emb fan-out (see KMeans.lloydRound, r22)
+        val assigned = e.crossJoin(broadcast(KMeans.centroidArr(cents)))
+          .withColumn("m", graft.functions.VectorFunctions.sqdist_top2(
+            col("emb"), col("centflat")))
+          .select(col("vec_id"),
+            element_at(col("cids"), col("m.i1") + 1).as("cid"), col("emb"))
         // component means via an ORDERED double fold (collect → sort by
         // member id → left-fold): shuffle-order-independent AND
         // engine-portable. A decimal-cast sum is also order-independent

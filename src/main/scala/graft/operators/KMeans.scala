@@ -37,23 +37,37 @@ object KMeans {
 
   private[graft] val CentroidIds = Seq(3L, 47L, 111L, 205L, 289L, 333L, 404L, 450L)
 
+  /** The k (cid, ce) centroid rows collapsed to ONE broadcastable row:
+    * `centflat` = the cid-ORDERED centroids concatenated (k·d doubles,
+    * the [[graft.functions.SqDistTop2]] layout), `cids` = the matching
+    * cid list, so distance-array index order IS cid order and the
+    * native argmin's smallest-index tiebreak is exactly the (sqdist
+    * asc, cid asc) total order. The q130 coarseFlat pattern. */
+  private[graft] def centroidArr(cents: DataFrame): DataFrame =
+    cents.groupBy().agg(
+      expr("flatten(transform(array_sort(collect_list(struct(cid, ce))), s -> s.ce))")
+        .as("centflat"),
+      expr("transform(array_sort(collect_list(struct(cid, ce))), s -> s.cid)")
+        .as("cids"))
+
   /** One Lloyd round: (assignment frame, per-(cid, dim) update frame).
     * `cents` must be (cid, ce: array<double>). The per-vector argmin is
-    * a partial-aggregable `min(struct(sqdist, cid, emb))` (r21): the
-    * window formulation exchanged AND sorted all n·k candidate rows
-    * every round, while the struct min combines map-side to one row per
-    * vector before the exchange and needs no sort; (sqdist, cid) is a
-    * total order per vector (cid distinct), so the kept row is exactly
-    * the window's (sqdist asc, cid asc) rn=1 row and emb is never
-    * reached by the comparison. */
+    * PER ROW (r22): one native [[graft.functions.SqDistTop2]] loop over
+    * the broadcast flattened centroid matrix. The r21 form cross-joined
+    * k candidate rows per vector (k copies of each 64-dim emb through
+    * the operator chain, one interpreted zip_with fold per candidate)
+    * and re-collapsed them through a min(struct) hash aggregate — one
+    * exchange of one row per vector per round. The argmin never leaves
+    * the row: zero exchanges, zero emb copies, one compiled k·d loop,
+    * identical kept (cid, sqdist) by the same (sqdist asc, cid asc)
+    * total order (index order = cid order by construction). */
   private[graft] def lloydRound(e: DataFrame, cents: DataFrame): (DataFrame, DataFrame) = {
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("sqdist",
-        expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("sqdist"), col("cid"), col("emb"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"),
-        col("m.emb").as("emb"), col("m.sqdist").as("sqdist"))
+    import graft.functions.VectorFunctions.sqdist_top2
+    val assigned = e.crossJoin(broadcast(centroidArr(cents)))
+      .withColumn("m", sqdist_top2(col("emb"), col("centflat")))
+      .select(col("vec_id"),
+        element_at(col("cids"), col("m.i1") + 1).as("cid"),
+        col("emb"), col("m.d1").as("sqdist"))
     val update = assigned
       .select(col("cid"), col("vec_id"), posexplode(col("emb")).as(Seq("dim", "v")))
       .groupBy("cid", "dim")
@@ -159,16 +173,20 @@ object KMeans {
       (s, d) => {
         val e = embeddings(s, d).localCheckpoint()
         val cents = pinCentroids(iterate(s, d, Rounds).last)
-        val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
-        val ranked = e.crossJoin(broadcast(cents))
-          .withColumn("d2",
-            expr("aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 2)
-        val ab = ranked.groupBy("vec_id")
-          .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
-            max(when(col("rn") === 1, sqrt(col("d2")))).as("a"),
-            max(when(col("rn") === 2, sqrt(col("d2")))).as("b"))
+        // top-2 nearest centroids PER ROW (r22): the window formulation
+        // exchanged + sorted all n·k candidate rows, then re-grouped by
+        // vec_id to pivot rn 1/2 into (a, b) — two exchanges for a
+        // bounded k=2 selection. One native SqDistTop2 loop per row
+        // yields the same (d2 asc, cid asc) head and runner-up with no
+        // shuffle at all; d2/i2 are null when fewer than two centroids
+        // survive, matching the window's missing-rn2 null.
+        val ab = e.crossJoin(broadcast(centroidArr(cents)))
+          .withColumn("m", graft.functions.VectorFunctions.sqdist_top2(
+            col("emb"), col("centflat")))
+          .select(col("vec_id"),
+            element_at(col("cids"), col("m.i1") + 1).as("cid"),
+            sqrt(col("m.d1")).as("a"),
+            sqrt(col("m.d2")).as("b"))
           .withColumn("sil",
             when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
               .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))

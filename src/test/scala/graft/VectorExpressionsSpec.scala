@@ -172,6 +172,75 @@ class VectorExpressionsSpec extends SparkSpecBase {
     assert(gc == cells, s"cells diverge: $gc vs $cells")
   }
 
+  test("sqdist_top2 equals the window top-2 over unrolled candidates, " +
+      "including ties, k=1, and null/ragged inputs") {
+    import spark.implicits._
+    val vecs: Seq[(Long, Seq[java.lang.Double])] = Seq(
+      1L -> Seq[java.lang.Double](0.0, 0.0),
+      2L -> Seq[java.lang.Double](1.0, 1.0),
+      3L -> Seq[java.lang.Double](2.0, 0.5))
+    // c1 and c2 EQUIDISTANT from (1,1): the tie must break to the
+    // smaller index (= smaller cid under the sorted layout)
+    val cents = Seq(0.0, 0.0, 2.0, 2.0, 9.0, 9.0)
+    val df = vecs.toDF("vec_id", "emb")
+      .withColumn("m", sqdist_top2(col("emb"),
+        typedLit(cents)))
+      .select(col("vec_id"), col("m.i1"), col("m.d1"), col("m.i2"), col("m.d2"))
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3), r.getDouble(4))).toSeq
+    // reference: explicit (dist, idx) sort per vector
+    def d2(v: Seq[java.lang.Double], off: Int): Double = {
+      var s = 0.0
+      v.indices.foreach { i =>
+        val d = v(i) - cents(off * 2 + i); s += d * d
+      }
+      s
+    }
+    val want = vecs.map { case (id, v) =>
+      val sorted = (0 until 3).map(c => (d2(v, c), c)).sorted
+      (id, sorted(0)._2, sorted(0)._1, sorted(1)._2, sorted(1)._1)
+    }
+    assert(got.sortBy(_._1) == want.sortBy(_._1))
+
+    // k = 1: runner-up is null
+    val one = vecs.toDF("vec_id", "emb")
+      .select(sqdist_top2(col("emb"), typedLit(Seq(0.0, 0.0))).as("m"))
+      .select(col("m.i1"), col("m.d2")).collect()
+    assert(one.forall(r => r.getInt(0) == 0 && r.isNullAt(1)))
+
+    // null vector, ragged layout, null element → NULL overall
+    val edge = Seq(
+      (1L, null.asInstanceOf[Seq[java.lang.Double]], Seq[java.lang.Double](1.0, 2.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (3L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)))
+      .toDF("vec_id", "emb", "flat")
+      .select(sqdist_top2(col("emb"), col("flat")).as("m"))
+    assert(edge.collect().forall(_.isNullAt(0)))
+
+    // exactness: d1 equals the interpreted zip_with/aggregate fold
+    // bit-for-bit on real embeddings
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .limit(64)
+    val cf = e.orderBy("vec_id").limit(4)
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(vec_id, emb))), s -> s.emb))").as("cf"))
+    val both = e.crossJoin(broadcast(cf))
+      .withColumn("m", sqdist_top2(col("emb"), col("cf")))
+      .withColumn("folds", expr(
+        """transform(sequence(0, CAST(size(cf) / size(emb) AS INT) - 1), c ->
+             aggregate(zip_with(emb, slice(cf, c * size(emb) + 1, size(emb)),
+               (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v))"""))
+      .select(col("m.i1").as("i1"), col("m.d1").as("d1"),
+        col("m.i2").as("i2"), col("m.d2").as("dd2"), col("folds"))
+      .collect()
+    both.foreach { r =>
+      val folds = r.getSeq[Double](4)
+      val sorted = folds.zipWithIndex.sorted
+      assert(r.getInt(0) == sorted(0)._2 && r.getDouble(1) == sorted(0)._1)
+      assert(r.getInt(2) == sorted(1)._2 && r.getDouble(3) == sorted(1)._1)
+    }
+  }
+
   test("GraftExtensions injects FuseVectorOps into a session's optimizer") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext)
