@@ -66,23 +66,39 @@ case class LshBucketsExpr(child: Expression,
       s"$prettyName requires array<double>, got ${t.sql}")
   }
 
-  /** Bit p of table t — [[VectorDot]]'s exact null/length semantics
-    * folded into the CASE's `> 0.0` (null → false → '0'). */
-  private def dotPositive(emb: ArrayData, t: Int, p: Int): Boolean = {
-    if (emb == null || emb.numElements() != dim) return false
+  /** Bit p of table t over a PRE-VALIDATED primitive copy of the
+    * vector — [[VectorDot]]'s exact ascending-index fold. */
+  private def dotPositive(v: Array[Double], t: Int, p: Int): Boolean = {
     val f = flat
     val base = (t * planes + p) * dim
     var s = 0.0
     var i = 0
     while (i < dim) {
-      if (emb.isNullAt(i)) return false
-      s += emb.getDouble(i) * f(base + i)
+      s += v(i) * f(base + i)
       i += 1
     }
     s > 0.0
   }
 
   def compute(emb: ArrayData): ArrayData = {
+    // Null/length validation hoisted OUT of the T·P dot loops (r21
+    // ADVICE): the per-(table, plane) form re-ran the null-vector/
+    // length check and a per-element isNullAt scan for every plane —
+    // T·P·D redundant branch tests per row in the expression that
+    // exists purely for speed. An invalid vector (null, wrong length,
+    // any null element) yields the all-'0' bit rows for EVERY (t, p) —
+    // exactly what the per-plane checks produced, since every dot saw
+    // the same defect (semantics pinned by VectorExpressionsSpec) —
+    // and a valid one is copied once to a primitive array so the dot
+    // loops run check-free.
+    val v: Array[Double] =
+      if (emb == null || emb.numElements() != dim) null
+      else {
+        var i = 0
+        var ok = true
+        while (ok && i < dim) { if (emb.isNullAt(i)) ok = false; i += 1 }
+        if (ok) emb.toDoubleArray() else null
+      }
     val out = new Array[Any](tables)
     var t = 0
     while (t < tables) {
@@ -90,7 +106,7 @@ case class LshBucketsExpr(child: Expression,
       sb.append(t).append(':')
       var p = 0
       while (p < planes) {
-        sb.append(if (dotPositive(emb, t, p)) '1' else '0')
+        sb.append(if (v != null && dotPositive(v, t, p)) '1' else '0')
         p += 1
       }
       out(t) = UTF8String.fromString(sb.toString)

@@ -51,15 +51,15 @@ object GlobalRank {
       emit: (Row, Long, Long) => Row): (org.apache.spark.rdd.RDD[Row],
       org.apache.spark.sql.types.StructType) = {
     val input = if (inputPinned) df else df.localCheckpoint(eager = false)
+    // snap pinned LAZILY too (r22, the PrefixScan/CC one-job trick):
+    // the counts collect below is snap's first action and its only
+    // reader in that job, so the collect stores the sorted blocks —
+    // one fewer materialization job per rank/ntile call. The final
+    // mapPartitions pass reads the SAME stored blocks, so partition
+    // boundaries cannot move between the two passes.
     val snap = input.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
-      .localCheckpoint()
-    // snap's checkpoint truncated the lineage — the input copy can go
-    // now (the ConnectedComponents generation pattern)
-    if (!inputPinned) input.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+      .localCheckpoint(eager = false)
     val pinnedRdd = snap.rdd
     // ONE pass for the offset arithmetic — replaces both the separate
     // count() and zipWithIndex's internal per-partition size job
@@ -70,6 +70,14 @@ object GlobalRank {
         Iterator.single(i -> c)
       }
       .collect().sortBy(_._1).map(_._2)
+    // snap's first action has stored the sorted blocks and truncated
+    // the lineage — only now can the input copy go (the
+    // ConnectedComponents generation pattern; unpersisting before that
+    // action would discard the pin before the exchange ever ran)
+    if (!inputPinned) input.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
     val offsets = counts.scanLeft(0L)(_ + _)
     val n = offsets.last
     val rdd = pinnedRdd.mapPartitionsWithIndex { (i, it) =>

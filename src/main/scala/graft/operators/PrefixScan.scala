@@ -47,13 +47,15 @@ object PrefixScan {
       outType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = df.sparkSession
     val input = df.localCheckpoint(eager = false)
+    // snap pinned LAZILY too (r22): the partition-aggregate collect
+    // below is snap's first action and its only reader in that job, so
+    // the collect stores the sorted blocks — one fewer materialization
+    // job per scan. The final mapPartitionsWithIndex pass then reads
+    // the SAME stored blocks, so partition boundaries cannot move
+    // between the two passes (the placement-stability requirement).
     val snap = input.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
-      .localCheckpoint()
-    input.queryExecution.analyzed match {
-      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+      .localCheckpoint(eager = false)
     val idx = snap.schema.fieldIndex(value)
     val pinned = snap.rdd
     val partAgg = pinned.mapPartitionsWithIndex { (i, it) =>
@@ -61,6 +63,14 @@ object PrefixScan {
       it.foreach { r => m = comb(m, r.get(idx)) }
       Iterator.single(i -> m)
     }.collect().sortBy(_._1).map(_._2)
+    // input's pinned blocks can only be released AFTER snap's first
+    // action has stored the sorted blocks (with the lazy snap pin the
+    // collect above is that action; unpersisting earlier would discard
+    // the input pin before the exchange ever ran)
+    input.queryExecution.analyzed match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
     // prior(i) = fold over every partition before i (`zero` for the first)
     val prior = partAgg.scanLeft(zero)(comb).dropRight(1)
     val rdd = pinned.mapPartitionsWithIndex { (i, it) =>

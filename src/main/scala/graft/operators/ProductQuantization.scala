@@ -101,17 +101,29 @@ object ProductQuantization {
       codesPacked: DataFrame, stats: DataFrame)
 
   /** Build [[PqIndex]] once from the corpus (pinned via
-    * localCheckpoint — the parquet-persisted form in production). */
+    * localCheckpoint — the parquet-persisted form in production).
+    *
+    * stats/grid/subs are pinned LAZILY (r22, the ConnectedComponents
+    * one-job trick generalized): each is referenced exactly once per
+    * job by its first consumer, so the codesPacked materialization
+    * cascade stores all three — broadcast(stats) stores stats, the
+    * broadcast(cbByJ) collection computes subs → grid and stores both —
+    * instead of paying one dedicated materialization job per frame
+    * (3 fewer jobs per index build; §1.2 job-count). Every later
+    * reference (LUT, re-rank fetch, probes, serving batches) reads the
+    * same stored blocks as before. Safe because no single job computes
+    * any of these frames through two plan branches (the sigIndex
+    * lazy-cache race does not apply: sets self-joins, these chain). */
   private[graft] def buildIndex(s: SparkSession, d: String): PqIndex = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val stats = gridStats(e).localCheckpoint()
+    val stats = gridStats(e).localCheckpoint(eager = false)
     // grid / subvectors materialized once: encode, LUT, and the exact
     // audit all read the stored blocks (production stores the codes)
-    val grid = applyGrid(e, stats).localCheckpoint()
+    val grid = applyGrid(e, stats).localCheckpoint(eager = false)
     val subs = grid.select(col("vec_id"), explode(expr(SubSplitExpr)).as("x"))
       .select(col("vec_id"), col("x.j").as("j"), col("x.sub").as("sub"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val cw = subs.filter(col("vec_id") < CodebookSize)
       .select(col("j"), col("vec_id").as("cw_id"), col("sub").as("cwv"))
     // encode: nearest codeword per (vector, subspace); ties by cw_id.
@@ -151,7 +163,7 @@ object ProductQuantization {
     val cbAll = cbByJ.groupBy().agg(
       expr("flatten(transform(array_sort(collect_list(struct(j, cbflat))), s -> s.cbflat))")
         .as("cball"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // stored by serve's first LUT broadcast
     PqIndex(grid, cbAll, codesPacked, stats)
   }
 
@@ -275,7 +287,12 @@ object ProductQuantization {
     * queries×nprobe×m×256 rows — broadcast here; at web scale it
     * co-partitions with the codes on cell_id, same plan shape. */
   private[graft] def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
-    val grid = intGrid(s, d).localCheckpoint()
+    // grid/assigned/subs pinned LAZILY (r22, same one-job cascade as
+    // buildIndex): the eager `codes` checkpoint materializes subs ←
+    // assigned ← grid through the trainIds/coarseFlat/cbByJ broadcast
+    // collections — 3 fewer dedicated materialization jobs per run,
+    // same stored blocks for every downstream reference.
+    val grid = intGrid(s, d).localCheckpoint(eager = false)
     // rank-based coarse codebook (the q78 lesson: never `vec_id < k` —
     // an id predicate silently empties on offset corpora)
     val coarse = grid.orderBy(col("vec_id").asc).limit(CoarseCells)
@@ -300,13 +317,13 @@ object ProductQuantization {
         element_at(col("cellids"), col("cidx") + 1).as("cell_id"),
         expr(s"zip_with(qv, slice(cellflat, cidx * ${M * SubDim} + 1, ${M * SubDim}), (x, y) -> x - y)")
           .as("rv"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // residual subvectors; codebooks train on the 256 lowest-id
     // residuals (rank-based again), one codebook per subspace
     val subs = assigned.select(col("vec_id"), col("cell_id"), explode(expr(
       s"transform(sequence(0, ${M - 1}), j -> struct(j AS j, slice(rv, j * $SubDim + 1, $SubDim) AS sub))")).as("x"))
       .select(col("vec_id"), col("cell_id"), col("x.j").as("j"), col("x.sub").as("sub"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val trainIds = assigned.orderBy(col("vec_id").asc).limit(CodebookSize)
       .select(col("vec_id"))
     val cw = subs.join(broadcast(trainIds), Seq("vec_id"))
