@@ -1326,13 +1326,18 @@ object DedupQueries {
         val l = lshVerified(s, d).select("doc_a", "doc_b").localCheckpoint()
         val sn = snmVerified(s, d).select("doc_a", "doc_b").localCheckpoint()
         val both = l.join(sn, Seq("doc_a", "doc_b"))
-        def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
-        def planted(df: DataFrame) = df.filter(col("doc_b") - col("doc_a") === Ids.VariantOffset)
-        cnt(l, "n_lsh")
-          .crossJoin(cnt(sn, "n_snm"))
-          .crossJoin(cnt(both, "n_both"))
-          .crossJoin(cnt(planted(l), "planted_lsh"))
-          .crossJoin(cnt(planted(sn), "planted_snm"))
+        // each method's total and planted-recall counts fused into ONE
+        // aggregate over its pinned frame (r22): the five separate
+        // scalar-agg subtrees cost five AQE stage jobs + two extra scans
+        // of l/sn for the same arithmetic (§1.2 job count).
+        // count(when(cond)) counts exactly the planted filter's rows.
+        def cnts(df: DataFrame, pfx: String) = df.agg(
+          count(lit(1)).as(s"n_$pfx"),
+          count(when(col("doc_b") - col("doc_a") === Ids.VariantOffset, lit(1)))
+            .as(s"planted_$pfx"))
+        cnts(l, "lsh")
+          .crossJoin(cnts(sn, "snm"))
+          .crossJoin(both.agg(count(lit(1)).as("n_both")))
           .select(col("n_lsh"), col("n_snm"), col("n_both"),
             (col("n_lsh") - col("n_both")).as("lsh_only"),
             (col("n_snm") - col("n_both")).as("snm_only"),

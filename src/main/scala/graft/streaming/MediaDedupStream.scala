@@ -50,9 +50,17 @@ object MediaDedupStream {
     * dedup as their sink requires (the [[DedupStream]] convention). */
   def processBatch(spark: SparkSession, batchMedia: DataFrame, dir: String,
       batchId: Long, maxHamming: Int = 3): DataFrame = {
+    // NOT pinned (r22, matching DedupStream.processBatch): the ledger
+    // is already a parquet store — its two readers (the probe join,
+    // which column-prunes to (doc_id, modality, h0..h3), and the
+    // re-fold, inside StateStore.save's tmp write) scan it directly,
+    // and both reads complete BEFORE save's generation swap touches
+    // the files. The per-batch localCheckpoint materialized the WHOLE
+    // ledger (every column) into block storage every micro-batch —
+    // one extra job per batch here, a full-ledger copy per batch at
+    // a 100 TB corpus's ledger size.
     val prior = loadLedger(spark, dir)
       .filter(col("added_batch") < batchId) // replay guard
-      .localCheckpoint()
     val bf = MediaDedupIndex.fingerprints(spark, batchMedia).localCheckpoint()
 
     def sides(df: DataFrame, idAs: String, pre: String) =
